@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (the reference's canonical pipeline
+spine: scan → JSONPath fan-out → scalar transform → ordered gather →
+join_strings) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` — built from the package's query registry
+(data_pipelines_worker_spark/queries/*): one entry per implemented operator
+from SURVEY.md §2, plus the beyond-reference scale operators (dedup,
+similarity search, text analysis).
 """
 
 from __future__ import annotations
@@ -13,26 +16,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_pipelines_worker_spark.queries import load_all
+
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: explode → wrap_text → gather → join_strings over the
+    documents table (the yt-short pipeline spine, SURVEY §7 M1)."""
+    registry = load_all()
+    fn, _ = registry["gather_join_strings"]
+    return fn(spark, _SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: oracle
+        for name, (_fn, oracle) in load_all().items()
+        if oracle is not None
+    }

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a standard scale pattern:
+
+- **exact**: hash-groupBy on content → canonical id (one shuffle on a
+  64-bit hash key, never on the full text);
+- **n-gram Jaccard**: inverted-index self-join on shingles + exact Jaccard
+  — the *exact verifier*; inherently candidate-quadratic, so at 100 TB it
+  runs only on LSH candidates, never standalone;
+- **MinHash + LSH**: xxhash64 shingles → k permutation-min signatures →
+  banded bucket join → candidates → exact-Jaccard verify. The scale path:
+  cost is O(docs·bands) + O(candidates), no all-pairs stage;
+- **SimHash**: per-word code → signed plane sums → fingerprint; near-dups
+  collide in Hamming space.
+
+All built from pyspark.sql.functions only — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import MOD, word_codes
+
+# LSH defaults: 64 permutations = 32 bands x 2 rows. For threshold t=0.6 a
+# J=0.9 near-dup pair misses with prob (1-0.9^2)^32 ≈ 1e-23.
+N_PERM = 64
+N_BANDS = 32
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# Affine permutation constants (LCG-style multipliers); any fixed odd a
+# works — determinism is what matters. The hash domain is 2^31-1 so that
+# a*h+b stays < 2^63 under ANSI arithmetic (no overflow).
+PERM_A = [2 * i * 40503 + 1 for i in range(1, N_PERM + 1)]
+PERM_B = [i * 104729 + 12345 for i in range(1, N_PERM + 1)]
+MERSENNE = MOD  # 2^31 - 1
+
+
+def shingles(words: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (space-joined). Empty array when the document
+    has fewer than k words (guarded: Spark's sequence(0, -1) would descend,
+    not produce an empty array)."""
+    idx = F.sequence(F.lit(0), F.size(words) - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(words) >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: every row mapped to the minimum id sharing its content.
+
+    Shuffles on ``xxhash64(text)`` (8 bytes/row) rather than the document
+    itself; the window computes min-id per group in the same exchange.
+    Collision safety: groups are keyed by (hash, text) so a 64-bit collision
+    cannot merge distinct documents.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.xxhash64(F.col(text_col)).alias("__h")
+    w = W.partitionBy("__h", text_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+        .drop("__h")
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    words = F.split(F.col(text_col), " ", -1)
+    return df.select(F.col(id_col).alias("doc"), shingles(words, k).alias("sh")).where(
+        F.size("sh") > 0
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6, k: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Plan: explode shingles → self-join on shingle (one shuffle, hash join)
+    → count common per pair → join back set sizes → filter J ≥ t.
+    Exact but candidate-quadratic — the LSH variant is the 100 TB path; this
+    one doubles as its verifier and as the DuckDB-oracle-checkable truth.
+    """
+    d = _doc_shingles(df, id_col, text_col, k).persist()
+    sizes = d.select("doc", F.size("sh").alias("n"))
+    inv = d.select("doc", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    j = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        common.join(sa, F.col("d1") == F.col("sa.doc"))
+        .join(sb, F.col("d2") == F.col("sb.doc"))
+        .withColumn("jaccard", j)
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signature(sh: Column) -> Column:
+    """64-permutation MinHash signature of a shingle array.
+
+    Base hash: built-in ``xxhash64`` (JVM, codegen). Permutations: affine
+    ``(a*h + b) mod (2^61-1)`` — min taken with ``array_min`` per
+    permutation. Returns array<long> of length N_PERM.
+    """
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(h * PERM_A[i] + PERM_B[i], F.lit(MERSENNE)))
+        )
+        for i in range(N_PERM)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6, k: int = 3
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    Stages: signature (map-only) → band explode (docs × N_BANDS rows,
+    band key = hash of the band slice) → bucket self-join (candidates) →
+    exact Jaccard verify on the candidate set only.
+
+    Output = pairs with true J ≥ threshold among LSH candidates; with the
+    default 32×2 banding the miss probability at J ≥ 0.75 is < 1e-9, so on
+    any realistic corpus this equals the exact answer while scaling as
+    O(docs + candidates).
+    """
+    d = _doc_shingles(df, id_col, text_col, k).persist()
+    sig = d.select("doc", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc", F.posexplode(band_arr).alias("band", "bkey"))
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    sb = d.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    verified = (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh1") + F.size("sh2") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+# --- SimHash ---------------------------------------------------------------
+
+N_PLANES = 16  # 16-bit fingerprint: keeps the oracle SQL tractable
+PLANE_A = [2 * i * 48271 + 1 for i in range(1, N_PLANES + 1)]
+PLANE_B = [i * 16807 + 7 for i in range(1, N_PLANES + 1)]
+
+
+def simhash16(words: Column) -> Column:
+    """16-plane SimHash over word codes.
+
+    Plane ``i`` votes +1 when ``(code * A_i + B_i) mod (2^31-1)`` is odd,
+    −1 otherwise; fingerprint bit i is set when the sum is positive. Word
+    codes come from :func:`word_codes` so the DuckDB oracle can replicate
+    the arithmetic exactly.
+    """
+    codes = word_codes(words)
+
+    def plane_vote(i: int):
+        a, b = PLANE_A[i], PLANE_B[i]
+
+        def merge(acc, c):
+            return acc + F.when(F.pmod(c * a + b, F.lit(MOD)) % 2 == 1, 1).otherwise(-1)
+
+        return F.aggregate(codes, F.lit(0).cast("long"), merge)
+
+    fp = F.lit(0).cast("long")
+    for i in range(N_PLANES):
+        fp = fp + F.when(plane_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp

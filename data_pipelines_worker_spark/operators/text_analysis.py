@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting, normalization. All pure
+column expressions — JVM-side, whole-stage codegen, zero shuffle — so at
+100 TB these are embarrassingly-parallel map stages bounded by scan
+throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately small + deterministic: the point is the *operator shape*
+# (vocab-hit scoring scales to real lexicons broadcast to executors).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en"),
+}
+
+#: priority order for deterministic argmax tie-breaking
+LANG_PRIORITY = ("en", "es", "de", "fr")
+
+MOD = 2147483647  # 2^31 - 1, fits bigint through h*31+x
+
+
+def tokenize_ws(text: Column) -> Column:
+    """Whitespace tokenization (split on single spaces, the synthetic-corpus
+    convention; real corpora would split on ``\\s+``)."""
+    return F.split(text, " ", -1)
+
+
+def token_count_regex(text: Column, pattern: str = "[a-z]+|[0-9]+") -> Column:
+    """BPE-ish token count: number of maximal alpha/digit runs."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity — not array_intersect, which dedups)
+    of any stopword in the token array."""
+    vocab = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words, lambda w: F.array_contains(vocab, w))).cast("long")
+
+
+def lang_id(words: Column) -> Column:
+    """Deterministic stopword-vote language ID.
+
+    Argmax over per-language hit counts with fixed priority tie-breaking
+    (en > es > de > fr) — expressed as a CASE chain so the DuckDB oracle is
+    the literally-identical expression.
+    """
+    scores = {lang: stopword_hits(words, sw) for lang, sw in LANG_STOPWORDS.items()}
+    expr = F.lit(LANG_PRIORITY[-1])
+    # Build the CASE chain back-to-front over the priority order.
+    for i in range(len(LANG_PRIORITY) - 2, -1, -1):
+        lang = LANG_PRIORITY[i]
+        cond = None
+        for other in LANG_PRIORITY[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: word-length sanity + stopword
+    density + alpha ratio. Mirrors the usual Gopher/C4-style length &
+    symbol-ratio rules in spirit; weights are fixed and documented so the
+    oracle can replicate them exactly."""
+    words = tokenize_ws(text)
+    n_chars = F.length(text).cast("double")
+    n_words = F.size(words).cast("double")
+    avg_wlen = (n_chars - (n_words - 1)) / n_words
+    sw = F.array(*[F.lit(w) for ws in LANG_STOPWORDS.values() for w in ws])
+    sw_ratio = F.size(F.filter(words, lambda w: F.array_contains(sw, w))).cast("double") / n_words
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / n_chars
+    )
+    wlen_term = 1.0 - F.least(F.abs(avg_wlen - F.lit(5.0)) / 5.0, F.lit(1.0))
+    return 0.4 * wlen_term + 0.3 * F.least(sw_ratio * 4.0, F.lit(1.0)) + 0.3 * alpha_ratio
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the lowercased document."""
+    return F.md5(F.lower(text))
+
+
+def word_codes(words: Column) -> Column:
+    """Per-word integer code ascii(first char) + len — the rolling-hash
+    alphabet (kept trivially SQL-replicable)."""
+    return F.transform(words, lambda w: (F.ascii(F.substring(w, 1, 1)) + F.length(w)).cast("long"))
+
+
+def fingerprint_rolling(words: Column) -> Column:
+    """Polynomial rolling hash over word codes, mod 2^31-1:
+    ``h := (h*31 + code) % MOD`` — a distributed-friendly document
+    fingerprint (order-sensitive, unlike md5-of-sorted-tokens)."""
+    return F.aggregate(
+        word_codes(words),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MOD,
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """C4-style normalization: lowercase, strip non-alphanumerics to space,
+    collapse runs of spaces, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9]+", " ")
+    return F.trim(t)

@@ -1,0 +1,91 @@
+"""Correctness queries for the dedup operator family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..session import load_table
+from . import register
+
+_JACCARD_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                            for i in generate_series(1, len(words) - 2)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(j, 6) AS jaccard FROM (
+      SELECT d1, d2,
+             common / (len(da.sh) + len(db.sh) - common) AS j
+      FROM pairs JOIN d da ON da.doc_id = d1 JOIN d db ON db.doc_id = d2
+    ) WHERE j >= 0.6
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT event_id,
+           min(event_id) OVER (PARTITION BY user_id || '|' || event_type) AS canonical_id,
+           event_id != min(event_id) OVER (PARTITION BY user_id || '|' || event_type)
+             AS is_duplicate
+    FROM events
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content key (here (user_id, event_type) — the
+    documents table has no planted byte-identical dups, events do)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__key", F.concat(F.col("user_id").cast("string"), F.lit("|"), F.col("event_type"))
+    )
+    out = dedup.exact_dedup(ev, "event_id", "__key")
+    return out.select("event_id", "canonical_id", "is_duplicate")
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+
+
+@register("dedup_minhash_lsh", _JACCARD_ORACLE)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact verify; oracle is the exact-Jaccard pair set
+    (LSH miss probability at the planted J≈0.9 dups: ~1e-23)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (code * {dedup.PLANE_A[i]} + {dedup.PLANE_B[i]}) % {dedup.MOD} % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(dedup.N_PLANES)
+    )
+    fp = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(dedup.N_PLANES))
+    return f"""
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM (
+      SELECT doc_id, {votes}
+      FROM (
+        SELECT doc_id,
+               CAST(ascii(w[1]) + length(w) AS BIGINT) AS code
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      ) GROUP BY doc_id
+    )
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    return docs.select("doc_id", dedup.simhash16(words).alias("simhash"))

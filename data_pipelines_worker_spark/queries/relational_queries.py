@@ -1,0 +1,389 @@
+"""Relational operators (SURVEY §2.3 gap map) — joins, aggregations,
+windows, set ops, pivot, rollup, as-of — expressed declaratively so
+Catalyst owns the physical strategy.
+
+Scale notes baked into each query:
+- dimension joins (region/nation/supplier) are explicitly ``F.broadcast``;
+- aggregates round through :func:`r2`/:func:`r4` only at the *output*
+  boundary (to make double sums hash-comparable against DuckDB) — the
+  aggregation itself is exact partial-agg + shuffle;
+- ordering never relies on floating-point ties: every top-k has an
+  integer-keyed deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import register
+
+
+def r2(col):  # output-boundary rounding for double aggregates
+    return F.round(col, 2)
+
+
+def r4(col):
+    return F.round(col, 4)
+
+
+def cents(col):
+    """2-decimal column → exact integer hundredths.
+
+    Money sums as doubles are association-order-dependent (Spark's partial
+    aggregation vs DuckDB's sequential sum differ in the last ulp, which
+    flips round()ed output). Summing exact int64 cents is order-independent
+    and engine-independent; divide back to currency at the output boundary.
+    """
+    return F.round(col * 100).cast("long")
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0        AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0   AS sum_base_price,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)
+               * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+                                                                       AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+                                                                       AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+                                                                       AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → partial agg →
+    final agg. One shuffle on a 6-value grouping key; trivially skew-free.
+    All money math in exact integer cents (see :func:`cents`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.lit(1) - F.col("l_discount"))
+    tax_c = cents(F.lit(1) + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * disc_c) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * disc_c * tax_c) / 1000000.0).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / n / 100.0).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / n / 100.0).alias("avg_price"),
+            (F.sum(cents(F.col("l_discount"))).cast("double") / n / 100.0).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is the small side of the first join →
+    broadcast; lineitem⋈orders shuffles on orderkey once."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount")))
+                / 10000.0
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact join on orderkey (one shuffle), all four
+    dimension joins broadcast (nation/region/supplier/customer are tiny
+    relative to any SF)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount")))
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_k_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, n_orders, rn FROM (
+      SELECT c_mktsegment, c_custkey, n_orders,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY n_orders DESC, c_custkey) AS BIGINT) AS rn
+      FROM (
+        SELECT c.c_mktsegment, c.c_custkey, count(*) AS n_orders
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+      )
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window; integer count + custkey tie-break keeps
+    the boundary deterministic (no float ordering)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "sessionization",
+    """
+    SELECT event_id, user_id, CAST(session_no AS BIGINT) AS session_no FROM (
+      SELECT event_id, user_id,
+             sum(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+      FROM (
+        SELECT event_id, user_id, ts,
+               epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+      )
+    )
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events with a 30-min inactivity gap: lag + running sum of
+    boundary flags. Single shuffle on user_id; both windows share the same
+    partitioning so Spark plans one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    return (
+        ev.withColumn("session_no", F.sum(boundary).over(w).cast("long"))
+        .select("event_id", "user_id", "session_no")
+    )
+
+
+@register(
+    "windowed_agg",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+           event_type, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window — the batch shape of the
+    Structured Streaming aggregation in streaming/windows.py. Window start
+    emitted as epoch seconds so the oracle comparison is integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+             AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (F.sum(cents(F.col("o_totalprice"))).cast("double") / F.count("*") / 100.0).alias(
+            "avg_price"
+        ),
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — planned by Spark as a left-anti aggregate join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    finished = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.exceptAll(finished).distinct()
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra pass to discover values —
+    at 100 TB the implicit-distinct pivot is a full extra job)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    df = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    for k in kinds:
+        df = df.withColumn(f"n_{k}", F.coalesce(F.col(k), F.lit(0)).cast("long")).drop(k)
+    return df
+
+
+@register(
+    "rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS qty,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents(F.col("l_quantity"))) / 100.0).alias("qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "asof_join",
+    """
+    SELECT e.event_id, CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2.3): implemented as
+    union + last-value window, the shuffle-once scalable pattern (one
+    exchange on user_id, no O(n²) range join, no per-group pandas)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("error", "signup")
+    )
+    # signups sort before errors at identical ts (tag 0 < 1) so an equal-ts
+    # signup is visible to the error row, matching ASOF's >= bound.
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts_raw"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn(
+            "signup_ts", F.last("signup_ts_raw", ignorenulls=True).over(w).cast("long")
+        )
+        .where(F.col("tag") == 1)
+        .select("event_id", "signup_ts")
+    )

@@ -1,0 +1,125 @@
+"""Correctness queries for the text-analysis operator family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text_analysis as ta
+from ..session import load_table
+from . import register
+
+
+def _sw_sql(langs: tuple[str, ...] = ta.LANG_PRIORITY) -> dict[str, str]:
+    return {
+        lang: "[" + ", ".join(f"'{w}'" for w in ta.LANG_STOPWORDS[lang]) + "]"
+        for lang in langs
+    }
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(ta.tokenize_ws(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        ta.token_count_regex(F.col("text")).alias("n_re_tokens"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    sw = _sw_sql()
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), w -> list_contains({arr}, w)))"
+        for lang, arr in sw.items()
+    }
+    return f"""
+    SELECT doc_id,
+           CASE
+             WHEN {score['en']} >= {score['es']} AND {score['en']} >= {score['de']}
+                  AND {score['en']} >= {score['fr']} THEN 'en'
+             WHEN {score['es']} >= {score['de']} AND {score['es']} >= {score['fr']} THEN 'es'
+             WHEN {score['de']} >= {score['fr']} THEN 'de'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM documents
+    """
+
+
+@register("lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", ta.lang_id(ta.tokenize_ws(F.col("text"))).alias("lang_pred"))
+
+
+def _quality_oracle() -> str:
+    all_sw = "[" + ", ".join(
+        f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws
+    ) + "]"
+    return f"""
+    SELECT doc_id, round(
+        0.4 * (1.0 - least(abs((n_chars - (n_words - 1)) / n_words - 5.0) / 5.0, 1.0))
+      + 0.3 * least(sw_hits / n_words * 4.0, 1.0)
+      + 0.3 * (alpha_chars / n_chars), 6) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> list_contains({all_sw}, w))) AS DOUBLE) AS sw_hits,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_chars
+      FROM documents
+    )
+    """
+
+
+@register("quality_score", _quality_oracle())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(ta.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(lower(text)) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              w -> CAST(ascii(w[1]) + length(w) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {ta.MOD}) AS fp_rolling
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = ta.tokenize_ws(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ta.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        ta.fingerprint_rolling(words).alias("fp_rolling"),
+    )
+
+
+@register(
+    "normalize_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS normalized
+    FROM documents
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", ta.normalize_text(F.col("text")).alias("normalized"))

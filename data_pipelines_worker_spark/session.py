@@ -1,0 +1,97 @@
+"""SparkSession factory and table loading.
+
+Local test harness runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+configuration choices (AQE, sane shuffle partitions, Arrow) are what you'd
+deploy on a 1000-executor cluster — only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor (TPC-H
+#: region/nation/supplier scale sub-linearly; at SF100k they are still MBs).
+BROADCASTABLE = frozenset({"region", "nation", "supplier"})
+
+
+def get_spark(app_name: str = "data_pipelines_worker_spark") -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    - AQE on: runtime coalescing + skew-join mitigation matter at 100 TB.
+    - ``spark.sql.shuffle.partitions`` ~ cores locally; AQE coalesces down
+      anyway, and on a real cluster this would be set to ~2-3x total cores.
+    - Arrow on: all pandas-UDF operators (media, LLM, ANN) batch via Arrow.
+    - Session timezone pinned UTC so timestamp semantics match the DuckDB
+      oracle used by correctness gates.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → pushdown + pruning free.
+
+    Caller-owned sessions (the correctness driver builds its own plain
+    SparkSession) won't carry our session configs, so the two that change
+    query *semantics* are (re)applied dynamically here:
+
+    - UTC session timezone — timestamp literals / to_date must bin the same
+      as the (UTC-naive) DuckDB oracle;
+    - ``nanosAsLong`` — ``events.ts`` is TIMESTAMP(NANOS) parquet, which
+      Spark's reader otherwise rejects; we read long nanos and truncate to
+      microseconds, exactly what micro-precision engines (DuckDB included)
+      do with nanos parquet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views (for spark.sql)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

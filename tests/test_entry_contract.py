@@ -1,0 +1,47 @@
+"""Driver-contract smoke: entry() returns rows; every oracle key has a
+query; a fast subset hash-matches DuckDB at sf0.001 (the full gate runs via
+tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from data_pipelines_worker_spark.session import TABLES
+from tools.check_oracle import value_hash
+
+FAST_QUERIES = [
+    "wrap_text",
+    "gather_join_strings",
+    "q1_pricing_summary",
+    "top_k_per_group",
+    "token_count",
+    "dedup_exact",
+]
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_duckdb(spark, sf_dir, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sdf = qs[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = con.sql(oracles[name])
+    drows = rel.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert value_hash(srows, sdf.columns) == value_hash(drows, rel.columns)

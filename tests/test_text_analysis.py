@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_worker_spark.operators import text_analysis as ta
+
+
+def one(spark, col, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(col.alias("v")).first().v
+
+
+def test_token_counts(spark):
+    assert one(spark, F.size(ta.tokenize_ws(F.col("t"))), "a b c") == 3
+    assert one(spark, ta.token_count_regex(F.col("t")), "ab1 cd, 23x") == 5  # ab,1,cd,23,x
+
+
+def test_lang_id_deterministic_priority(spark):
+    # 'de' words dominate → de; empty text scores 0 everywhere → 'en' priority
+    assert one(spark, ta.lang_id(ta.tokenize_ws(F.col("t"))), "der die das und ist") == "de"
+    assert one(spark, ta.lang_id(ta.tokenize_ws(F.col("t"))), "zzz qqq") == "en"
+
+
+def test_quality_score_bounds(spark):
+    v = one(spark, ta.quality_score(F.col("t")), "the small table and the fast row")
+    assert 0.0 <= v <= 1.0
+
+
+def test_fingerprints_deterministic(spark):
+    t = "some stable text"
+    a = one(spark, ta.fingerprint_rolling(ta.tokenize_ws(F.col("t"))), t)
+    b = one(spark, ta.fingerprint_rolling(ta.tokenize_ws(F.col("t"))), t)
+    assert a == b
+    assert one(spark, ta.fingerprint_md5(F.col("t")), "ABC") == one(
+        spark, ta.fingerprint_md5(F.col("t")), "abc"
+    )
+
+
+def test_normalize_text(spark):
+    assert one(spark, ta.normalize_text(F.col("t")), "  Héllo,   WORLD!! 42 ") == "h llo world 42"
