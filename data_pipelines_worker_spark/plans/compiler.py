@@ -1,0 +1,448 @@
+"""Pipeline-spec → DataFrame-program compiler + runner.
+
+The reference's pipeline JSON (config/pipelines/*.json, validated by
+config/pipelines_validation_schema.json) is a *logical plan description*:
+an ordered list of block instances wired by the ``input_config`` dataflow
+algebra (types/dataclasses/block.go:193-401, pipeline.go:204-635). This
+module compiles such specs into DataFrame programs:
+
+- every block's inputs are built declaratively (scan of upstream stage →
+  JSONPath extraction → fan-out/zip/gather → priority coalesce);
+- every block's outputs are materialized to the stage store (checkpoint =
+  resume/regenerate substrate, mirroring pipeline_block_data_registry.go);
+- control flow the reference keeps above the operator layer (stop
+  conditions pipeline.go:439-513, resume :157-201, target-index :358-377)
+  runs driver-side between stages.
+
+Catalyst owns everything inside a stage: chained scalar blocks collapse to
+one projection, index filters push into the stage-parquet scan.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.json_path import json_path_array, json_path_scalar
+from ..functions.strings import (
+    format_string_from_object,
+    join_strings,
+    stop_condition,
+    text_replace,
+    wrap_text,
+)
+from ..sources import stage_store
+
+
+# --- spec model (mirrors the pipeline JSON schema) --------------------------
+
+
+@dataclass
+class InputBinding:
+    """``input_config.property.<param>`` (block.go:256-365)."""
+
+    param: str
+    origin: str
+    json_path: str | None = None
+    array_input: bool = False  # gather all origin outputs as one array
+
+
+@dataclass
+class BlockSpec:
+    """One block instance (types/dataclasses/block.go:17-30)."""
+
+    id: str  # operator type id (block registry key)
+    slug: str
+    input: dict[str, Any] = field(default_factory=dict)  # static params
+    bindings: list[InputBinding] = field(default_factory=list)
+    fan_out: bool = False  # input_config.type == "array" (block.go:245-254)
+    parallel: bool = True  # per-index parallelism hint (free on Spark)
+
+
+@dataclass
+class PipelineSpec:
+    slug: str
+    blocks: list[BlockSpec]
+
+    @staticmethod
+    def from_json(doc: dict) -> "PipelineSpec":
+        """Parse the reference's pipeline JSON shape."""
+        blocks = []
+        for b in doc["blocks"]:
+            cfg = b.get("input_config") or {}
+            props = cfg.get("property") or {}
+            bindings = [
+                InputBinding(
+                    param=param,
+                    origin=spec["origin"],
+                    json_path=spec.get("json_path"),
+                    array_input=bool(spec.get("array_input", False)),
+                )
+                for param, spec in props.items()
+            ]
+            blocks.append(
+                BlockSpec(
+                    id=b["id"],
+                    slug=b["slug"],
+                    input=b.get("input") or {},
+                    bindings=bindings,
+                    fan_out=cfg.get("type") == "array",
+                    parallel=bool(cfg.get("parallel", True)),
+                )
+            )
+        return PipelineSpec(slug=doc["slug"], blocks=blocks)
+
+
+# --- operator registry ------------------------------------------------------
+
+# An operator takes the bound parameter columns and returns the output value
+# column (string). 1→N operators return an array column and set EXPLODES.
+OperatorFn = Callable[[dict[str, Column]], Column]
+
+_OPERATORS: dict[str, OperatorFn] = {}
+_EXPLODES: set[str] = set()  # operators whose output array fans out 1→N
+_STOPS: set[str] = set()  # control operators evaluated driver-side
+
+
+def operator(name: str, explodes: bool = False, stops: bool = False):
+    def deco(fn: OperatorFn) -> OperatorFn:
+        _OPERATORS[name] = fn
+        if explodes:
+            _EXPLODES.add(name)
+        if stops:
+            _STOPS.add(name)
+        return fn
+
+    return deco
+
+
+def _p(params: dict[str, Column], name: str, default: str = "") -> Column:
+    return params.get(name, F.lit(default))
+
+
+@operator("upload_file")
+def _op_upload(params):
+    # block_upload_file.go:49-102: identity ingest; empty input is an error
+    # (surfaced as NULL here; the runner's status check treats it as failed)
+    return F.when(F.length(params["file"]) > 0, params["file"])
+
+
+@operator("wrap_text")
+def _op_wrap(params):
+    return wrap_text(params["text"], _p(params, "prefix"), _p(params, "suffix"))
+
+
+@operator("text_replace")
+def _op_replace(params):
+    return text_replace(
+        params["text"],
+        params["old"],
+        params["new"],
+        _p(params, "prefix"),
+        _p(params, "suffix"),
+    )
+
+
+@operator("join_strings")
+def _op_join(params):
+    sep = params.get("__separator_literal", " ")
+    return join_strings(params["strings"], sep if isinstance(sep, str) else " ")
+
+
+@operator("format_string_from_object")
+def _op_format(params):
+    # template must be a static literal (compile-time split, like the
+    # reference's per-instance template in block input)
+    template = params["__template_literal"]
+    mapping = {k: v for k, v in params.items() if not k.startswith("__")}
+    return format_string_from_object(template, mapping)
+
+
+@operator("stop_pipeline", stops=True)
+def _op_stop(params):
+    # value column unused for output; runner evaluates __stop over rows
+    return params["data"]
+
+
+@operator("split_string", explodes=True)
+def _op_split(params):
+    # beyond-reference utility: 1→N split (audio_chunk's shape for text)
+    sep = params.get("__separator_literal", " ")
+    return F.split(params["text"], sep if isinstance(sep, str) else " ", -1)
+
+
+class StopPipeline(Exception):
+    """Raised (driver-side) when a stop_pipeline condition fires
+    (pipeline.go:439-513)."""
+
+    def __init__(self, block_slug: str, index: int | None = None):
+        self.block_slug = block_slug
+        self.index = index
+        super().__init__(f"pipeline stopped at {block_slug}")
+
+
+@dataclass
+class RunResult:
+    processing_id: str
+    statuses: dict[str, str]  # block_slug -> 'completed' | 'stopped' | 'skipped'
+    stopped_at: str | None
+    output: DataFrame | None  # last completed block's stage
+
+
+# --- runner -----------------------------------------------------------------
+
+
+class PipelineRunner:
+    """Executes a PipelineSpec block-by-block with per-stage materialization.
+
+    Mirrors PipelineData.Process (pipeline.go:146-641): resume loads prior
+    stage outputs (:195-201), target_index skips other fan-out indices
+    (:358-377), stop conditions halt the run (:439-513).
+    """
+
+    def __init__(self, spark: SparkSession, store_root: str):
+        self.spark = spark
+        self.store_root = store_root
+
+    # -- input assembly (GetInputConfigData, block.go:193-401) --------------
+
+    def _bind_origin(
+        self, stages: dict[str, DataFrame], b: InputBinding, fan_out: bool
+    ) -> DataFrame:
+        """One binding → DataFrame(input_index, <param>)."""
+        src = stages[b.origin]
+        if b.array_input:
+            # gather: ALL origin outputs as one array value, output order
+            # (block.go:274-276,306-336)
+            pair = F.struct(
+                F.col("input_index").alias("i"),
+                F.col("output_index").alias("o"),
+                F.col("payload_str").alias("v"),
+            )
+            arr = F.transform(F.sort_array(F.collect_list(pair)), lambda s: s["v"])
+            return src.agg(arr.alias(b.param)).select(
+                F.lit(0).cast("long").alias("input_index"), b.param
+            )
+        if b.json_path and "[*]" in b.json_path:
+            arr = json_path_array(F.col("payload_str"), b.json_path)
+            if fan_out:
+                # wildcard fan-out: indices run over the concatenation of
+                # every origin buffer's matches (block.go:245-254,348-359)
+                exploded = src.select(
+                    F.col("input_index").alias("src_idx"),
+                    F.posexplode(arr).alias("pos", b.param),
+                )
+                w = W.orderBy("src_idx", "pos")
+                return exploded.select(
+                    (F.row_number().over(w) - 1).cast("long").alias("input_index"),
+                    b.param,
+                )
+            return src.select(F.col("input_index"), arr.alias(b.param))
+        if b.json_path:
+            val = json_path_scalar(F.col("payload_str"), b.json_path)
+        else:
+            val = F.col("payload_str")
+        return src.select(F.col("input_index"), val.alias(b.param))
+
+    def _build_inputs(
+        self,
+        block: BlockSpec,
+        stages: dict[str, DataFrame],
+        request_input: dict[str, Any],
+    ) -> tuple[DataFrame, dict[str, Column]]:
+        """Assemble the block's input rows + bound parameter columns.
+
+        Priority per parameter: request input > binding-derived > static
+        block input (GetInputDataByPriority, pipeline.go:281-305).
+        """
+        df: DataFrame | None = None
+        bound_params: set[str] = set()
+        for b in block.bindings:
+            part = self._bind_origin(stages, b, block.fan_out)
+            bound_params.add(b.param)
+            if df is None:
+                df = part
+            else:
+                # positional merge of origins (MergeMaps, block.go:404-500):
+                # full-outer on index, missing values inherited from the
+                # previous row (scalar-vs-array broadcast fill)
+                keys = ["input_index"]
+                joined = df.join(part, keys, "full_outer")
+                value_cols = [c for c in joined.columns if c not in keys]
+                w = (
+                    W.orderBy("input_index")
+                    .rowsBetween(W.unboundedPreceding, 0)
+                )
+                df = joined.select(
+                    *keys,
+                    *[
+                        F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                        for c in value_cols
+                    ],
+                )
+        req = request_input.get(block.slug, {})
+        if df is None:
+            # no bindings: request fan-out (multipart "field[]" arrays,
+            # api/schemas/pipelines.go:117-122) or a single index-0 row
+            list_params = {
+                k: v for k, v in {**block.input, **req}.items() if isinstance(v, list)
+            }
+            if block.fan_out and list_params:
+                k0, v0 = next(iter(list_params.items()))
+                df = self.spark.createDataFrame(
+                    [(i, str(x)) for i, x in enumerate(v0)],
+                    f"input_index long, {k0} string",
+                )
+                bound_params = bound_params | {k0}
+                req = {k: v for k, v in req.items() if k != k0}
+            else:
+                df = self.spark.range(1).select(F.lit(0).cast("long").alias("input_index"))
+
+        params: dict[str, Column] = {p: F.col(p) for p in bound_params}
+        for k in set(block.input) | set(req):
+            if k in ("template", "separator", "condition", "value"):
+                # plan-time literals consumed by the operator builder /
+                # stop-condition kernel, not data columns
+                continue
+            # priority coalesce: request > binding-derived > static default
+            parts: list[Column] = []
+            if k in req:
+                parts.append(F.lit(req[k]))
+            if k in params:
+                parts.append(params[k])
+            if k in block.input:
+                parts.append(F.lit(block.input[k]))
+            params[k] = parts[0] if len(parts) == 1 else F.coalesce(*parts)
+        merged_static = {**block.input, **req}
+        if "template" in merged_static:
+            params["__template_literal"] = merged_static["template"]
+        if "separator" in merged_static:
+            params["__separator_literal"] = merged_static["separator"]
+        return df, params
+
+    # -- execution -----------------------------------------------------------
+
+    def run(
+        self,
+        spec: PipelineSpec,
+        request_input: dict[str, dict[str, Any]] | None = None,
+        processing_id: str | None = None,
+        start_slug: str | None = None,
+        target_index: int | None = None,
+    ) -> RunResult:
+        request_input = request_input or {}
+        resuming = processing_id is not None and start_slug is not None
+        processing_id = processing_id or uuid.uuid4().hex[:12]
+        statuses: dict[str, str] = {}
+        stages: dict[str, DataFrame] = {}
+
+        start_pos = 0
+        if start_slug is not None:
+            slugs = [b.slug for b in spec.blocks]
+            start_pos = slugs.index(start_slug)
+        # resume: rehydrate prior stages lazily from the store
+        # (pipeline.go:195-201 → LoadOutput)
+        if resuming:
+            for b in spec.blocks[:start_pos]:
+                stages[b.slug] = stage_store.read_stage(
+                    self.spark, self.store_root, spec.slug, processing_id, b.slug
+                )
+                statuses[b.slug] = "loaded"
+
+        stopped_at: str | None = None
+        last_df: DataFrame | None = None
+        for pos, block in enumerate(spec.blocks):
+            if pos < start_pos:
+                continue
+            df, params = self._build_inputs(block, stages, request_input)
+            if target_index is not None and pos == start_pos and start_slug is not None:
+                # target-index recompute: only that fan-out index
+                # (pipeline.go:358-377); other indices come from the stored
+                # stage and are merged back below.
+                df = df.where(F.col("input_index") == target_index)
+
+            op = _OPERATORS[block.id]
+            value = op(params)
+
+            if block.id in _STOPS:
+                # condition kernel (helpers/condition.go:18-35): numeric
+                # comparison when the comparand is numeric, else string.
+                cond_op = str(block.input.get("condition", "=="))
+                cmp_value = block.input.get("value")
+                data = params["data"]
+                if isinstance(cmp_value, (int, float)):
+                    flag = stop_condition(data.cast("double"), cond_op, float(cmp_value))
+                else:
+                    flag = stop_condition(data.cast("string"), cond_op, str(cmp_value))
+                out = df.select(
+                    "input_index",
+                    F.lit(0).cast("long").alias("output_index"),
+                    data.cast("string").alias("payload_str"),
+                    flag.alias("__stop"),
+                )
+                hits = out.where(F.col("__stop")).select("input_index").take(1)
+                out = out.drop("__stop")
+                self._write(out, spec, processing_id, block.slug)
+                stages[block.slug] = out
+                if hits:
+                    statuses[block.slug] = "stopped"
+                    stopped_at = block.slug
+                    last_df = out
+                    break
+                statuses[block.slug] = "completed"
+                last_df = out
+                continue
+
+            if block.id in _EXPLODES:
+                out = df.select(
+                    "input_index", F.posexplode(value).alias("output_index", "payload_str")
+                ).select(
+                    "input_index",
+                    F.col("output_index").cast("long"),
+                    F.col("payload_str").cast("string"),
+                )
+            else:
+                out = df.select(
+                    "input_index",
+                    F.lit(0).cast("long").alias("output_index"),
+                    value.cast("string").alias("payload_str"),
+                )
+
+            if target_index is not None and pos == start_pos and start_slug is not None:
+                # merge recomputed index with previously stored outputs;
+                # eager checkpoint breaks lineage before overwriting the
+                # very files the merge reads (read-overwrite hazard)
+                prior = stage_store.read_stage(
+                    self.spark, self.store_root, spec.slug, processing_id, block.slug
+                ).where(F.col("input_index") != target_index)
+                out = prior.select(out.columns).unionByName(out).localCheckpoint(eager=True)
+
+            self._write(out, spec, processing_id, block.slug)
+            out = stage_store.read_stage(
+                self.spark, self.store_root, spec.slug, processing_id, block.slug
+            )
+            stages[block.slug] = out
+            statuses[block.slug] = "completed"
+            last_df = out
+
+        for b in spec.blocks:
+            statuses.setdefault(b.slug, "skipped")
+        return RunResult(
+            processing_id=processing_id,
+            statuses=statuses,
+            stopped_at=stopped_at,
+            output=last_df,
+        )
+
+    def _write(self, df: DataFrame, spec: PipelineSpec, processing_id: str, slug: str):
+        stage_store.write_stage(
+            df.select("input_index", "output_index", "payload_str"),
+            self.store_root,
+            spec.slug,
+            processing_id,
+            slug,
+        )

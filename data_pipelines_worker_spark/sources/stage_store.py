@@ -1,0 +1,109 @@
+"""Per-stage Parquet materialization — the engine's checkpoint/resume substrate.
+
+Reference: every block's outputs are persisted to local + object storage at
+``<pipeline-slug>/<processing-id>/<block-slug>/output_{i}.<mime>``
+(types/registries/pipeline_block_data_registry.go:291-334,296-297) and lazily
+rehydrated on resume (:186-219). Here a stage is one Parquet dataset at
+``<root>/<pipeline>/<processing>/<block>/`` with the canonical stage schema;
+resume = ``spark.read.parquet`` of that path (column-pruned, predicate-pushed).
+
+At 100 TB the stage store is an append-only Parquet lake partitioned by
+(pipeline, processing, block); ``input_index`` filtering for target-index
+recompute prunes row groups via min/max stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical stage schema (SURVEY §7): one row per (input_index, output_index).
+STAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("input_index", T.LongType(), False),
+        T.StructField("output_index", T.LongType(), False),
+        T.StructField("payload_str", T.StringType(), True),
+        T.StructField("payload_bin", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+
+def stage_path(root: str, pipeline_slug: str, processing_id: str, block_slug: str) -> str:
+    return os.path.join(root, pipeline_slug, processing_id, block_slug)
+
+
+def write_stage(
+    df: DataFrame, root: str, pipeline_slug: str, processing_id: str, block_slug: str
+) -> str:
+    """Materialize one block's outputs (checkpoint for resume/regenerate).
+
+    Deliberately not fused across block boundaries (SURVEY §4): the write is
+    the durability point the reference's resume/goto semantics rely on.
+    """
+    path = stage_path(root, pipeline_slug, processing_id, block_slug)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_stage(
+    spark: SparkSession, root: str, pipeline_slug: str, processing_id: str, block_slug: str
+) -> DataFrame:
+    """Rehydrate a stage (resume substrate, pipeline.go:195-201)."""
+    return spark.read.parquet(stage_path(root, pipeline_slug, processing_id, block_slug))
+
+
+# --- mime sniffing ----------------------------------------------------------
+
+# Magic-byte signatures, mirroring the semantics of the reference's
+# http.DetectContentType-based sniff (types/helpers/storage.go:10-26: first
+# 261 bytes decide the extension used on write, storage.go:130-143).
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),
+    (b"\xff\xf3", "audio/mpeg"),
+    (b"\xff\xf2", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"%PDF", "application/pdf"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b", "application/gzip"),
+]
+
+
+def sniff_mime(payload: Column) -> Column:
+    """Magic-bytes mime detection as a pure column expression.
+
+    Prefix matches run on the hex of the first 16 bytes (JVM-side, no UDF);
+    RIFF/WAVE and MP4 ``ftyp`` need offset checks; anything that decodes as
+    UTF-8-ish JSON/text falls through to text/plain like DetectContentType.
+    """
+    head = F.hex(F.substring(payload, 1, 16))  # uppercase hex string
+    expr = None
+    for sig, mime in _MAGIC:
+        cond = head.startswith(F.lit(sig.hex().upper()))
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    # RIFF....WAVE (bytes 0-3 and 8-11)
+    expr = expr.when(
+        head.startswith(F.lit(b"RIFF".hex().upper()))
+        & (F.substring(head, 17, 8) == F.lit(b"WAVE".hex().upper())),
+        "audio/wav",
+    )
+    # MP4: bytes 4-7 == 'ftyp'
+    expr = expr.when(
+        F.substring(head, 9, 8) == F.lit(b"ftyp".hex().upper()),
+        "video/mp4",
+    )
+    # JSON-ish text (HandleResultValue semantics, block.go:502-519)
+    as_text = payload.cast("string")
+    expr = expr.when(
+        F.regexp_like(F.ltrim(as_text), F.lit(r'^[\[{"]')), "application/json"
+    )
+    return expr.otherwise(F.lit("text/plain"))

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_worker_spark.sources import stage_store
+
+
+def test_stage_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, 0, "hello", None, "text/plain")],
+        stage_store.STAGE_SCHEMA,
+    )
+    stage_store.write_stage(df, str(tmp_path), "p", "proc1", "b")
+    back = stage_store.read_stage(spark, str(tmp_path), "p", "proc1", "b")
+    assert back.collect() == df.collect()
+
+
+def test_sniff_mime_magic_bytes(spark):
+    cases = [
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "image/png"),
+        (b"\xff\xd8\xff\xe0rest", "image/jpeg"),
+        (b"GIF89a.....", "image/gif"),
+        (b"ID3\x04tag", "audio/mpeg"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (b'{"a": 1}', "application/json"),
+        (b"[1, 2]", "application/json"),
+        (b"plain words", "text/plain"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "payload binary")
+    out = df.select(stage_store.sniff_mime(F.col("payload")).alias("m")).collect()
+    assert [r.m for r in out] == [c[1] for c in cases]
