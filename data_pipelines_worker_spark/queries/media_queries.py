@@ -1,0 +1,209 @@
+"""Correctness queries for the media operator family (SURVEY §2.1 #12-21).
+
+Media payloads are not SQL-expressible, but every structural property of the
+fake-container pipeline *is* closed-form in ``length(text)``: source media is
+built deterministically from each document, and the outputs expose decoded
+header fields (dims / frame counts / chunk durations) that DuckDB predicts
+exactly. This makes the 1→N chunk path, the resize math, and the whole
+image→video→mux→extract chain value-checked by the oracle, not just
+rows-counted.
+
+Header decoding happens JVM-side (``substring``+``hex``+``conv`` on the
+binary column) — no Python round-trip to *read* results, only the codec
+stages themselves are Arrow-batched ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import media as M
+from ..session import load_table
+from . import register
+
+_RATE = 100  # fake-audio sample rate (Hz): 1 char = 1 sample = 10 ms
+
+
+def _be_u32(payload: Column, pos: int) -> Column:
+    """Big-endian u32 at 1-indexed byte offset ``pos`` of a binary column,
+    decoded JVM-side."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("long")
+
+
+def _docs_with_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → FAUD payload with ``length(text)`` samples at 100 Hz."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_bin": [
+                        M.faud_encode(_RATE, bytes(len(t))) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, schema)
+
+
+@register(
+    "media_audio_chunk",
+    f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS output_index,
+           LEAST(250, n - 250 * i) / {_RATE}.0 AS chunk_seconds
+    FROM (
+        SELECT doc_id, length(text) AS n,
+               unnest(range(CAST(CEIL(length(text) / 250.0) AS BIGINT))) AS i
+        FROM documents
+    )
+    """,
+)
+def q_media_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio_chunk 1→N (block_audio_chunk.go:118-125): fixed 2.5 s segments,
+    ragged tail; chunk duration decoded from the FAUD header."""
+    audio = _docs_with_audio(spark, sf_dir)
+    chunks = M.audio_chunk(audio, duration=2.5)
+    return chunks.select(
+        "doc_id",
+        "output_index",
+        (_be_u32(F.col("payload_bin"), 9) / F.lit(float(_RATE))).alias(
+            "chunk_seconds"
+        ),
+    )
+
+
+@register(
+    "media_image_resize",
+    """
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS out_w,
+           GREATEST(1, CAST(FLOOR(
+               (8 + (length(text) // 7) % 24) * 16.0
+               / (8 + length(text) % 24) + 0.5) AS BIGINT)) AS out_h,
+           'image/png' AS mime
+    FROM documents
+    """,
+)
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_resize keep-aspect math (imaging.Resize 0-dim rule,
+    block_image_resize.go:80): source dims derive from the text length,
+    output dims decoded from the FIMG header."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                w = 8 + len(t) % 24
+                h = 8 + (len(t) // 7) % 24
+                payloads.append(M.fimg_encode(w, h, bytes(w * h)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload_bin": payloads})
+
+    src = docs.mapInPandas(gen, schema)
+    resized = M.image_resize(src, width=16, height=0, keep_aspect_ratio=True)
+    return resized.select(
+        "doc_id",
+        _be_u32(F.col("payload_bin"), 5).alias("out_w"),
+        _be_u32(F.col("payload_bin"), 9).alias("out_h"),
+        "mime",
+    )
+
+
+@register(
+    "media_video_pipeline",
+    """
+    SELECT doc_id,
+           CAST(10 * ((length(text) % 5) + 1) AS BIGINT) AS n_frames,
+           ((length(text) % 5) + 1) - 0.5 AS audio_seconds
+    FROM documents
+    """,
+)
+def q_media_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full chain: image → video_from_image → video_add_audio →
+    video_add_subtitles(mux) → audio_from_video. Frame count and extracted
+    audio duration are closed-form in the per-doc video length
+    (seconds = length(text) % 5 + 1)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("seconds", T.DoubleType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+            T.StructField("audio", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                secs = float(len(t) % 5 + 1)
+                img = M.fimg_encode(8, 8, bytes(range(64)))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "seconds": secs,
+                        "payload_bin": img,
+                        "audio": M.faud_encode(_RATE, bytes(int(secs * _RATE))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    src = docs.mapInPandas(gen, schema)
+    # per-row video length: fps*seconds frames (video_from_image start=0,
+    # end=seconds per row → use the generic kernel via mapInPandas)
+    vid_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+            T.StructField("audio", T.BinaryType(), True),
+        ]
+    )
+
+    def to_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_bin": [
+                        M.video_from_image_bytes(bytes(p), 0.0, s, fps=10)
+                        for p, s in zip(pdf["payload_bin"], pdf["seconds"])
+                    ],
+                    "audio": pdf["audio"],
+                }
+            )
+
+    vid = src.mapInPandas(to_video, vid_schema)
+    vid = M.video_add_audio(vid, "payload_bin", "audio", replace_original_audio=True)
+    vid = vid.withColumn("subs", F.lit(b"Dialogue: 0,0:00:00.00,0:00:01.00,,demo"))
+    vid = M.video_add_subtitles(vid, "subs", embedding_type="mux")
+    # META is the first FVID section: n_frames at byte offset 29 (1-indexed)
+    vid = vid.withColumn("n_frames", _be_u32(F.col("payload_bin"), 29))
+    out = M.audio_from_video(vid, start=0.5, end=None)
+    return out.select(
+        "doc_id",
+        "n_frames",
+        (_be_u32(F.col("payload_bin"), 9) / F.lit(float(_RATE))).alias(
+            "audio_seconds"
+        ),
+    )
