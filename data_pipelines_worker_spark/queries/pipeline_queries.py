@@ -73,3 +73,49 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spine_spec(), request_input={"transcription": {"file": transcription_json}}
     )
     return res.output.select("input_index", "output_index", "payload_str")
+
+
+def _subtitles_oracle() -> str:
+    from ..functions.subtitles import ass_header
+
+    # Dialogue times are constants for segment i: start=2i, end=2i+1.5.
+    cases = []
+    for i in range(3):
+        st = f"{0:02d}:{0:02d}:{2 * i:02d}.{0:02d}"
+        en = f"{0:02d}:{0:02d}:{2 * i + 1:02d}.{50:02d}"
+        cases.append(
+            f"CASE WHEN len(w) >= {i + 1} THEN chr(10) || "
+            f"'Dialogue: 0,{st},{en},Default,,0,0,0,,' || w[{i + 1}] "
+            f"ELSE '' END"
+        )
+    header = ass_header()
+    return f"""
+    SELECT doc_id, '{header}' || {" || ".join(cases)} AS ass
+    FROM (SELECT doc_id, string_split(text, ' ')[1:3] AS w FROM documents)
+    """
+
+
+@register("subtitles_from_transcription", _subtitles_oracle())
+def q_subtitles_from_transcription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full subtitles_from_transcription build (go :129-196): per-document
+    verbose-JSON transcription (first 3 words, 2 s cadence, 1.5 s duration)
+    -> from_json -> transform(segments) -> complete ASS document. One
+    codegen stage, no UDF; the JSON construct/parse roundtrip exercises the
+    §1.4 nested schema."""
+    from ..functions.subtitles import subtitles_from_transcription
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.col("text"), " ", -1), 1, 3)
+    segments = F.transform(
+        words,
+        lambda w, i: F.struct(
+            i.cast("long").alias("id"),
+            (i.cast("double") * 2.0).alias("start"),
+            (i.cast("double") * 2.0 + 1.5).alias("end"),
+            w.alias("text"),
+        ),
+    )
+    tr_json = F.to_json(F.struct(segments.alias("segments")))
+    return docs.select(
+        "doc_id", subtitles_from_transcription(tr_json).alias("ass")
+    )
