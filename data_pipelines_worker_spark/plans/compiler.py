@@ -36,6 +36,7 @@ from ..functions.strings import (
     wrap_text,
 )
 from ..sources import stage_store
+from ..streaming.moderation import ACTIONS, SHORT_FORMS
 
 
 # --- spec model (mirrors the pipeline JSON schema) --------------------------
@@ -173,6 +174,67 @@ def _op_split(params):
     # beyond-reference utility: 1→N split (audio_chunk's shape for text)
     sep = params.get("__separator_literal", " ")
     return F.split(params["text"], sep if isinstance(sep, str) else " ", -1)
+
+
+@operator("send_message_tg")
+def _op_send_message(params):
+    # sink block (block_send_message_telegram.go:80-116): media-first
+    # fallback — photo if an image is bound, else video, else plain text.
+    # Output is the sent-message JSON; the side effect itself is a
+    # foreachPartition/foreachBatch concern outside the plan.
+    kind = F.coalesce(
+        F.when(params["image"].isNotNull(), F.lit("photo")) if "image" in params else F.lit(None),
+        F.when(params["video"].isNotNull(), F.lit("video")) if "video" in params else F.lit(None),
+        F.lit("message"),
+    )
+    return F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            _p(params, "group_id").alias("group_id"),
+            _p(params, "text").alias("text"),
+        )
+    )
+
+
+@operator("send_moderation_tg")
+def _op_send_moderation(params):
+    # moderation-request sink (block_send_moderation_telegram.go:141-186):
+    # emits the review message; the inline-keyboard metadata
+    # (processing/block/index) is the stage row's own key columns.
+    return F.to_json(
+        F.struct(
+            F.lit("moderation_request").alias("kind"),
+            params["data"].alias("data"),
+        )
+    )
+
+
+_MODERATION_FETCH = "fetch_moderation_tg"  # runner-evaluated control block
+
+
+@dataclass
+class Decision:
+    input_index: int
+    action: str
+    event_time: Any
+    event_id: int
+    regenerate_block_slug: str | None = None
+
+
+class ModerationPending(Exception):
+    """No (post-cursor) decision for an index — the reference's 50×10 s
+    retry-if-unknown budget exhausting (config.yaml:184-186)."""
+
+    def __init__(self, block_slug: str, indices: list[int]):
+        self.block_slug = block_slug
+        self.indices = indices
+        super().__init__(f"moderation pending at {block_slug} for indices {indices}")
+
+
+@dataclass
+class _Regenerate:
+    goto_slug: str
+    goto_index: int
 
 
 class StopPipeline(Exception):
@@ -333,11 +395,160 @@ class PipelineRunner:
         processing_id: str | None = None,
         start_slug: str | None = None,
         target_index: int | None = None,
+        decisions: DataFrame | None = None,
+        max_regenerates: int = 50,
     ) -> RunResult:
+        """Execute with the reference's outer control loop: a regenerate
+        decision re-enters Process at (goto_slug, goto_index) with the same
+        processing_id (pipeline.go:447-505); the decision cursor advances
+        past consumed events (GetUpdates offset semantics,
+        block_fetch_moderation_telegram.go:129-133,218-219)."""
         request_input = request_input or {}
         resuming = processing_id is not None and start_slug is not None
         processing_id = processing_id or uuid.uuid4().hex[:12]
         statuses: dict[str, str] = {}
+        cursors: dict[str, tuple] = {}
+        cur_start, cur_target = start_slug, target_index
+        for _ in range(max_regenerates + 1):
+            res = self._run_pass(
+                spec,
+                request_input,
+                processing_id,
+                cur_start,
+                cur_target,
+                resuming,
+                decisions,
+                cursors,
+                statuses,
+            )
+            if isinstance(res, _Regenerate):
+                cur_start, cur_target = res.goto_slug, res.goto_index
+                resuming = True
+                continue
+            return res
+        raise RuntimeError(
+            f"regenerate budget exhausted ({max_regenerates}, cf. retry_count "
+            "config.yaml:184-186)"
+        )
+
+    def _collect_decisions(
+        self,
+        decisions: DataFrame | None,
+        block_slug: str,
+        cursor: tuple | None,
+    ) -> list[Decision]:
+        """Post-cursor decision events in arrival order (driver-side: the
+        decision table is human-scale control data, not payload data)."""
+        if decisions is None:
+            return []
+        cols = decisions.columns
+        rows = decisions.where(F.col("block_slug") == block_slug).collect()
+        out: list[Decision] = []
+        for r in rows:
+            key = (r["event_time"], r["event_id"])
+            if cursor is not None and key <= cursor:
+                continue  # consumed by a previous poll (offset advanced)
+            action = str(r["action"]).lower()
+            action = SHORT_FORMS.get(action, action)
+            if action not in ACTIONS:
+                action = "unknown"
+            out.append(
+                Decision(
+                    input_index=int(r["input_index"]),
+                    action=action,
+                    event_time=r["event_time"],
+                    event_id=int(r["event_id"]),
+                    regenerate_block_slug=(
+                        r["regenerate_block_slug"]
+                        if "regenerate_block_slug" in cols
+                        else None
+                    ),
+                )
+            )
+        out.sort(key=lambda d: (d.event_time, d.event_id))
+        return out
+
+    def _eval_moderation(
+        self,
+        block: BlockSpec,
+        df: DataFrame,
+        spec: PipelineSpec,
+        processing_id: str,
+        decisions: DataFrame | None,
+        cursors: dict[str, tuple],
+        statuses: dict[str, str],
+    ):
+        """fetch_moderation_tg (block_fetch_moderation_telegram.go:99-245):
+        decline ⇒ stop (:237-240), regenerate ⇒ goto block+index (:241-245),
+        approve ⇒ emit {processing_id, action} JSON per index."""
+        indices = sorted(
+            r["input_index"] for r in df.select("input_index").distinct().collect()
+        )
+        events = self._collect_decisions(decisions, block.slug, cursors.get(block.slug))
+        # Poll-loop replay: consume events in arrival order and act at the
+        # first moment every index has a decision (the reference's per-index
+        # pollers all return) — later events stay unconsumed for the next
+        # pass. Last-decision-wins *within* the consumed window (:218-219).
+        decs: dict[int, Decision] = {}
+        consumed = cursors.get(block.slug)
+        covered = False
+        for d in events:
+            if d.action != "unknown":
+                decs[d.input_index] = d
+            consumed = (d.event_time, d.event_id)
+            if all(i in decs for i in indices):
+                covered = True
+                break
+        if not covered:
+            missing = [i for i in indices if i not in decs]
+            raise ModerationPending(block.slug, missing)
+        cursors[block.slug] = consumed  # offset advance: events are acked
+        declined = [i for i in indices if decs[i].action == "decline"]
+        regen = [i for i in indices if decs[i].action == "regenerate"]
+        out = self.spark.createDataFrame(
+            [
+                (
+                    int(i),
+                    0,
+                    f'{{"processing_id": "{processing_id}", "action": "{decs[i].action}"}}',
+                )
+                for i in indices
+            ],
+            "input_index long, output_index long, payload_str string",
+        )
+        self._write(out, spec, processing_id, block.slug)
+        if declined:
+            statuses[block.slug] = "stopped"
+            return "stopped", out
+        if regen:
+            idx = regen[0]
+            goto_slug = decs[idx].regenerate_block_slug or str(
+                block.input.get("regenerate_block_slug", "")
+            )
+            slugs = [b.slug for b in spec.blocks]
+            if goto_slug not in slugs or slugs.index(goto_slug) > slugs.index(
+                block.slug
+            ):
+                raise ValueError(
+                    f"regenerate target {goto_slug!r} must be an upstream block"
+                )
+            statuses[block.slug] = "regenerating"
+            return "regenerate", _Regenerate(goto_slug, int(idx))
+        statuses[block.slug] = "completed"
+        return "completed", out
+
+    def _run_pass(
+        self,
+        spec: PipelineSpec,
+        request_input: dict[str, dict[str, Any]],
+        processing_id: str,
+        start_slug: str | None,
+        target_index: int | None,
+        resuming: bool,
+        decisions: DataFrame | None,
+        cursors: dict[str, tuple],
+        statuses: dict[str, str],
+    ) -> "RunResult | _Regenerate":
         stages: dict[str, DataFrame] = {}
 
         start_pos = 0
@@ -364,6 +575,19 @@ class PipelineRunner:
                 # (pipeline.go:358-377); other indices come from the stored
                 # stage and are merged back below.
                 df = df.where(F.col("input_index") == target_index)
+
+            if block.id == _MODERATION_FETCH:
+                kind, res = self._eval_moderation(
+                    block, df, spec, processing_id, decisions, cursors, statuses
+                )
+                if kind == "regenerate":
+                    return res
+                stages[block.slug] = res
+                last_df = res
+                if kind == "stopped":
+                    stopped_at = block.slug
+                    break
+                continue
 
             op = _OPERATORS[block.id]
             value = op(params)
