@@ -74,9 +74,16 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    # Compute-bound stage: input splits are sized by bytes
+    # (files.maxPartitionBytes), which under-parallelizes expression-heavy
+    # work on small-ish text files — one 128 MB split of documents is hours
+    # of shingling. Repartition on the id to use every core/executor.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     words = F.split(F.col(text_col), " ", -1)
-    return df.select(F.col(id_col).alias("doc"), shingles(words, k).alias("sh")).where(
-        F.size("sh") > 0
+    return (
+        df.repartition(n, F.col(id_col))
+        .select(F.col(id_col).alias("doc"), shingles(words, k).alias("sh"))
+        .where(F.size("sh") > 0)
     )
 
 
@@ -142,11 +149,26 @@ def minhash_lsh_pairs(
     O(docs + candidates).
     """
     d = _doc_shingles(df, id_col, text_col, k).persist()
-    sig = d.select("doc", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    # Signature via explode + 64 min-aggregates: each shingle is hashed
+    # ONCE (the columnar minhash_signature() inlines the base-hash transform
+    # into all 64 permutations — 64× the hashing and array churn), and the
+    # mins partial-aggregate map-side, so the shuffle carries only
+    # 64 longs/doc.
+    ex = d.select("doc", F.explode("sh").alias("s")).withColumn(
+        "h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE))
+    )
+    sig = ex.groupBy("doc").agg(
+        *[
+            F.min(F.pmod(F.col("h") * PERM_A[i] + PERM_B[i], F.lit(MERSENNE))).alias(
+                f"m{i}"
+            )
+            for i in range(N_PERM)
+        ]
+    )
     band_arr = F.array(
         *[
             F.xxhash64(
-                F.lit(b), *[F.col("sig")[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                F.lit(b), *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
             )
             for b in range(N_BANDS)
         ]

@@ -135,21 +135,49 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact, for the oracle gate).
+    """All pairs with cosine ≥ threshold (exact near-dup baseline).
 
-    Brute-force all-pairs is the exact baseline; the LSH bucket join above
-    is the 100 TB path (same output filtered to candidates). Pair space is
-    halved with id< ordering; norms are computed once per row before the
-    join, not per pair.
+    Broadcast-matmul plan: the (id, vector) matrix is broadcast once
+    (n×d float64 — 2 GB at ~4M×64, the practical broadcast ceiling), and
+    each partition's block of rows scores against it with one BLAS matmul
+    in a ``mapInPandas`` stage. That is the same *logical* plan Catalyst
+    would pick for a broadcast-nested-loop join, with the O(n·block·d)
+    inner loop vectorized instead of interpreted per pair (~20× here).
+    Beyond broadcast scale, :func:`ann_topk_lsh`'s bucket join is the path.
+
+    Pair space halved with id< ordering; emitted sims are raw float64 —
+    callers round. BLAS accumulation order differs from a strict left-fold
+    in the last ulp; at 6-decimal rounding this is invisible.
     """
+    import numpy as np
+    import pandas as pd
+
     base = items.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", l2norm(F.col("v")))
-    a = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"))
-    b = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("sim", dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
-        .where(F.col("sim") >= threshold)
-        .select("id1", "id2", F.round("sim", 6).alias("sim"))
+        F.col(id_col).cast("long").alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+    pdf = base.toPandas()
+    all_ids = pdf["id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = items.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
+
+    def score(batches):
+        ids_r, mat_r, n_r = bc.value
+        for block in batches:
+            if not len(block):
+                continue
+            ids_l = block["id"].to_numpy()
+            q = np.stack(block["v"].to_numpy()).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (q @ mat_r.T) / np.outer(np.linalg.norm(q, axis=1), n_r)
+            mask = (sims >= threshold) & (ids_l[:, None] < ids_r[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id1": ids_l[ii], "id2": ids_r[jj], "sim": sims[ii, jj]}
+            )
+
+    n = int(items.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    paired = base.repartition(n, "id").mapInPandas(
+        score, "id1 long, id2 long, sim double"
+    )
+    return paired.select("id1", "id2", F.round("sim", 6).alias("sim"))
