@@ -50,6 +50,8 @@ class InputBinding:
     origin: str
     json_path: str | None = None
     array_input: bool = False  # gather all origin outputs as one array
+    binary: bool = False  # format:"file" → bind raw payload bytes
+    # (CastDataToType, helpers/json_schema.go:69-78)
 
 
 @dataclass
@@ -82,6 +84,7 @@ class PipelineSpec:
                     origin=spec["origin"],
                     json_path=spec.get("json_path"),
                     array_input=bool(spec.get("array_input", False)),
+                    binary=spec.get("format") == "file",
                 )
                 for param, spec in props.items()
             ]
@@ -209,6 +212,272 @@ def _op_send_moderation(params):
     )
 
 
+@operator("subtitles_from_transcription")
+def _op_subtitles(params):
+    # pure column expression build (functions/subtitles.py); the 15 style
+    # params are block *config* → compile-time literals, not data columns
+    from ..functions.subtitles import ASS_STYLE_DEFAULTS, subtitles_from_transcription
+
+    cfg = dict(params.get("__block_input") or {})
+    style = {k: v for k, v in cfg.items() if k in ASS_STYLE_DEFAULTS}
+    return subtitles_from_transcription(
+        params["transcription"], str(cfg.get("output_format", "ass")), **style
+    )
+
+
+# --- DataFrame-level operators (media / external: Arrow-batched stages) -----
+
+#: Canonical stage columns (SURVEY §7 stage schema; mirrors
+#: pipeline_block_data_registry.go:296-297 payload + mime-extension layout).
+_STAGE_COLS = ("input_index", "output_index", "payload_str", "payload_bin", "mime")
+
+# fn(runner, df, block) -> DataFrame carrying input_index (+ optionally
+# output_index / payload_str / payload_bin / mime); missing canonical
+# columns are null-filled by _canonical().
+_DF_OPERATORS: dict[str, Callable[["PipelineRunner", DataFrame, "BlockSpec"], DataFrame]] = {}
+
+
+def df_operator(name: str):
+    def deco(fn):
+        _DF_OPERATORS[name] = fn
+        return fn
+
+    return deco
+
+
+def _canonical(df: DataFrame) -> DataFrame:
+    cols = set(df.columns)
+    out = df
+    if "output_index" not in cols:
+        out = out.withColumn("output_index", F.lit(0).cast("long"))
+    if "payload_str" not in cols:
+        out = out.withColumn("payload_str", F.lit(None).cast("string"))
+    if "payload_bin" not in cols:
+        out = out.withColumn("payload_bin", F.lit(None).cast("binary"))
+    if "mime" not in cols:
+        out = out.withColumn("mime", F.lit(None).cast("string"))
+    return out.select(
+        F.col("input_index").cast("long"),
+        F.col("output_index").cast("long"),
+        F.col("payload_str").cast("string"),
+        F.col("payload_bin").cast("binary"),
+        F.col("mime").cast("string"),
+    )
+
+
+def _cfg_float(cfg: dict, key: str, default: float | None) -> float | None:
+    v = cfg.get(key, default)
+    return None if v is None else float(v)
+
+
+@df_operator("image_resize")
+def _dfop_image_resize(runner, df, block):
+    from ..operators import media
+
+    cfg = block.input
+    return media.image_resize(
+        df.withColumnRenamed("image", "payload_bin"),
+        int(cfg.get("width", 0)),
+        int(cfg.get("height", 0)),
+        bool(cfg.get("keep_aspect_ratio", False)),
+    )
+
+
+@df_operator("image_blur")
+def _dfop_image_blur(runner, df, block):
+    from ..operators import media
+
+    return media.image_blur(
+        df.withColumnRenamed("image", "payload_bin"),
+        float(block.input.get("sigma", 1.0)),
+    )
+
+
+@df_operator("image_add_text")
+def _dfop_image_add_text(runner, df, block):
+    from ..operators import media
+
+    cfg = block.input
+    src = df.withColumnRenamed("image", "payload_bin")
+    if "text" not in src.columns:
+        src = src.withColumn("text", F.lit(str(cfg.get("text", ""))))
+    return media.image_add_text(
+        src,
+        "text",
+        font_size=int(cfg.get("font_size", 12)),
+        text_position=str(cfg.get("text_position", "center")),
+        margin=int(cfg.get("margin", 0)),
+    )
+
+
+@df_operator("video_from_image")
+def _dfop_video_from_image(runner, df, block):
+    from ..operators import media
+
+    cfg = block.input
+    return media.video_from_image(
+        df.withColumnRenamed("image", "payload_bin"),
+        float(cfg.get("start", 0.0)),
+        float(cfg.get("end", 0.0)),
+        int(cfg.get("fps", 30)),
+    )
+
+
+@df_operator("join_videos")
+def _dfop_join_videos(runner, df, block):
+    from ..operators import media
+
+    return media.join_videos(
+        df.withColumnRenamed("videos", "payload_bin"),
+        re_encode=bool(block.input.get("re_encode", False)),
+    )
+
+
+@df_operator("video_add_audio")
+def _dfop_video_add_audio(runner, df, block):
+    from ..operators import media
+
+    out = media.video_add_audio(
+        df,
+        "video",
+        "audio",
+        bool(block.input.get("replace_original_audio", False)),
+    )
+    return out.withColumnRenamed("video", "payload_bin")
+
+
+@df_operator("video_add_subtitles")
+def _dfop_video_add_subtitles(runner, df, block):
+    from ..operators import media
+
+    return media.video_add_subtitles(
+        df.withColumnRenamed("video", "payload_bin"),
+        "subtitles",
+        str(block.input.get("embedding_type", "burn")),
+    )
+
+
+@df_operator("audio_from_video")
+def _dfop_audio_from_video(runner, df, block):
+    from ..operators import media
+
+    cfg = block.input
+    return media.audio_from_video(
+        df.withColumnRenamed("video", "payload_bin"),
+        _cfg_float(cfg, "start", None),
+        _cfg_float(cfg, "end", None),
+    )
+
+
+@df_operator("audio_chunk")
+def _dfop_audio_chunk(runner, df, block):
+    from ..operators import media
+
+    return media.audio_chunk(
+        df.withColumnRenamed("audio", "payload_bin"),
+        float(block.input.get("duration", 600.0)),
+    )
+
+
+@df_operator("audio_convert")
+def _dfop_audio_convert(runner, df, block):
+    from ..operators import media
+
+    cfg = block.input
+    sr = cfg.get("sample_rate")
+    br = cfg.get("bit_rate")
+    return media.audio_convert(
+        df.withColumnRenamed("audio", "payload_bin"),
+        format=str(cfg.get("format", "mp3")),
+        mono=bool(cfg.get("mono", False)),
+        sample_rate=None if sr is None else int(sr),
+        bit_rate=None if br is None else int(br),
+    )
+
+
+@df_operator("http_request")
+def _dfop_http_request(runner, df, block):
+    from ..operators import external
+
+    out = external.http_request(
+        df,
+        url_col="url",
+        policy=runner.http_policy,
+        on_error=str(block.input.get("on_error", "fail")),
+    )
+    # textual bodies surface as payload_str too, so downstream json_path /
+    # string bindings work (HandleResultValue semantics, block.go:502-519)
+    textual = F.col("mime").rlike("^(text/|application/(json|xml))")
+    return out.withColumn(
+        "payload_str", F.when(textual, F.col("payload_bin").cast("string"))
+    )
+
+
+@df_operator("openai_chat_completion")
+def _dfop_chat(runner, df, block):
+    from ..operators import external
+
+    cfg = block.input
+    out = external.openai_chat_completion(
+        df,
+        runner.require_openai(),
+        user_prompt_col="user_prompt",
+        system_prompt_col="system_prompt" if "system_prompt" in df.columns else None,
+        model=str(cfg.get("model", "gpt-4o-mini")),
+        response_format=str(cfg.get("response_format", "text")),
+    )
+    return out.withColumnRenamed("completion", "payload_str")
+
+
+@df_operator("openai_tts_request")
+def _dfop_tts(runner, df, block):
+    from ..operators import external
+
+    cfg = block.input
+    return external.openai_tts_request(
+        df,
+        runner.require_openai(),
+        text_col="text",
+        model=str(cfg.get("model", "tts-1")),
+        voice=str(cfg.get("voice", "alloy")),
+        response_format=str(cfg.get("response_format", "mp3")),
+        speed=float(cfg.get("speed", 1.0)),
+    )
+
+
+@df_operator("openai_transcription_request")
+def _dfop_transcription(runner, df, block):
+    from ..operators import external
+
+    cfg = block.input
+    out = external.openai_transcription_request(
+        df,
+        runner.require_openai(),
+        audio_col="audio",
+        model=str(cfg.get("model", "whisper-1")),
+        language=str(cfg.get("language", "en")),
+        response_format=str(cfg.get("format", "verbose_json")),
+    )
+    return out.withColumnRenamed("transcription", "payload_str")
+
+
+@df_operator("openai_image_request")
+def _dfop_image_request(runner, df, block):
+    from ..operators import external
+
+    cfg = block.input
+    # parallel_available: false (config.yaml:107) — bound concurrency
+    src = df.repartition(int(cfg.get("max_concurrency", 4)))
+    return external.openai_image_request(
+        src,
+        runner.require_openai(),
+        prompt_col="prompt",
+        quality=str(cfg.get("quality", "standard")),
+        size=str(cfg.get("size", "1024x1024")),
+        model=str(cfg.get("model", "dall-e-3")),
+    )
+
+
 _MODERATION_FETCH = "fetch_moderation_tg"  # runner-evaluated control block
 
 
@@ -266,9 +535,27 @@ class PipelineRunner:
     (:358-377), stop conditions halt the run (:439-513).
     """
 
-    def __init__(self, spark: SparkSession, store_root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        openai_client=None,
+        http_policy=None,
+    ):
+        from ..operators.external import RetryPolicy
+
         self.spark = spark
         self.store_root = store_root
+        self.openai_client = openai_client
+        self.http_policy = http_policy or RetryPolicy()
+
+    def require_openai(self):
+        if self.openai_client is None:
+            raise RuntimeError(
+                "pipeline uses an OpenAI block; pass openai_client= to "
+                "PipelineRunner (tests: point it at a mock server)"
+            )
+        return self.openai_client
 
     # -- input assembly (GetInputConfigData, block.go:193-401) --------------
 
@@ -277,6 +564,9 @@ class PipelineRunner:
     ) -> DataFrame:
         """One binding → DataFrame(input_index, <param>)."""
         src = stages[b.origin]
+        if b.binary:
+            # format:"file" → raw payload bytes (json_schema.go:69-78)
+            return src.select(F.col("input_index"), F.col("payload_bin").alias(b.param))
         if b.array_input:
             # gather: ALL origin outputs as one array value, output order
             # (block.go:274-276,306-336)
@@ -355,10 +645,18 @@ class PipelineRunner:
             }
             if block.fan_out and list_params:
                 k0, v0 = next(iter(list_params.items()))
-                df = self.spark.createDataFrame(
-                    [(i, str(x)) for i, x in enumerate(v0)],
-                    f"input_index long, {k0} string",
-                )
+                if v0 and isinstance(v0[0], (bytes, bytearray)):
+                    # multipart file[] uploads arrive as raw bytes
+                    # (api/schemas/pipelines.go:117-151)
+                    df = self.spark.createDataFrame(
+                        [(i, bytes(x)) for i, x in enumerate(v0)],
+                        f"input_index long, {k0} binary",
+                    )
+                else:
+                    df = self.spark.createDataFrame(
+                        [(i, str(x)) for i, x in enumerate(v0)],
+                        f"input_index long, {k0} string",
+                    )
                 bound_params = bound_params | {k0}
                 req = {k: v for k, v in req.items() if k != k0}
             else:
@@ -384,6 +682,7 @@ class PipelineRunner:
             params["__template_literal"] = merged_static["template"]
         if "separator" in merged_static:
             params["__separator_literal"] = merged_static["separator"]
+        params["__block_input"] = merged_static
         return df, params
 
     # -- execution -----------------------------------------------------------
@@ -516,6 +815,7 @@ class PipelineRunner:
             ],
             "input_index long, output_index long, payload_str string",
         )
+        out = _canonical(out)
         self._write(out, spec, processing_id, block.slug)
         if declined:
             statuses[block.slug] = "stopped"
@@ -589,8 +889,43 @@ class PipelineRunner:
                     break
                 continue
 
+            if block.id in _DF_OPERATORS:
+                # Arrow-batched media/external stage: materialize bound
+                # params as columns, then hand the frame to the operator.
+                work = df
+                for k, c in params.items():
+                    if k.startswith("__") or k in work.columns:
+                        continue
+                    work = work.withColumn(k, c)
+                out = _canonical(_DF_OPERATORS[block.id](self, work, block))
+                out = self._finish_stage(
+                    out, spec, processing_id, block, pos, start_pos, start_slug, target_index
+                )
+                stages[block.slug] = out
+                statuses[block.slug] = "completed"
+                last_df = out
+                continue
+
             op = _OPERATORS[block.id]
             value = op(params)
+
+            if block.id == "upload_file" and dict(df.dtypes).get("file") == "binary":
+                # raw media ingest: payload stays binary, mime sniffed from
+                # magic bytes (types/helpers/storage.go:10-26)
+                out = _canonical(
+                    df.select(
+                        "input_index",
+                        value.alias("payload_bin"),
+                        stage_store.sniff_mime(value).alias("mime"),
+                    )
+                )
+                out = self._finish_stage(
+                    out, spec, processing_id, block, pos, start_pos, start_slug, target_index
+                )
+                stages[block.slug] = out
+                statuses[block.slug] = "completed"
+                last_df = out
+                continue
 
             if block.id in _STOPS:
                 # condition kernel (helpers/condition.go:18-35): numeric
@@ -609,7 +944,7 @@ class PipelineRunner:
                     flag.alias("__stop"),
                 )
                 hits = out.where(F.col("__stop")).select("input_index").take(1)
-                out = out.drop("__stop")
+                out = _canonical(out.drop("__stop"))
                 self._write(out, spec, processing_id, block.slug)
                 stages[block.slug] = out
                 if hits:
@@ -636,18 +971,8 @@ class PipelineRunner:
                     value.cast("string").alias("payload_str"),
                 )
 
-            if target_index is not None and pos == start_pos and start_slug is not None:
-                # merge recomputed index with previously stored outputs;
-                # eager checkpoint breaks lineage before overwriting the
-                # very files the merge reads (read-overwrite hazard)
-                prior = stage_store.read_stage(
-                    self.spark, self.store_root, spec.slug, processing_id, block.slug
-                ).where(F.col("input_index") != target_index)
-                out = prior.select(out.columns).unionByName(out).localCheckpoint(eager=True)
-
-            self._write(out, spec, processing_id, block.slug)
-            out = stage_store.read_stage(
-                self.spark, self.store_root, spec.slug, processing_id, block.slug
+            out = self._finish_stage(
+                _canonical(out), spec, processing_id, block, pos, start_pos, start_slug, target_index
             )
             stages[block.slug] = out
             statuses[block.slug] = "completed"
@@ -662,9 +987,34 @@ class PipelineRunner:
             output=last_df,
         )
 
+    def _finish_stage(
+        self,
+        out: DataFrame,
+        spec: PipelineSpec,
+        processing_id: str,
+        block: BlockSpec,
+        pos: int,
+        start_pos: int,
+        start_slug: str | None,
+        target_index: int | None,
+    ) -> DataFrame:
+        """Target-index merge + stage materialization + rehydrated read."""
+        if target_index is not None and pos == start_pos and start_slug is not None:
+            # merge recomputed index with previously stored outputs;
+            # eager checkpoint breaks lineage before overwriting the
+            # very files the merge reads (read-overwrite hazard)
+            prior = stage_store.read_stage(
+                self.spark, self.store_root, spec.slug, processing_id, block.slug
+            ).where(F.col("input_index") != target_index)
+            out = prior.select(out.columns).unionByName(out).localCheckpoint(eager=True)
+        self._write(out, spec, processing_id, block.slug)
+        return stage_store.read_stage(
+            self.spark, self.store_root, spec.slug, processing_id, block.slug
+        )
+
     def _write(self, df: DataFrame, spec: PipelineSpec, processing_id: str, slug: str):
         stage_store.write_stage(
-            df.select("input_index", "output_index", "payload_str"),
+            _canonical(df),
             self.store_root,
             spec.slug,
             processing_id,
