@@ -1,0 +1,214 @@
+"""Read/control REST shim over the Spark driver — the reference's HTTP API
+surface (api/server.go:261-303) re-expressed as a thin stdlib server in
+front of the pipeline runner and the stage/status lake.
+
+Endpoints (reference handler cites):
+
+- ``GET  /health``                         HealthHandler
+- ``GET  /blocks``                         BlocksHandler (operator registry)
+- ``GET  /pipelines``                      PipelinesHandler
+- ``GET  /pipelines/<slug>``               PipelineHandler
+- ``GET  /pipelines/<slug>/processings``   PipelineProcessingsStatusHandler
+  (+ ``?processing_id=`` detail view — path-param variant :278-281)
+- ``POST /pipelines/<slug>/start``         PipelineStartHandler
+  (api/handlers/pipelines.go:141-183: returns the processing id
+  immediately, execution is async — the goroutine becomes a daemon thread)
+- ``POST /pipelines/<slug>/resume``        PipelineResumeHandler
+  (:195-236: same body + processing_id + block.slug [+ target_index])
+
+Not reimplemented: ``GET /workers`` — worker discovery/handoff belongs to
+the cluster manager on Spark (SURVEY §1.1); the endpoint returns the
+driver as the single logical worker for API-shape compatibility.
+
+The server is driver-side control plane only; all data work stays in
+Spark jobs. JSON in/out, no framework dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..plans import compiler
+from ..plans.compiler import ModerationPending, PipelineRunner, PipelineSpec
+from ..sources import run_log
+
+
+class PipelineService:
+    """Registry + async execution state (PipelineRegistry /
+    ProcessingRegistry equivalents, types/registries/)."""
+
+    def __init__(self, runner: PipelineRunner, pipelines: dict[str, PipelineSpec]):
+        self.runner = runner
+        self.pipelines = dict(pipelines)
+        self.decisions = None  # optional moderation decision DataFrame
+        self._threads: dict[str, threading.Thread] = {}
+        self._errors: dict[str, str] = {}
+
+    # -- async execution (pipeline.go:204 goroutine → daemon thread) --------
+
+    def start(
+        self,
+        slug: str,
+        request_input: dict | None = None,
+        processing_id: str | None = None,
+        start_slug: str | None = None,
+        target_index: int | None = None,
+    ) -> str:
+        spec = self.pipelines[slug]
+        processing_id = processing_id or uuid.uuid4().hex[:12]
+
+        def work():
+            try:
+                self.runner.run(
+                    spec,
+                    request_input=request_input,
+                    processing_id=processing_id,
+                    start_slug=start_slug,
+                    target_index=target_index,
+                    decisions=self.decisions,
+                )
+            except ModerationPending as e:  # recorded status: waiting
+                self._errors[processing_id] = str(e)
+            except Exception as e:  # noqa: BLE001 - surfaced via API
+                self._errors[processing_id] = f"{type(e).__name__}: {e}"
+
+        t = threading.Thread(target=work, daemon=True)
+        self._threads[processing_id] = t
+        t.start()
+        return processing_id
+
+    def wait(self, processing_id: str, timeout: float | None = None) -> bool:
+        t = self._threads.get(processing_id)
+        if t is None:
+            return True
+        t.join(timeout)
+        return not t.is_alive()
+
+    def processings(self, slug: str, processing_id: str | None = None) -> list[dict]:
+        root = self.runner.store_root
+        ids = [processing_id] if processing_id else run_log.list_processings(root, slug)
+        out = []
+        for pid in ids:
+            try:
+                rows = run_log.read_statuses(self.runner.spark, root, slug, pid).collect()
+            except Exception:  # noqa: BLE001 - not yet written
+                continue
+            blocks = sorted(
+                (
+                    {
+                        "block_slug": r["block_slug"],
+                        "position": r["position"],
+                        "status": r["status"],
+                    }
+                    for r in rows
+                ),
+                key=lambda b: b["position"],
+            )
+            out.append(
+                {
+                    "processing_id": pid,
+                    "running": not self.wait(pid, timeout=0.0),
+                    "stopped_at": rows[0]["stopped_at"] if rows else None,
+                    "error": self._errors.get(pid),
+                    "blocks": blocks,
+                }
+            )
+        return out
+
+
+def _spec_json(spec: PipelineSpec) -> dict:
+    return {"slug": spec.slug, "blocks": [asdict(b) for b in spec.blocks]}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: PipelineService  # injected by serve()
+
+    def log_message(self, *args):
+        pass
+
+    def _json(self, payload, status: int = 200):
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        svc = self.service
+        if parts == ["health"]:
+            return self._json({"status": "ok"})
+        if parts == ["blocks"]:
+            ops = sorted(
+                set(compiler._OPERATORS)
+                | set(compiler._DF_OPERATORS)
+                | {compiler._MODERATION_FETCH}
+            )
+            return self._json({"blocks": ops})
+        if parts == ["workers"]:
+            return self._json({"workers": [{"id": "spark-driver", "available": True}]})
+        if parts == ["pipelines"]:
+            return self._json(
+                {"pipelines": [_spec_json(s) for s in svc.pipelines.values()]}
+            )
+        if len(parts) == 2 and parts[0] == "pipelines":
+            spec = svc.pipelines.get(parts[1])
+            if spec is None:
+                return self._json({"error": "unknown pipeline"}, 404)
+            return self._json(_spec_json(spec))
+        if len(parts) == 3 and parts[0] == "pipelines" and parts[2] == "processings":
+            if parts[1] not in svc.pipelines:
+                return self._json({"error": "unknown pipeline"}, 404)
+            q = parse_qs(url.query)
+            pid = q.get("processing_id", [None])[0]
+            return self._json({"processings": svc.processings(parts[1], pid)})
+        return self._json({"error": "not found"}, 404)
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        svc = self.service
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError:
+            return self._json({"error": "invalid JSON"}, 400)
+        if len(parts) == 3 and parts[0] == "pipelines" and parts[2] in ("start", "resume"):
+            slug = parts[1]
+            if slug not in svc.pipelines:
+                return self._json({"error": "unknown pipeline"}, 404)
+            block = body.get("block") or {}
+            pipeline = body.get("pipeline") or {}
+            if parts[2] == "resume" and not (
+                pipeline.get("processing_id") and block.get("slug")
+            ):
+                return self._json(
+                    {"error": "resume needs pipeline.processing_id and block.slug"}, 400
+                )
+            target = block.get("target_index")
+            pid = svc.start(
+                slug,
+                request_input=body.get("input") or {},
+                processing_id=pipeline.get("processing_id"),
+                start_slug=block.get("slug"),
+                target_index=None if target is None else int(target),
+            )
+            # async contract (pipeline.go:640): id now, status via GET
+            return self._json({"processing_id": pid}, 202)
+        return self._json({"error": "not found"}, 404)
+
+
+def serve(service: PipelineService, port: int = 0) -> ThreadingHTTPServer:
+    """Start the API server on a daemon thread; returns the server (use
+    ``.server_port``; ``.shutdown()`` to stop)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

@@ -1,0 +1,85 @@
+"""Graph operators for dedup clustering: connected components over a
+near-duplicate pair set.
+
+The dedup pipeline is pairs → components → one canonical doc per cluster;
+the reference has no graph stage (its dedup surface is absent entirely,
+SURVEY §2.3), so this follows the standard large-scale design:
+
+- **min-label propagation**: each node takes the min label among itself
+  and its neighbors; iterate to fixpoint. Near-dup clusters are tiny and
+  dense, so the iteration count is the cluster diameter (≤ ~5 in
+  practice); each round is one shuffle (groupBy node) and lineage is cut
+  with ``localCheckpoint`` so plans don't grow (iterative-loop hygiene).
+- At extreme diameters (long chains), the alternating large-star/
+  small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14) halves rounds to O(log n); label
+  propagation is chosen here because near-dup graphs are
+  diameter-bounded, not for simplicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the minimum node id reachable (deterministic canonical
+    representative — the dedup 'keeper').
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id1: str = "d1", id2: str = "d2"
+) -> DataFrame:
+    """Near-dup pair set → (doc_id, cluster_id, is_canonical): every
+    clustered document labeled with its cluster's min doc id."""
+    cc = connected_components(pairs, id1, id2)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

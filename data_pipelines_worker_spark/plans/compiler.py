@@ -708,27 +708,44 @@ class PipelineRunner:
         statuses: dict[str, str] = {}
         cursors: dict[str, tuple] = {}
         cur_start, cur_target = start_slug, target_index
-        for _ in range(max_regenerates + 1):
-            res = self._run_pass(
-                spec,
-                request_input,
-                processing_id,
-                cur_start,
-                cur_target,
-                resuming,
-                decisions,
-                cursors,
-                statuses,
+        final_stop: str | None = None
+        try:
+            for _ in range(max_regenerates + 1):
+                res = self._run_pass(
+                    spec,
+                    request_input,
+                    processing_id,
+                    cur_start,
+                    cur_target,
+                    resuming,
+                    decisions,
+                    cursors,
+                    statuses,
+                )
+                if isinstance(res, _Regenerate):
+                    cur_start, cur_target = res.goto_slug, res.goto_index
+                    resuming = True
+                    continue
+                final_stop = res.stopped_at
+                return res
+            raise RuntimeError(
+                f"regenerate budget exhausted ({max_regenerates}, cf. retry_count "
+                "config.yaml:184-186)"
             )
-            if isinstance(res, _Regenerate):
-                cur_start, cur_target = res.goto_slug, res.goto_index
-                resuming = True
-                continue
-            return res
-        raise RuntimeError(
-            f"regenerate budget exhausted ({max_regenerates}, cf. retry_count "
-            "config.yaml:184-186)"
-        )
+        finally:
+            # defer-SavePipelineLog parity (pipeline.go:207-214): the status
+            # snapshot persists however the run ends
+            from ..sources import run_log
+
+            run_log.write_status(
+                self.spark,
+                self.store_root,
+                spec.slug,
+                processing_id,
+                statuses,
+                [b.slug for b in spec.blocks],
+                stopped_at=final_stop,
+            )
 
     def _collect_decisions(
         self,
@@ -800,6 +817,7 @@ class PipelineRunner:
                 break
         if not covered:
             missing = [i for i in indices if i not in decs]
+            statuses[block.slug] = "waiting_moderation"
             raise ModerationPending(block.slug, missing)
         cursors[block.slug] = consumed  # offset advance: events are acked
         declined = [i for i in indices if decs[i].action == "decline"]

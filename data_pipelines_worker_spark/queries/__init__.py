@@ -39,5 +39,6 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     from . import text_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import media_queries  # noqa: F401
+    from . import scale_queries  # noqa: F401
 
     return REGISTRY

@@ -9,8 +9,10 @@ from ..operators import dedup
 from ..session import load_table
 from . import register
 
-_JACCARD_ORACLE = """
-    WITH d AS (
+#: Reusable CTE prefix (also the base of the cluster oracle in
+#: scale_queries.py): exact 3-gram Jaccard pairs at threshold 0.6 as ``jp``.
+JACCARD_CTES = """
+    d AS (
       SELECT doc_id,
              list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
                             for i in generate_series(1, len(words) - 2)]) AS sh
@@ -22,13 +24,17 @@ _JACCARD_ORACLE = """
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT d1, d2, round(j, 6) AS jaccard FROM (
+        SELECT d1, d2,
+               common / (len(da.sh) + len(db.sh) - common) AS j
+        FROM pairs JOIN d da ON da.doc_id = d1 JOIN d db ON db.doc_id = d2
+      ) WHERE j >= 0.6
     )
-    SELECT d1, d2, round(j, 6) AS jaccard FROM (
-      SELECT d1, d2,
-             common / (len(da.sh) + len(db.sh) - common) AS j
-      FROM pairs JOIN d da ON da.doc_id = d1 JOIN d db ON db.doc_id = d2
-    ) WHERE j >= 0.6
 """
+
+_JACCARD_ORACLE = f"WITH {JACCARD_CTES} SELECT d1, d2, jaccard FROM jp"
 
 
 @register(

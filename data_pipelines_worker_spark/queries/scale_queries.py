@@ -1,0 +1,168 @@
+"""Scale-pattern queries beyond the reference surface (SURVEY §2.3 gap map):
+dedup clustering via connected components, grouping sets, binned range
+join, exact group percentiles, and sketch aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, graph
+from ..session import load_table
+from . import register
+from .dedup_queries import JACCARD_CTES
+from .relational_queries import cents
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {JACCARD_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM jp
+      UNION
+      SELECT d2 AS a, d1 AS b FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: MinHash-LSH pairs → connected components →
+    canonical keeper per cluster (min doc id). Oracle = transitive closure
+    of the exact-Jaccard pair graph via recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+    return graph.dedup_clusters(pairs)
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — one shuffle, the expand node fans each row into its
+    grouping combinations (cheaper than unioning three aggregations, which
+    would scan lineitem three times)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+#: Irregular value buckets (value ∈ [0, ~500) in events): spans of 1–6
+#: width-50 bins, so the bin expansion is genuinely exercised.
+_BUCKETS = [
+    ("tiny", 0.0, 50.0),
+    ("small", 50.0, 75.0),
+    ("mid", 75.0, 200.0),
+    ("spike", 200.0, 210.0),
+    ("tail", 210.0, 500.0),
+]
+_BIN = 50.0
+
+
+@register(
+    "range_join_binned",
+    f"""
+    WITH buckets(name, lo, hi) AS (
+      VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BUCKETS)}
+    )
+    SELECT b.name AS bucket, count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.name
+    """,
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join as a *binned equi-join*: buckets explode to the
+    width-50 bins they overlap, events compute their bin, the join is a
+    hash join on the bin + residual range filter. This is the scale
+    pattern for non-broadcastable interval joins — a theta join would be a
+    nested-loop over every (event, bucket) pair. (Here the bucket side is
+    also broadcast: double win.)"""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.sparkSession.createDataFrame(
+        _BUCKETS, "name string, lo double, hi double"
+    )
+    exploded = buckets.select(
+        "name",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN).cast("long"),
+                F.floor((F.col("hi") - 1e-9) / _BIN).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    binned = ev.withColumn("bin", F.floor(F.col("value") / _BIN).cast("long"))
+    joined = binned.join(F.broadcast(exploded), "bin").where(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy(F.col("name").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("sum_value"),
+    )
+
+
+@register(
+    "percentile_by_group",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≙
+    DuckDB ``quantile_cont``, both linear interpolation). Exact percentile
+    is a sort-based aggregate; at 100 TB the approx_percentile sketch
+    below is the path."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.lit([0.25, 0.5, 0.75, 0.95]))
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(pct[i], 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ]
+    )
+
+
+@register("sketch_aggregates", None)  # approximate by design: rows-only gate
+def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB interactive profiling: HLL++ distinct
+    users and KLL-style approximate percentiles per event type — one
+    map-side-combining shuffle, O(sketch) memory per group, no sort. Not
+    oracle-comparable (approximation differs across engines by design)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_p50_p95"),
+        F.count("*").alias("n"),
+    )
