@@ -53,6 +53,29 @@ def shingles(words: Column, k: int = 3) -> Column:
     )
 
 
+def hashed_shingles(words: Column, k: int = 3) -> Column:
+    """Distinct word k-grams hashed to 64-bit longs (``xxhash64`` of the
+    space-joined gram).
+
+    The scale representation: every downstream stage (persist, explode
+    shuffle, inverted-index join, candidate verify via ``array_intersect``)
+    carries 8-byte longs instead of ~20-byte gram strings. Jaccard over
+    hashed shingles equals Jaccard over the grams themselves except under
+    64-bit collisions *within a compared pair* — per-pair probability
+    ~|sh|²/2⁶⁴, vanishing even at trillion-shingle corpora."""
+    idx = F.sequence(F.lit(0), F.size(words) - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(k)]
+        ),
+    )
+    hashed = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.when(F.size(words) >= k, F.array_distinct(hashed)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: every row mapped to the minimum id sharing its content.
 
@@ -82,7 +105,7 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     words = F.split(F.col(text_col), " ", -1)
     return (
         df.repartition(n, F.col(id_col))
-        .select(F.col(id_col).alias("doc"), shingles(words, k).alias("sh"))
+        .select(F.col(id_col).alias("doc"), hashed_shingles(words, k).alias("sh"))
         .where(F.size("sh") > 0)
     )
 
@@ -154,8 +177,11 @@ def minhash_lsh_pairs(
     # into all 64 permutations — 64× the hashing and array churn), and the
     # mins partial-aggregate map-side, so the shuffle carries only
     # 64 longs/doc.
+    # sh entries are already xxhash64(gram) (hashed_shingles), so the base
+    # hash is just the modular reduction — signatures are bit-identical to
+    # hashing the gram strings here.
     ex = d.select("doc", F.explode("sh").alias("s")).withColumn(
-        "h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE))
+        "h", F.pmod(F.col("s"), F.lit(MERSENNE))
     )
     sig = ex.groupBy("doc").agg(
         *[

@@ -33,9 +33,16 @@ def connected_components(
     component id is the minimum node id reachable (deterministic canonical
     representative — the dedup 'keeper').
     """
-    sym = edges.select(
+    # Materialize the edge plan ONCE before the symmetric union: the union
+    # references `edges` twice, and Spark evaluates common subplans twice —
+    # for LSH-produced pair sets that would re-run the whole candidate
+    # generation + verify pipeline.
+    edges = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     sym = sym.distinct().localCheckpoint(eager=True)
 
     labels = (
@@ -43,13 +50,18 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    # Fixpoint detection without a compare-join: labels only ever decrease
+    # (min-propagation is monotone), so the label sum is strictly decreasing
+    # until convergence — one cheap aggregate on the already-checkpointed
+    # frame replaces a per-round shuffle join.
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
@@ -59,16 +71,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # cut lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
