@@ -141,13 +141,15 @@ def jaccard_pairs(
 
 
 def minhash_signature(sh: Column) -> Column:
-    """64-permutation MinHash signature of a shingle array.
+    """64-permutation MinHash signature of a *hashed* shingle array
+    (:func:`hashed_shingles` output — xxhash64 longs).
 
-    Base hash: built-in ``xxhash64`` (JVM, codegen). Permutations: affine
-    ``(a*h + b) mod (2^61-1)`` — min taken with ``array_min`` per
-    permutation. Returns array<long> of length N_PERM.
+    Map-only columnar alternative to the explode+aggregate path in
+    :func:`minhash_lsh_pairs` (same permutations, identical values); that
+    path is preferred because the mins partial-aggregate map-side and the
+    shuffle carries 64 longs/doc. Returns array<long> of length N_PERM.
     """
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)))
+    base = F.transform(sh, lambda s: F.pmod(s, F.lit(MERSENNE)))
     mins = [
         F.array_min(
             F.transform(base, lambda h: F.pmod(h * PERM_A[i] + PERM_B[i], F.lit(MERSENNE)))

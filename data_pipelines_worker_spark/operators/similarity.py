@@ -55,16 +55,23 @@ def ann_topk_bruteforce(
     queries (small) is broadcast; scoring is a single map stage over items;
     ranking = window over query id with deterministic (sim desc, item id)
     tie-break. Output: (query_id, item_id, sim, rank).
+
+    Norms are precomputed per side BEFORE the join: higher-order folds
+    (``aggregate``/``zip_with``) don't whole-stage-codegen, and computing
+    them per (query, item) pair would redo each item norm |Q| times and
+    each query norm |I| times — pre-join it's one fold per row, and the
+    per-pair work drops to the single dot fold. Same arithmetic on the
+    same values ⇒ bit-identical to the per-pair oracle.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", l2norm(F.col("qv")))
     it = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
-    )
+    ).withColumn("inorm", l2norm(F.col("iv")))
     scored = (
         it.join(F.broadcast(q), F.col("item_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("iv")))
+        .withColumn("sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
     return (
@@ -110,16 +117,24 @@ def ann_topk_lsh(
     handled by AQE skew-join. Approximate: recall depends on n_planes.
     """
     planes = _hyperplanes(dim, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    it = items.select(
-        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
-    ).withColumn("bucket", lsh_bucket(F.col("iv"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+        .withColumn("qn", l2norm(F.col("qv")))
+    )
+    it = (
+        items.select(
+            F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("iv"), planes))
+        .withColumn("inorm", l2norm(F.col("iv")))
+    )
     scored = (
         it.join(F.broadcast(q), "bucket")
         .where(F.col("item_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("iv")))
+        .withColumn("sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm")))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
     return (

@@ -89,6 +89,44 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate query — every
+    predicate is pushable (`PushedFilters` carries shipdate/discount/
+    quantity bounds to the parquet reader, row groups skip on min/max), the
+    scan reads only 4 columns, and the global sum partial-aggregates to a
+    single row per partition before one tiny shuffle. At 100 TB this query
+    is I/O-bound by design; money math in exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))) / 10000.0).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
