@@ -122,3 +122,47 @@ def limit_shortcut(arr: Column, joined: Column) -> Column:
     """1-element arrays bypass join/concat (join_strings.go:67-71,
     join_videos.go:76-81)."""
     return F.when(F.size(arr) == 1, F.element_at(arr, 1)).otherwise(joined)
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    aggs: dict[str, Column],
+    salt_col: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for hot grouping keys.
+
+    A single ``groupBy(key)`` over a skewed key (a handful of values
+    covering billions of rows) funnels each hot key through ONE reducer
+    task regardless of cluster size. Salting splits every key into
+    ``n_salts`` sub-groups keyed by a *deterministic* per-row salt
+    (``xxhash64(salt_col) % n_salts`` — no ``rand()``, so replays and
+    oracle comparisons are stable), partially aggregates each sub-group,
+    then re-aggregates the ``n_salts`` partials per key — both shuffles
+    are skew-free.
+
+    ``aggs`` maps output name → a sum-recombinable aggregate (``sum``,
+    ``count``) over the input columns; stage 2 re-combines the partials
+    with ``sum`` — the common skew case. (min/max/avg decompose the same
+    way with their own combiners; add them when needed.)
+
+    Note Spark's own partial aggregation (map-side combine) already handles
+    skew for algebraic aggregates when data is *randomly* distributed; the
+    salt matters when upstream partitioning is correlated with the hot key
+    (e.g. ingest partitioned by tenant), which is the realistic 100 TB
+    failure mode. AQE skew-join handles join skew; this handles
+    aggregation skew.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(salt_col) if isinstance(salt_col, str) else salt_col),
+        F.lit(n_salts),
+    ).alias("__salt")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(*[expr.alias(f"__p_{name}") for name, expr in aggs.items()])
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[F.sum(f"__p_{name}").alias(name) for name in aggs]
+    )

@@ -166,3 +166,36 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_p50_p95"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via two-stage salting (operators/dataflow.py
+    salted_agg): event_type has a handful of values over all rows — the
+    canonical skew shape at 100 TB when upstream partitioning correlates
+    with the key. The salt (xxhash64(event_id) % 16) splits each hot key
+    into 16 skew-free sub-groups; partials recombine per key. Result is
+    identical to the plain groupBy (the oracle)."""
+    from ..operators.dataflow import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": F.count("*"), "sum_cents": F.sum(cents(F.col("value")))},
+        salt_col="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("sum_cents").cast("double") / 100.0).alias("sum_value"),
+    )

@@ -93,6 +93,22 @@ class TestAggregation:
         plan = plan_of(q(registry, "q1_pricing_summary", spark))
         assert plan.count("HashAggregate") >= 2
 
+    def test_q6_all_predicates_pushed(self, spark, registry):
+        # pure scan-filter-aggregate: bounds reach the parquet reader and
+        # the scan reads only the 4 referenced columns (toString truncates
+        # the PushedFilters list, so assert its prefix + the read schema)
+        plan = plan_of(q(registry, "q6_forecast_revenue", spark))
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        assert (
+            "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp" in plan
+        )
+
+    def test_salted_agg_two_skew_free_stages(self, spark, registry):
+        # salt stage + recombine stage, each with map-side partials
+        plan = plan_of(q(registry, "skew_salted_agg", spark))
+        assert plan.count("HashAggregate") >= 4
+
     def test_grouping_sets_single_scan(self, spark, registry):
         plan = plan_of(q(registry, "grouping_sets", spark))
         assert "Expand" in plan
@@ -110,6 +126,8 @@ class TestCodegenHygiene:
         "jsonpath_wildcard_fanout",
         "q1_pricing_summary",
         "q3_shipping_priority",
+        "q6_forecast_revenue",
+        "skew_salted_agg",
         "windowed_agg",
         "sessionization",
         "dedup_minhash_lsh",
