@@ -25,6 +25,13 @@ def main() -> None:
     spark = get_spark("bench")
     registry = load_all()
 
+    # Session bootstrap (JVM spin-up, parquet reader init, first-job
+    # scheduling) otherwise lands entirely on whichever query sorts first
+    # and misattributes ~5s to it. One trivial count on the smallest table
+    # pays that fixed cost outside the timed loop; no registered query (or
+    # its cache/JIT profile) is touched.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     timings: dict[str, float] = {}
     for name, (fn, _oracle) in sorted(registry.items()):
         t0 = time.perf_counter()
