@@ -86,19 +86,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _proj(vec: Column, h: list[float]) -> Column:
+    """Strict left-fold v · h against a literal plane (deterministic)."""
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in h]), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane (SRP) bucket id: bit i = sign(v · h_i)."""
     bucket = F.lit(0).cast("long")
     for i, h in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in h]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bucket = bucket + F.when(
+            _proj(vec, h) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def lsh_band_buckets(
+    vec: Column, planes: list[list[float]], n_bands: int, band_size: int
+) -> Column:
+    """``array<long>`` of ``n_bands`` SRP bucket ids; band ``t`` uses plane
+    rows ``[t*band_size, (t+1)*band_size)``. OR-amplification: a pair is a
+    candidate if it collides in ANY band — recall 1-(1-p^b)^L for per-plane
+    agreement p, the standard LSH recall/cost knob."""
+    return F.array(
+        *[
+            lsh_bucket(vec, planes[t * band_size : (t + 1) * band_size])
+            for t in range(n_bands)
+        ]
+    )
 
 
 def ann_topk_lsh(
@@ -107,34 +126,57 @@ def ann_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """LSH-bucketed ANN: score only same-bucket (query, item) pairs.
+    """Banded LSH ANN: score only (query, item) pairs colliding in ≥1 band.
 
-    2^n_planes buckets; expected candidate fraction 2^-n_planes per probe.
-    Bucket join shuffles on the bucket id — at scale, skewed buckets are
-    handled by AQE skew-join. Approximate: recall depends on n_planes.
+    Plan (the 100 TB shape):
+      1. signature stage — each side computes ``n_bands`` bucket ids
+         (one map stage, no shuffle);
+      2. candidate stage — ``posexplode`` to (band, bucket) rows and
+         equi-join on the 16-byte key; queries are broadcast, so candidate
+         generation is map-side. ``distinct`` dedupes pairs that collide
+         in several bands *before* any scoring work;
+      3. verify stage — candidates join back to the (small) vector sides
+         and compute the exact cosine only for candidates.
+    Skewed buckets (dense regions) are split by AQE skew-join at scale.
+    Deterministic end-to-end: planes are seeded and projections are strict
+    left folds, so the result is reproducible and oracle-checkable despite
+    being approximate w.r.t. the exact top-k (recall tuned by b×L).
     """
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes(dim, n_planes * n_bands)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
-        .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+        .withColumn("bands", lsh_band_buckets(F.col("qv"), planes, n_bands, n_planes))
         .withColumn("qn", l2norm(F.col("qv")))
     )
     it = (
         items.select(
             F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
         )
-        .withColumn("bucket", lsh_bucket(F.col("iv"), planes))
+        .withColumn("bands", lsh_band_buckets(F.col("iv"), planes, n_bands, n_planes))
         .withColumn("inorm", l2norm(F.col("iv")))
     )
-    scored = (
-        it.join(F.broadcast(q), "bucket")
+    q_ex = q.select(
+        "query_id", F.posexplode("bands").alias("band", "bucket")
+    )
+    it_ex = it.select("item_id", F.posexplode("bands").alias("band", "bucket"))
+    cand = (
+        it_ex.join(F.broadcast(q_ex), ["band", "bucket"])
         .where(F.col("item_id") != F.col("query_id"))
-        .withColumn("sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm")))
+        .select("query_id", "item_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(it.select("item_id", "iv", "inorm"), "item_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .withColumn(
+            "sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
     return (

@@ -161,9 +161,14 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining shuffle, O(sketch) memory per group, no sort. Not
     oracle-comparable (approximation differs across engines by design)."""
     ev = load_table(spark, sf_dir, "events")
+    # Scalar columns only (no array<double>): the correctness harness
+    # canonicalizes with a pandas sort over every column, and list cells are
+    # unhashable — emit approx_p50/approx_p95 as separate doubles.
+    pcts = F.percentile_approx("value", F.lit([0.5, 0.95]), F.lit(10000))
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_p50_p95"),
+        F.element_at(pcts, 1).alias("approx_p50"),
+        F.element_at(pcts, 2).alias("approx_p95"),
         F.count("*").alias("n"),
     )
 

@@ -68,7 +68,57 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
-@register("ann_cosine_topk_lsh", None)  # approximate: rows-only check
+def _plane_sql(h: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+
+
+#: The SRP planes are seeded (numpy PCG64, seed 42), so the banded-LSH
+#: query is fully deterministic — inline the planes as SQL literals and
+#: replicate every band's bucket computation in DuckDB. Both sides use the
+#: same strict left-fold dot product over the same double literals, so
+#: bucket signs, sims, and ranks are bit-identical: a full hash-match gate
+#: on an "approximate" algorithm. Band t uses plane rows [t*b, (t+1)*b),
+#: mirroring operators/similarity.py lsh_band_buckets.
+_N_PLANES, _N_BANDS = 4, 8
+_PLANES = similarity._hyperplanes(dim=64, n_planes=_N_PLANES * _N_BANDS, seed=42)
+
+
+def _band_sql(t: int) -> str:
+    band = _PLANES[t * _N_PLANES : (t + 1) * _N_PLANES]
+    return " + ".join(
+        f"(CASE WHEN {_dot('v', _plane_sql(h))} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(band)
+    )
+
+
+_BANDS_SELECT = ",\n             ".join(
+    f"({_band_sql(t)}) AS b{t}" for t in range(_N_BANDS)
+)
+_BANDS_MATCH = " OR ".join(f"q.b{t} = i.b{t}" for t in range(_N_BANDS))
+
+_ANN_LSH_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm,
+             {_BANDS_SELECT}
+      FROM e
+    )
+    SELECT query_id, item_id, round(sim, 6) AS sim, rank FROM (
+      SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+             {_dot('q.v', 'i.v')} / (q.nrm * i.nrm) AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_dot('q.v', 'i.v')} / (q.nrm * i.nrm) DESC, i.vec_id
+             ) AS BIGINT) AS rank
+      FROM b q JOIN b i ON i.vec_id != q.vec_id AND ({_BANDS_MATCH})
+      WHERE q.vec_id < 20
+    ) WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_topk_lsh", _ANN_LSH_ORACLE)
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)

@@ -86,6 +86,31 @@ def test_ann_lsh_subset_of_bruteforce_candidates(spark, sf_dir):
             assert abs(brute_sims[(r.query_id, r.item_id)] - r.sim) < 1e-9
 
 
+def test_ann_lsh_recall_floor(spark, sf_dir):
+    """Recall gate: with seeded planes the LSH result is deterministic, so
+    recall@1 vs the exact top-k has a fixed floor on this data. The planted
+    near-dup structure keeps true nearest neighbors in the same SRP bucket
+    most of the time; assert recall never silently regresses."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact1 = {
+        r.query_id: r.item_id
+        for r in similarity.ann_topk_bruteforce(emb, q, k=1).collect()
+    }
+    lsh = similarity.ann_topk_lsh(emb, q, k=5).collect()
+    lsh_hits = {(r.query_id, r.item_id) for r in lsh}
+    recalled = sum(1 for qid, iid in exact1.items() if (qid, iid) in lsh_hits)
+    recall = recalled / len(exact1)
+    assert recall >= 0.5, f"LSH recall@1 regressed: {recall:.2f}"
+    # and every query that produced rows produced correctly-ranked rows
+    by_q: dict = {}
+    for r in lsh:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
 def test_embedding_near_dup_symmetric_free(spark):
     vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
