@@ -235,13 +235,27 @@ PLANE_A = [2 * i * 48271 + 1 for i in range(1, N_PLANES + 1)]
 PLANE_B = [i * 16807 + 7 for i in range(1, N_PLANES + 1)]
 
 
+def _fingerprint_from_votes() -> Column:
+    fp = F.lit(0).cast("long")
+    for i in range(N_PLANES):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
+
+
 def simhash16(words: Column) -> Column:
-    """16-plane SimHash over word codes.
+    """16-plane SimHash over word codes (map-only column variant).
 
     Plane ``i`` votes +1 when ``(code * A_i + B_i) mod (2^31-1)`` is odd,
     −1 otherwise; fingerprint bit i is set when the sum is positive. Word
     codes come from :func:`word_codes` so the DuckDB oracle can replicate
     the arithmetic exactly.
+
+    Evaluates 16 higher-order ``aggregate`` folds per row — interpreted,
+    not codegen'd — so it is only for short arrays / small frames. The
+    table-scale path is :func:`simhash16_agg` (explode → one codegen
+    aggregate pass); identical values, integer votes are order-free.
     """
     codes = word_codes(words)
 
@@ -259,3 +273,40 @@ def simhash16(words: Column) -> Column:
             F.lit(0).cast("long")
         )
     return fp
+
+
+def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-plane SimHash, aggregate-shaped: the 100 TB path.
+
+    ``explode(words)`` once, then ONE ``groupBy(id)`` pass computing all 16
+    plane votes as conditional sums — whole-stage-codegen'd, with map-side
+    partial aggregation, so the shuffle carries 16 ints per document (the
+    column variant :func:`simhash16` runs 16 interpreted folds per row
+    instead). Votes are integer sums, so aggregation order cannot change
+    the result: bit-identical to the fold variant and the DuckDB oracle.
+
+    Returns ``(id_col, simhash)``. Documents whose text splits to an empty
+    token list cannot occur (``split`` returns ``['']`` on any string), so
+    no rows are lost to the explode.
+    """
+    words = F.split(F.col(text_col), " ", -1)
+    code = (F.ascii(F.substring(F.col("w"), 1, 1)) + F.length(F.col("w"))).cast(
+        "long"
+    )
+    ex = df.select(F.col(id_col), F.explode(words).alias("w")).select(
+        id_col, code.alias("code")
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.pmod(F.col("code") * PLANE_A[i] + PLANE_B[i], F.lit(MOD)) % 2 == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(N_PLANES)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*votes)
+        .select(id_col, _fingerprint_from_votes().alias("simhash"))
+    )

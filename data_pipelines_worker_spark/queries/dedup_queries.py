@@ -92,6 +92,8 @@ def _simhash_oracle() -> str:
 
 @register("dedup_simhash", _simhash_oracle())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-shaped SimHash (explode → one codegen groupBy pass); the
+    fold variant dedup.simhash16 computes identical values but runs 16
+    interpreted higher-order folds per row (~10× slower at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ", -1)
-    return docs.select("doc_id", dedup.simhash16(words).alias("simhash"))
+    return dedup.simhash16_agg(docs, "doc_id", "text")

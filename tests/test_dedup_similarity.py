@@ -57,6 +57,23 @@ def test_simhash_similar_docs_close(spark):
     assert ham_ab < ham_ac
 
 
+def test_simhash_agg_matches_fold_variant(spark, sf_dir):
+    """simhash16_agg (explode→groupBy, the scale path) must be bit-identical
+    to simhash16 (map-only folds) on the real corpus — integer votes make
+    aggregation order irrelevant."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    fold = {
+        r.doc_id: r.simhash
+        for r in docs.select("doc_id", dedup.simhash16(words).alias("simhash")).collect()
+    }
+    agg = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash16_agg(docs, "doc_id", "text").collect()
+    }
+    assert agg == fold
+
+
 def test_ann_bruteforce_finds_nearest(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),
