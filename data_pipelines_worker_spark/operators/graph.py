@@ -54,23 +54,31 @@ def connected_components(
     # (min-propagation is monotone), so the label sum is strictly decreasing
     # until convergence — one cheap aggregate on the already-checkpointed
     # frame replaces a per-round shuffle join.
-    prev_sum = None
-    for _ in range(max_iter):
+    #
+    # Measured dead end (kept as a note so it isn't retried): running TWO
+    # propagation steps per checkpoint+sum to halve driver sync points is
+    # NOT faster — propagate() references its input twice (neighbor join +
+    # label join), so the un-checkpointed mid step is either recomputed per
+    # branch or needs a persist() whose concurrent parent stages race the
+    # cache and still double-compute. A/B at sf0.01/sf0.1: single-step
+    # 0.9-1.8 s, double-step 1.4-1.8 s for the whole loop; the clusters
+    # query's cost lives in LSH candidate generation, not this loop.
+    def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(lbl, sym["b"] == lbl["node"])
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)  # cut lineage per round
+        return lbl.join(neighbor_min, lbl["node"] == neighbor_min["a"], "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
         )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = propagate(labels).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if prev_sum is not None and cur_sum == prev_sum:
             break

@@ -191,50 +191,87 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact near-dup baseline).
 
-    Broadcast-matmul plan: the (id, vector) matrix is broadcast once
-    (n×d float64 — 2 GB at ~4M×64, the practical broadcast ceiling), and
-    each partition's block of rows scores against it with one BLAS matmul
-    in a ``mapInPandas`` stage. That is the same *logical* plan Catalyst
-    would pick for a broadcast-nested-loop join, with the O(n·block·d)
-    inner loop vectorized instead of interpreted per pair (~20× here).
-    Beyond broadcast scale, :func:`ann_topk_lsh`'s bucket join is the path.
+    Block-pair matmul plan, fully executor-side (nothing touches the
+    driver): rows hash to one of ``B = n_blocks`` blocks, each row is
+    replicated to the B unordered block pairs containing its block (one
+    explode — shuffle volume n·B vectors), and each ``(bi, bj)`` group
+    computes its (n/B)×(n/B) similarity block with one BLAS matmul in
+    ``applyInPandas``. All B(B+1)/2 blocks of the pair matrix are covered
+    exactly once: cross-block groups emit every qualifying pair as
+    (min id, max id); diagonal groups keep the strict upper triangle.
+
+    Scale knobs: pick B ≈ n·d·8 / (executor-memory budget) so one block's
+    matrix fits comfortably per task, and B(B+1)/2 ≳ cluster cores so every
+    core gets a block pair; the shuffle grows linearly in B while per-task
+    memory shrinks linearly — the standard all-pairs trade. Unlike a
+    driver-collect + broadcast plan there is no 2 GB broadcast ceiling and
+    no driver OOM at 100×. Skewed block sizes don't arise (blocks are
+    hash-assigned), so AQE has nothing to re-split. For corpora where even
+    n·B replication is too hot, :func:`ann_topk_lsh`'s bucket join is the
+    sub-quadratic path.
 
     Pair space halved with id< ordering; emitted sims are raw float64 —
     callers round. BLAS accumulation order differs from a strict left-fold
     in the last ulp; at 6-decimal rounding this is invisible.
     """
-    import numpy as np
     import pandas as pd
 
+    B = int(n_blocks)
     base = items.select(
         F.col(id_col).cast("long").alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+    pair_keys = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("blk"), F.lit(o)).alias("bi"),
+                    F.greatest(F.col("blk"), F.lit(o)).alias("bj"),
+                )
+                for o in range(B)
+            ]
+        )
     )
-    pdf = base.toPandas()
-    all_ids = pdf["id"].to_numpy()
-    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    bc = items.sparkSession.sparkContext.broadcast((all_ids, mat, norms))
+    replicated = base.select(
+        "id", "v", "blk", F.explode(pair_keys).alias("p")
+    ).select(F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"), "blk", "id", "v")
 
-    def score(batches):
-        ids_r, mat_r, n_r = bc.value
-        for block in batches:
-            if not len(block):
-                continue
-            ids_l = block["id"].to_numpy()
-            q = np.stack(block["v"].to_numpy()).astype(np.float64)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sims = (q @ mat_r.T) / np.outer(np.linalg.norm(q, axis=1), n_r)
-            mask = (sims >= threshold) & (ids_l[:, None] < ids_r[None, :])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id1": ids_l[ii], "id2": ids_r[jj], "sim": sims[ii, jj]}
+    def score(key, pdf):
+        bi, bj = key
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {
+                    "id1": pd.Series([], dtype="int64"),
+                    "id2": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
             )
+        ids_l = left["id"].to_numpy()
+        ids_r = right["id"].to_numpy()
+        ml = np.stack(left["v"].to_numpy()).astype(np.float64)
+        mr = np.stack(right["v"].to_numpy()).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (ml @ mr.T) / np.outer(
+                np.linalg.norm(ml, axis=1), np.linalg.norm(mr, axis=1)
+            )
+        mask = sims >= threshold
+        if bi == bj:
+            mask &= ids_l[:, None] < ids_r[None, :]
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id1": np.minimum(ids_l[ii], ids_r[jj]),
+                "id2": np.maximum(ids_l[ii], ids_r[jj]),
+                "sim": sims[ii, jj],
+            }
+        )
 
-    n = int(items.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    paired = base.repartition(n, "id").mapInPandas(
+    paired = replicated.groupBy("bi", "bj").applyInPandas(
         score, "id1 long, id2 long, sim double"
     )
     return paired.select("id1", "id2", F.round("sim", 6).alias("sim"))

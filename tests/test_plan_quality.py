@@ -144,6 +144,18 @@ class TestCodegenHygiene:
                 offenders.append(name)
         assert not offenders, f"Python in hot path: {offenders}"
 
+    def test_embedding_near_dup_is_executor_side(self, spark, registry):
+        # the all-pairs matmul must run as a grouped-pandas stage on
+        # executors — no driver collect/broadcast of the embedding table
+        import inspect
+
+        from data_pipelines_worker_spark.operators import similarity
+
+        src = inspect.getsource(similarity.embedding_near_dup_pairs)
+        assert "toPandas" not in src and ".collect(" not in src
+        plan = plan_of(q(registry, "embedding_near_dup", spark))
+        assert "FlatMapGroupsInPandas" in plan
+
     def test_wholestage_codegen_on_scan_queries(self, spark, registry):
         df = q(registry, "q1_pricing_summary", spark)
         df.collect()  # AQE: codegen spans only visible in the final plan
