@@ -485,13 +485,19 @@ def video_from_image(
     end: float,
     fps: int = 30,
     payload_col: str = "payload_bin",
+    start_col: str | None = None,
+    end_col: str | None = None,
 ) -> DataFrame:
-    return _unary_media_op(
-        df,
-        payload_col,
-        MEDIA_MIME["mp4"],
-        lambda r: video_from_image_bytes(bytes(r[payload_col]), start, end, fps),
-    )
+    """``start_col``/``end_col`` override the static bounds per row — the
+    reference binds segment timings per fan-out index
+    (block_video_from_image.go input start/end per processing)."""
+
+    def fn(r):
+        s = float(r[start_col]) if start_col else start
+        e = float(r[end_col]) if end_col else end
+        return video_from_image_bytes(bytes(r[payload_col]), s, e, fps)
+
+    return _unary_media_op(df, payload_col, MEDIA_MIME["mp4"], fn)
 
 
 def video_add_audio(

@@ -31,6 +31,7 @@ from ..functions.json_path import json_path_array, json_path_scalar
 from ..functions.strings import (
     format_string_from_object,
     join_strings,
+    render_value,
     stop_condition,
     text_replace,
     wrap_text,
@@ -72,8 +73,22 @@ class PipelineSpec:
     blocks: list[BlockSpec]
 
     @staticmethod
-    def from_json(doc: dict) -> "PipelineSpec":
-        """Parse the reference's pipeline JSON shape."""
+    def from_json(doc: dict, validate: bool = True) -> "PipelineSpec":
+        """Parse (and by default validate) the reference's pipeline JSON.
+
+        Validation mirrors the reference's submit-time gate
+        (pipeline_registry.go:63-84 against
+        config/pipelines_validation_schema.json + per-block SchemaStrings):
+        malformed documents raise :class:`~.validation.SpecValidationError`
+        here, not three blocks deep inside a Spark plan. Schema defaults
+        (separator, voice, ...) are merged under each block's static input
+        (MergeStructs parity, block_wrap_text.go:60-63).
+        """
+        from .validation import apply_input_defaults, validate_pipeline_doc
+
+        if validate:
+            known = set(_OPERATORS) | set(_DF_OPERATORS) | {_MODERATION_FETCH}
+            validate_pipeline_doc(doc, known)
         blocks = []
         for b in doc["blocks"]:
             cfg = b.get("input_config") or {}
@@ -92,7 +107,7 @@ class PipelineSpec:
                 BlockSpec(
                     id=b["id"],
                     slug=b["slug"],
-                    input=b.get("input") or {},
+                    input=apply_input_defaults(b["id"], b.get("input") or {}),
                     bindings=bindings,
                     fan_out=cfg.get("type") == "array",
                     parallel=bool(cfg.get("parallel", True)),
@@ -160,9 +175,16 @@ def _op_join(params):
 @operator("format_string_from_object")
 def _op_format(params):
     # template must be a static literal (compile-time split, like the
-    # reference's per-instance template in block input)
+    # reference's per-instance template in block input). Array-typed
+    # variables (wildcard json_path bindings like $.tags[*]) render joined
+    # with ", " (block_format_string_from_object.go:78-85).
     template = params["__template_literal"]
-    mapping = {k: v for k, v in params.items() if not k.startswith("__")}
+    dtypes = params.get("__dtypes") or {}
+    mapping = {
+        k: render_value(v, dtypes.get(k, "").startswith("array"))
+        for k, v in params.items()
+        if not k.startswith("__")
+    }
     return format_string_from_object(template, mapping)
 
 
@@ -203,13 +225,22 @@ def _op_send_message(params):
 def _op_send_moderation(params):
     # moderation-request sink (block_send_moderation_telegram.go:141-186):
     # emits the review message; the inline-keyboard metadata
-    # (processing/block/index) is the stage row's own key columns.
-    return F.to_json(
-        F.struct(
-            F.lit("moderation_request").alias("kind"),
-            params["data"].alias("data"),
-        )
-    )
+    # (processing/block/index) is the stage row's own key columns. The
+    # reviewed payload may arrive as `data` or `text` (flagship spec binds
+    # `text`); bound media (image/video/audio) is flagged by kind — the
+    # bytes themselves travel by stage reference, not through the message.
+    data = params["data"] if "data" in params else params.get("text")
+    media = None
+    for k in ("image", "video", "audio"):
+        if k in params:
+            m = F.when(params[k].isNotNull(), F.lit(k))
+            media = m if media is None else F.coalesce(media, m)
+    fields = [F.lit("moderation_request").alias("kind")]
+    if data is not None:
+        fields.append(data.cast("string").alias("data"))
+    if media is not None:
+        fields.append(media.alias("media"))
+    return F.to_json(F.struct(*fields))
 
 
 @operator("subtitles_from_transcription")
@@ -314,12 +345,16 @@ def _dfop_image_add_text(runner, df, block):
 def _dfop_video_from_image(runner, df, block):
     from ..operators import media
 
+    # start/end come per-row when bound (flagship spec binds them from
+    # $.segments[*].start/end), else from static block input.
     cfg = block.input
     return media.video_from_image(
         df.withColumnRenamed("image", "payload_bin"),
         float(cfg.get("start", 0.0)),
         float(cfg.get("end", 0.0)),
         int(cfg.get("fps", 30)),
+        start_col="start" if "start" in df.columns else None,
+        end_col="end" if "end" in df.columns else None,
     )
 
 
@@ -548,6 +583,8 @@ class PipelineRunner:
         self.store_root = store_root
         self.openai_client = openai_client
         self.http_policy = http_policy or RetryPolicy()
+        #: per-run cache: origin slug → payload-is-binary (reset per run())
+        self._binary_stages: dict[str, bool] = {}
 
     def require_openai(self):
         if self.openai_client is None:
@@ -559,13 +596,36 @@ class PipelineRunner:
 
     # -- input assembly (GetInputConfigData, block.go:193-401) --------------
 
+    def _stage_is_binary(self, slug: str, src: DataFrame) -> bool:
+        """Whether a stage's payload is binary (file-typed in the reference).
+
+        The reference binds by the *stored output's* type — a TTS/image stage
+        hands bytes downstream without the spec saying ``format:"file"``
+        (GetInputConfigData, block.go:193-254). Stage parquet always carries
+        both payload columns, so the kind is decided from the data: one
+        pruned ``take(1)`` on payload_bin per (run, origin) — control-plane
+        cost, cached for the rest of the run.
+        """
+        if slug not in self._binary_stages:
+            self._binary_stages[slug] = bool(
+                src.where(F.col("payload_bin").isNotNull()).take(1)
+            )
+        return self._binary_stages[slug]
+
     def _bind_origin(
         self, stages: dict[str, DataFrame], b: InputBinding, fan_out: bool
     ) -> DataFrame:
         """One binding → DataFrame(input_index, <param>)."""
         src = stages[b.origin]
-        if b.binary:
-            # format:"file" → raw payload bytes (json_schema.go:69-78)
+        # "$" / absent path = the whole payload (oliveagle jsonpath identity)
+        path = b.json_path if b.json_path not in (None, "$") else None
+        if b.binary or (path is None and self._stage_is_binary(b.origin, src)):
+            # raw payload bytes: explicit format:"file" (json_schema.go:69-78)
+            # or a binary-producing origin (tts/image/video stages). For
+            # array_input over binary stages the rows bind as-is — the
+            # consuming operator (join_videos) does the ordered gather
+            # itself, so collecting an array<binary> here would only force
+            # a second pass over the payload bytes.
             return src.select(F.col("input_index"), F.col("payload_bin").alias(b.param))
         if b.array_input:
             # gather: ALL origin outputs as one array value, output order
@@ -594,8 +654,8 @@ class PipelineRunner:
                     b.param,
                 )
             return src.select(F.col("input_index"), arr.alias(b.param))
-        if b.json_path:
-            val = json_path_scalar(F.col("payload_str"), b.json_path)
+        if path:
+            val = json_path_scalar(F.col("payload_str"), path)
         else:
             val = F.col("payload_str")
         return src.select(F.col("input_index"), val.alias(b.param))
@@ -668,14 +728,19 @@ class PipelineRunner:
                 # plan-time literals consumed by the operator builder /
                 # stop-condition kernel, not data columns
                 continue
-            # priority coalesce: request > binding-derived > static default
+            # priority coalesce: request > binding-derived > static default.
+            # Dict-valued statics (e.g. extra_decisions, Telegram keyboard
+            # config) are block *configuration*, not column data — they stay
+            # in __block_input only.
             parts: list[Column] = []
-            if k in req:
+            if k in req and not isinstance(req[k], dict):
                 parts.append(F.lit(req[k]))
             if k in params:
                 parts.append(params[k])
-            if k in block.input:
+            if k in block.input and not isinstance(block.input[k], dict):
                 parts.append(F.lit(block.input[k]))
+            if not parts:
+                continue
             params[k] = parts[0] if len(parts) == 1 else F.coalesce(*parts)
         merged_static = {**block.input, **req}
         if "template" in merged_static:
@@ -703,6 +768,7 @@ class PipelineRunner:
         past consumed events (GetUpdates offset semantics,
         block_fetch_moderation_telegram.go:129-133,218-219)."""
         request_input = request_input or {}
+        self._binary_stages = {}
         resuming = processing_id is not None and start_slug is not None
         processing_id = processing_id or uuid.uuid4().hex[:12]
         statuses: dict[str, str] = {}
@@ -925,6 +991,7 @@ class PipelineRunner:
                 continue
 
             op = _OPERATORS[block.id]
+            params["__dtypes"] = dict(df.dtypes)  # array-aware rendering
             value = op(params)
 
             if block.id == "upload_file" and dict(df.dtypes).get("file") == "binary":

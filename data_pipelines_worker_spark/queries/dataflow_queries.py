@@ -272,7 +272,7 @@ def q_json_auto_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ass_time_format",
     """
     SELECT event_id,
-           printf('%d:%02d:%02d.%02d',
+           printf('%02d:%02d:%02d.%02d',
                   CAST(floor(value / 3600) AS BIGINT),
                   CAST(floor((value % 3600) / 60) AS BIGINT),
                   CAST(floor(value % 60) AS BIGINT),
@@ -281,15 +281,52 @@ def q_json_auto_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ass_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # subtitles_from_transcription's H:MM:SS.cc formatter
-    # (block_subtitles_from_transcription.go:191-196), with events.value as
+    # subtitles_from_transcription's HH:MM:SS.cc formatter
+    # (block_subtitles_from_transcription.go:191-196 '%02d:%02d:%02d.%02d',
+    # same format as functions/subtitles.py ass_time), with events.value as
     # the seconds column. Pure column math — stays in codegen.
     v = F.col("value")
     line = F.format_string(
-        "%d:%02d:%02d.%02d",
+        "%02d:%02d:%02d.%02d",
         F.floor(v / 3600).cast("long"),
         F.floor((v % 3600) / 60).cast("long"),
         F.floor(v % 60).cast("long"),
         F.floor((v - F.floor(v)) * 100).cast("long"),
     )
     return _events(spark, sf_dir).select("event_id", line.alias("ass_time"))
+
+
+@register(
+    "schema_cast",
+    """
+    SELECT event_id,
+           TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS as_int,
+           TRY_CAST(event_type AS BIGINT) AS bad_int,
+           COALESCE(TRY_CAST(event_type AS BIGINT), 7) AS def_int,
+           TRY_CAST(CAST(event_id AS VARCHAR) AS DOUBLE) AS as_num,
+           TRY_CAST(CASE WHEN value > 100 THEN 'true' ELSE 'false' END AS BOOLEAN)
+             AS as_bool
+    FROM events
+    """,
+)
+def q_schema_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema cast kernel (functions/schema_cast.py, mirroring
+    CastDataToType json_schema.go:52-143): try_cast per scalar type —
+    invalid input → NULL, folded to the schema default when declared.
+    DuckDB TRY_CAST has identical invalid→NULL semantics, so the kernel is
+    hash-match checkable."""
+    from ..functions.schema_cast import cast_column_to_type
+
+    ev = _events(spark, sf_dir)
+    s = F.col("event_id").cast("string")
+    b = F.when(F.col("value") > 100, F.lit("true")).otherwise(F.lit("false"))
+    return ev.select(
+        "event_id",
+        cast_column_to_type(s, {"type": "integer"}).alias("as_int"),
+        cast_column_to_type(F.col("event_type"), {"type": "integer"}).alias("bad_int"),
+        cast_column_to_type(
+            F.col("event_type"), {"type": "integer", "default": 7}
+        ).alias("def_int"),
+        cast_column_to_type(s, {"type": "number"}).alias("as_num"),
+        cast_column_to_type(b, {"type": "boolean"}).alias("as_bool"),
+    )

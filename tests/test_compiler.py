@@ -171,11 +171,19 @@ def test_request_list_fanout(runner):
 def test_spec_from_json_reference_shape(runner):
     doc = {
         "slug": "from-json",
+        "title": "From-JSON compile test",
+        "description": "Wrap every transcription segment in brackets.",
         "blocks": [
-            {"id": "upload_file", "slug": "up", "input": {}},
+            {
+                "id": "upload_file",
+                "slug": "up",
+                "description": "Ingest the transcription document payload.",
+                "input": {},
+            },
             {
                 "id": "wrap_text",
                 "slug": "w",
+                "description": "Bracket-wrap each transcription segment text.",
                 "input": {"prefix": "[", "suffix": "]"},
                 "input_config": {
                     "type": "array",
