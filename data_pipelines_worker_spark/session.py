@@ -72,17 +72,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     - UTC session timezone — timestamp literals / to_date must bin the same
       as the (UTC-naive) DuckDB oracle;
-    - ``nanosAsLong`` — ``events.ts`` is TIMESTAMP(NANOS) parquet, which
-      Spark's reader otherwise rejects; we read long nanos and truncate to
-      microseconds, exactly what micro-precision engines (DuckDB included)
-      do with nanos parquet.
+    - ``nanosAsLong`` — some generations of the synthetic data write
+      ``events.ts`` as TIMESTAMP(NANOS) parquet, which Spark's reader
+      otherwise rejects; we read long nanos and truncate to microseconds,
+      exactly what micro-precision engines (DuckDB included) do with nanos
+      parquet. Micro-precision generations read as a timestamp directly and
+      need no conversion — detect by the materialized type, not by fiat.
+
+    Parquet TIMESTAMP-without-zone columns surface as TIMESTAMP_NTZ in Spark
+    4; they are normalized to plain TimestampType here (identical instants
+    under the pinned UTC session zone) so downstream epoch arithmetic
+    (``cast(ts as bigint)``, window math) keeps working across data
+    generations.
     """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
