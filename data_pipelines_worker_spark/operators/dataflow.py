@@ -144,8 +144,11 @@ def salted_agg(
 
     ``aggs`` maps output name → a sum-recombinable aggregate (``sum``,
     ``count``) over the input columns; stage 2 re-combines the partials
-    with ``sum`` — the common skew case. (min/max/avg decompose the same
-    way with their own combiners; add them when needed.)
+    with ``sum`` — the common skew case. Aggregates whose partials do NOT
+    recombine with sum (avg, min, max, distinct counts, ...) are rejected
+    at plan-build time rather than silently mis-combined; decompose them
+    yourself (avg = salted sum + salted count, joined) or extend the
+    combiner table.
 
     Note Spark's own partial aggregation (map-side combine) already handles
     skew for algebraic aggregates when data is *randomly* distributed; the
@@ -154,6 +157,17 @@ def salted_agg(
     failure mode. AQE skew-join handles join skew; this handles
     aggregation skew.
     """
+    for name, expr in aggs.items():
+        # Column reprs look like "Column<'sum(x)'>"; anything not rooted at
+        # sum()/count() has partials that sum() cannot recombine.
+        desc = str(expr)
+        body = desc[len("Column<'") : -len("'>")] if desc.startswith("Column<'") else desc
+        if not (body.startswith("sum(") or body.startswith("count(")):
+            raise ValueError(
+                f"salted_agg[{name}]: only sum()/count() partials recombine "
+                f"with sum; got {body!r}. Decompose the aggregate (e.g. avg "
+                "= sum+count) instead."
+            )
     salt = F.pmod(
         F.xxhash64(F.col(salt_col) if isinstance(salt_col, str) else salt_col),
         F.lit(n_salts),

@@ -79,10 +79,12 @@ def hashed_shingles(words: Column, k: int = 3) -> Column:
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: every row mapped to the minimum id sharing its content.
 
-    Shuffles on ``xxhash64(text)`` (8 bytes/row) rather than the document
-    itself; the window computes min-id per group in the same exchange.
-    Collision safety: groups are keyed by (hash, text) so a 64-bit collision
-    cannot merge distinct documents.
+    The window partitions by ``(xxhash64(text), text)`` — the text column is
+    part of the shuffle key, so the exchange still carries the document body;
+    the hash's role is purely to guard against 64-bit collisions merging
+    distinct documents, not to shrink the shuffle. (A hash-only partitioning
+    with a second collision-resolution pass would shuffle 8 bytes/row; at
+    current scale the one-pass form wins on simplicity and equal correctness.)
     """
     from pyspark.sql import Window as W
 

@@ -115,16 +115,40 @@ def fetch(
         return status, payload, ctype
 
 
+def _row_mapping(value) -> dict[str, str]:
+    """Per-row headers/query value → dict. Accepts a map column (dict), a
+    JSON-object string column, or null (block_http.go:69-91 binds them as
+    JSON objects)."""
+    if value is None or (isinstance(value, float) and pd.isna(value)):
+        return {}
+    if isinstance(value, Mapping):
+        return {str(k): str(v) for k, v in value.items()}
+    parsed = json.loads(value)
+    if not isinstance(parsed, dict):
+        raise ValueError(f"expected JSON object, got {type(parsed).__name__}")
+    return {str(k): str(v) for k, v in parsed.items()}
+
+
 def http_request(
     df: DataFrame,
     url_col: str = "url",
     method_col: str | None = None,
     headers: Mapping[str, str] | None = None,
+    headers_col: str | None = None,
+    query_col: str | None = None,
+    body_col: str | None = None,
     timeout: float = DEFAULT_TIMEOUT,
     policy: RetryPolicy = RetryPolicy(),
     on_error: str = "fail",
 ) -> DataFrame:
-    """Fetch a URL column; adds (payload_bin, status, mime, error)."""
+    """Fetch a URL column; adds (payload_bin, status, mime, error).
+
+    Per-row request shaping mirrors block_http.go:69-91: ``headers_col`` /
+    ``query_col`` bind JSON-object (or map) columns merged per request —
+    row headers override the static ``headers`` — ``query_col`` pairs are
+    URL-encoded into the query string, and ``body_col`` (string or binary)
+    becomes the request body.
+    """
     assert on_error in ("fail", "keep")
     fields = list(df.schema.fields) + [
         T.StructField("payload_bin", T.BinaryType(), True),
@@ -141,8 +165,25 @@ def http_request(
             for r in pdf.to_dict("records"):
                 method = str(r[method_col]) if method_col else "GET"
                 try:
+                    url = str(r[url_col])
+                    if query_col:
+                        q = _row_mapping(r.get(query_col))
+                        if q:
+                            sep = "&" if "?" in url else "?"
+                            url = url + sep + urllib.parse.urlencode(q)
+                    req_headers = dict(headers or {})
+                    if headers_col:
+                        req_headers.update(_row_mapping(r.get(headers_col)))
+                    body = None
+                    if body_col and r.get(body_col) is not None:
+                        raw = r[body_col]
+                        body = (
+                            bytes(raw)
+                            if isinstance(raw, (bytes, bytearray))
+                            else str(raw).encode("utf-8")
+                        )
                     status, payload, ctype = fetch(
-                        str(r[url_col]), method, headers, None, timeout, policy
+                        url, method, req_headers, body, timeout, policy
                     )
                     r.update(
                         payload_bin=payload,

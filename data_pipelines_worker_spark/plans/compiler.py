@@ -276,6 +276,28 @@ def df_operator(name: str):
     return deco
 
 
+#: Blocks the reference gates to sequential per-index processing
+#: (``parallel_available: false`` — config/config.yaml:107
+#: openai_image_request, :238 join_videos, :249 video_add_audio, :260
+#: video_add_subtitles, :291 audio_chunk, :302 audio_convert, :316
+#: audio_from_video; :180 fetch_moderation_tg is driver-evaluated and
+#: needs no stage gate). On Spark the analog is a bounded-width stage:
+#: the runner repartitions the block's input to its slot budget so at most
+#: N concurrent tasks hit the rate-limited resource cluster-wide,
+#: whatever the upstream fan-out width.
+NON_PARALLEL_BLOCKS = frozenset(
+    {
+        "openai_image_request",
+        "join_videos",
+        "video_add_audio",
+        "video_add_subtitles",
+        "audio_chunk",
+        "audio_convert",
+        "audio_from_video",
+    }
+)
+
+
 def _canonical(df: DataFrame) -> DataFrame:
     cols = set(df.columns)
     out = df
@@ -501,10 +523,9 @@ def _dfop_image_request(runner, df, block):
     from ..operators import external
 
     cfg = block.input
-    # parallel_available: false (config.yaml:107) — bound concurrency
-    src = df.repartition(int(cfg.get("max_concurrency", 4)))
+    # stage width already bounded by the runner's NON_PARALLEL_BLOCKS gate
     return external.openai_image_request(
-        src,
+        df,
         runner.require_openai(),
         prompt_col="prompt",
         quality=str(cfg.get("quality", "standard")),
@@ -576,6 +597,7 @@ class PipelineRunner:
         store_root: str,
         openai_client=None,
         http_policy=None,
+        non_parallel_slots: int = 1,
     ):
         from ..operators.external import RetryPolicy
 
@@ -583,6 +605,11 @@ class PipelineRunner:
         self.store_root = store_root
         self.openai_client = openai_client
         self.http_policy = http_policy or RetryPolicy()
+        #: stage width for NON_PARALLEL_BLOCKS — 1 mirrors the reference's
+        #: sequential per-index processing (pipeline.go:607-624 with
+        #: parallel_available:false); raise when the gated resource allows
+        #: some concurrency. A per-block ``max_concurrency`` input overrides.
+        self.non_parallel_slots = max(1, int(non_parallel_slots))
         #: per-run cache: origin slug → payload-is-binary (reset per run())
         self._binary_stages: dict[str, bool] = {}
 
@@ -643,14 +670,27 @@ class PipelineRunner:
             arr = json_path_array(F.col("payload_str"), b.json_path)
             if fan_out:
                 # wildcard fan-out: indices run over the concatenation of
-                # every origin buffer's matches (block.go:245-254,348-359)
+                # every origin buffer's matches (block.go:245-254,348-359).
+                # The running index is offset(src buffer) + position-within-
+                # buffer: the only unpartitioned window runs over the
+                # one-row-per-buffer size table (control-plane cardinality),
+                # never over the fan-out rows themselves — no single-task
+                # funnel however wide the fan-out gets.
+                sizes = src.select(
+                    F.col("input_index").alias("src_idx"),
+                    F.greatest(F.size(arr), F.lit(0)).alias("__n"),
+                )
+                w = W.orderBy("src_idx").rowsBetween(W.unboundedPreceding, -1)
+                offsets = sizes.select(
+                    "src_idx",
+                    F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"),
+                )
                 exploded = src.select(
                     F.col("input_index").alias("src_idx"),
                     F.posexplode(arr).alias("pos", b.param),
                 )
-                w = W.orderBy("src_idx", "pos")
-                return exploded.select(
-                    (F.row_number().over(w) - 1).cast("long").alias("input_index"),
+                return exploded.join(F.broadcast(offsets), "src_idx").select(
+                    (F.col("__off") + F.col("pos")).cast("long").alias("input_index"),
                     b.param,
                 )
             return src.select(F.col("input_index"), arr.alias(b.param))
@@ -681,7 +721,15 @@ class PipelineRunner:
             else:
                 # positional merge of origins (MergeMaps, block.go:404-500):
                 # full-outer on index, missing values inherited from the
-                # previous row (scalar-vs-array broadcast fill)
+                # previous row (scalar-vs-array broadcast fill). The
+                # fill-forward window is unpartitioned by design: inherit-
+                # from-previous-row is a sequential recurrence over the
+                # run's input indices, whose cardinality is the block's
+                # fan-out width (segments of one media file, buffers of one
+                # processing) — control-plane scale, bounded in practice by
+                # the reference's own per-processing buffer counts, not by
+                # table scale. Table-scale fan-out never routes through
+                # MergeMaps (it has a single origin, no merge).
                 keys = ["input_index"]
                 joined = df.join(part, keys, "full_outer")
                 value_cols = [c for c in joined.columns if c not in keys]
@@ -981,6 +1029,14 @@ class PipelineRunner:
                     if k.startswith("__") or k in work.columns:
                         continue
                     work = work.withColumn(k, c)
+                if block.id in NON_PARALLEL_BLOCKS:
+                    # parallel_available:false → bounded-width stage: an
+                    # explicit numbered repartition AQE will not re-widen,
+                    # capping cluster-wide concurrency at the slot budget.
+                    slots = int(
+                        block.input.get("max_concurrency", self.non_parallel_slots)
+                    )
+                    work = work.repartition(max(1, slots))
                 out = _canonical(_DF_OPERATORS[block.id](self, work, block))
                 out = self._finish_stage(
                     out, spec, processing_id, block, pos, start_pos, start_slug, target_index

@@ -58,7 +58,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
-        if self.path == "/v1/chat/completions":
+        if self.path.startswith("/echo"):
+            # reflect method/query/headers/body so per-row binding is checkable
+            resp = {
+                "path": self.path,
+                "body": body.decode("utf-8"),
+                "x_row": self.headers.get("X-Row"),
+                "x_static": self.headers.get("X-Static"),
+                "content_type": self.headers.get("Content-Type"),
+            }
+            self._send(200, json.dumps(resp).encode(), "application/json")
+        elif self.path == "/v1/chat/completions":
             req = json.loads(body)
             user = [m for m in req["messages"] if m["role"] == "user"][-1]["content"]
             sys_n = len([m for m in req["messages"] if m["role"] == "system"])
@@ -138,6 +148,38 @@ class TestSparkOps:
         df = spark.createDataFrame([(server + "/missing",)], "url string")
         with pytest.raises(Exception, match="404"):
             X.http_request(df, policy=FAST, on_error="fail").collect()
+
+    def test_http_request_binds_body_query_headers(self, spark, server):
+        # block_http.go:69-91: headers/query/body bound per request row
+        df = spark.createDataFrame(
+            [
+                (0, server + "/echo", "POST", '{"a": "1", "b": "x y"}',
+                 '{"X-Row": "r0"}', "payload zero"),
+                (1, server + "/echo?k=v", "POST", '{"c": "2"}', None, "payload one"),
+            ],
+            "input_index long, url string, method string, query string, "
+            "hdrs string, body string",
+        )
+        rows = (
+            X.http_request(
+                df,
+                method_col="method",
+                headers={"X-Static": "s"},
+                headers_col="hdrs",
+                query_col="query",
+                body_col="body",
+                policy=FAST,
+            )
+            .orderBy("input_index")
+            .collect()
+        )
+        e0 = json.loads(bytes(rows[0].payload_bin))
+        assert e0["path"] == "/echo?a=1&b=x+y"  # urlencoded query pairs
+        assert e0["body"] == "payload zero"
+        assert e0["x_row"] == "r0" and e0["x_static"] == "s"
+        e1 = json.loads(bytes(rows[1].payload_bin))
+        assert e1["path"] == "/echo?k=v&c=2"  # appended to existing query
+        assert e1["body"] == "payload one" and e1["x_row"] is None
 
     def test_chat_completion(self, spark, server):
         client = X.OpenAIClient(server + "/v1", policy=FAST)

@@ -213,6 +213,35 @@ def test_yt_short_end_to_end(spark, tmp_path, client):
     assert len(samples) == 600  # 3 × 2.0 s at 100 Hz
 
 
+def test_non_parallel_block_stage_width_bounded(spark, tmp_path):
+    # parallel_available:false blocks (config.yaml:238 etc.) compile to a
+    # bounded-width stage: the stage's task count — visible as part files in
+    # the stage store — never exceeds the slot budget, however wide the
+    # upstream fan-out. Plan audit for VERDICT item 10.
+    import glob
+
+    runner = PipelineRunner(spark, str(tmp_path / "stages"), non_parallel_slots=2)
+    spec = PipelineSpec(
+        slug="gated",
+        blocks=[
+            BlockSpec(id="upload_file", slug="up", fan_out=True),
+            BlockSpec(
+                id="audio_chunk",
+                slug="chunks",
+                input={"duration": 1.0},
+                bindings=[InputBinding(param="audio", origin="up", binary=True)],
+            ),
+        ],
+    )
+    audio = [M.faud_encode(100, bytes(110 + i)) for i in range(8)]  # 8-wide fan-out
+    res = runner.run(spec, request_input={"up": {"file": audio}})
+    parts = glob.glob(
+        str(tmp_path / "stages" / "gated" / res.processing_id / "chunks" / "part-*")
+    )
+    assert 0 < len(parts) <= 2, f"gated stage ran {len(parts)} tasks, budget 2"
+    assert res.output.count() == 16  # 1.1s → 2 chunks each, semantics intact
+
+
 def test_upload_file_binary_roundtrip(spark, tmp_path):
     runner = PipelineRunner(spark, str(tmp_path / "stages"))
     spec = PipelineSpec(
