@@ -35,9 +35,13 @@ each codec call dispatches on the payload's magic bytes:
   (nearest-neighbour resample, box blur, sample slicing, stream concat), so
   structural assertions (dims, durations, chunk counts, stream sets) are
   genuine and oracle-checkable.
-- anything else — routed to Pillow / ffmpeg when available, else a
-  clearly-marked ``NotImplementedError`` (STUB: real-media decode needs the
-  codec libs).
+- **real PNG bytes** — decoded/encoded natively (``png_codec``: stdlib zlib
+  + numpy, no Pillow) and run through vectorized resize/gaussian-blur/
+  bitmap-text kernels; fixtures mirror the reference's grid PNG factory
+  (test/factories/factories.go:319-354).
+- other real formats (JPEG/MP3/MP4/...) — routed to Pillow / ffmpeg when
+  available, else a clearly-marked ``NotImplementedError`` (STUB:
+  real-media decode needs the codec libs).
 
 Scale notes (100 TB)
 --------------------
@@ -383,9 +387,68 @@ def _require_real_backend(kind: str, data: bytes) -> None:
     )
 
 
+# --- real-PNG kernels (stdlib zlib + numpy; no Pillow needed) ---------------
+
+
+def _png_resize(
+    data: bytes, width: int, height: int, keep_aspect_ratio: bool = False
+) -> bytes:
+    """Real-PNG resize with the same dimension rules as the FIMG kernel
+    (imaging.Resize semantics, block_image_resize.go:80)."""
+    from . import png_codec as P
+
+    arr = P.png_decode(data)
+    h, w = arr.shape[:2]
+    if keep_aspect_ratio and width:
+        height = 0
+    if width <= 0 and height <= 0:
+        raise ValueError("width and height both unset")
+    if width <= 0:
+        width = max(1, _round_half_up(w * height / h))
+    if height <= 0:
+        height = max(1, _round_half_up(h * width / w))
+    return P.png_encode(P.resize_bilinear(arr, width, height))
+
+
+def _png_blur(data: bytes, sigma: float) -> bytes:
+    from . import png_codec as P
+
+    return P.png_encode(P.gaussian_blur(P.png_decode(data), sigma))
+
+
+def _png_add_text(
+    data: bytes,
+    text: str,
+    font_size: int = 12,
+    text_position: str = "center",
+    margin: int = 0,
+) -> bytes:
+    from . import png_codec as P
+
+    if text_position not in _ANCHORS:
+        raise ValueError(f"text_position must be one of {_ANCHORS}")
+    arr = P.png_decode(data)
+    return P.png_encode(
+        P.render_text(arr, text, font_size, text_position, margin)
+    )
+
+
 def _dispatch_image(data: bytes, fake_fn, *args, **kwargs) -> bytes:
+    """Magic-byte dispatch: FIMG test containers run the deterministic fake
+    kernels; real PNG bytes run the zlib+numpy codec (png_codec); other real
+    formats (JPEG/GIF/...) need Pillow and raise the honest stub without it."""
     if data[:4] == FIMG_MAGIC:
         return fake_fn(data, *args, **kwargs)
+    from . import png_codec as P
+
+    if P.is_png(data):
+        real = {
+            image_resize_bytes: _png_resize,
+            image_blur_bytes: _png_blur,
+            image_add_text_bytes: _png_add_text,
+        }.get(fake_fn)
+        if real is not None:
+            return real(data, *args, **kwargs)
     _require_real_backend("image", data)
     raise NotImplementedError("PIL path exercised only where Pillow is installed")
 

@@ -151,10 +151,12 @@ class TestKernels:
         assert rate == 50 and len(samples) == 100  # duration preserved
 
     def test_real_media_stub(self):
-        png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+        # real PNGs now run natively (png_codec); non-PNG real images still
+        # need Pillow and keep the honest stub
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 20
         if not M._HAVE_PIL:
             with pytest.raises(NotImplementedError):
-                M._dispatch_image(png, M.image_resize_bytes, 4, 4)
+                M._dispatch_image(jpeg, M.image_resize_bytes, 4, 4)
 
 
 # --- Spark plumbing ---------------------------------------------------------

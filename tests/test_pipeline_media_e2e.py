@@ -213,6 +213,43 @@ def test_yt_short_end_to_end(spark, tmp_path, client):
     assert len(samples) == 600  # 3 × 2.0 s at 100 Hz
 
 
+def test_real_png_through_compiled_pipeline(spark, tmp_path):
+    # blocks #12/#14 over genuine PNG bytes (zlib+numpy codec, no Pillow):
+    # upload → resize → add_text, compiled and stage-stored end-to-end
+    from data_pipelines_worker_spark.operators import png_codec as P
+    from tests.test_png_codec import grid_png
+
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    spec = PipelineSpec(
+        slug="real-png",
+        blocks=[
+            BlockSpec(id="upload_file", slug="up", fan_out=True),
+            BlockSpec(
+                id="image_resize",
+                slug="small",
+                input={"width": 60, "height": 40},
+                bindings=[InputBinding(param="image", origin="up", binary=True)],
+            ),
+            BlockSpec(
+                id="image_add_text",
+                slug="titled",
+                input={"text": "HI", "font_size": 7, "text_position": "top-left"},
+                bindings=[InputBinding(param="image", origin="small", binary=True)],
+            ),
+        ],
+    )
+    res = runner.run(
+        spec, request_input={"up": {"file": [grid_png(120, 80), grid_png(200, 100)]}}
+    )
+    rows = res.output.orderBy("input_index").collect()
+    assert len(rows) == 2 and all(r.mime == "image/png" for r in rows)
+    for r in rows:
+        arr = P.png_decode(bytes(r.payload_bin))
+        assert arr.shape[:2] == (40, 60)
+        corner = arr[:12, :40, 0]
+        assert (corner == 0).any() and (corner == 255).any()  # ink + bg rect
+
+
 def test_non_parallel_block_stage_width_bounded(spark, tmp_path):
     # parallel_available:false blocks (config.yaml:238 etc.) compile to a
     # bounded-width stage: the stage's task count — visible as part files in
