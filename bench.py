@@ -26,11 +26,18 @@ def main() -> None:
     registry = load_all()
 
     # Session bootstrap (JVM spin-up, parquet reader init, first-job
-    # scheduling) otherwise lands entirely on whichever query sorts first
-    # and misattributes ~5s to it. One trivial count on the smallest table
-    # pays that fixed cost outside the timed loop; no registered query (or
-    # its cache/JIT profile) is touched.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # scheduling) and the OS page-cache state of each table otherwise land
+    # entirely on whichever query sorts first to touch that table,
+    # misattributing several seconds of fixed cost. One trivial count per
+    # table pays both outside the timed loop; no registered query (or its
+    # plan/codegen JIT profile) is touched, so per-query numbers measure
+    # query execution, not disk state.
+    from data_pipelines_worker_spark.session import TABLES
+
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
 
     timings: dict[str, float] = {}
     for name, (fn, _oracle) in sorted(registry.items()):
