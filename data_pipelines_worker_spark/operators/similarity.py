@@ -233,6 +233,106 @@ def ann_topk_lsh(
     )
 
 
+#: Knuth multiplicative constant — pseudo-random but *engine-portable*
+#: seed ranking (plain integer arithmetic both Spark and DuckDB evaluate
+#: identically), unlike xxhash64 which DuckDB lacks.
+_KNUTH = 2654435761
+_KNUTH_MOD = 1 << 32
+
+
+def ann_topk_ivf(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize items into ``n_cells`` inverted lists,
+    probe the ``n_probe`` nearest cells per query, search exactly inside.
+
+    The quantizer is data-sampled (the classic IVF trainless variant):
+    centroids are the ``n_cells`` vectors ranked first by the Knuth
+    multiplicative hash of their id — deterministic, engine-portable, and
+    cheap (no k-means iterations to replicate in an oracle). Assignment is
+    argmax cosine with ties to the lowest centroid id.
+
+    100 TB shape: centroids are control-plane data (``n_cells`` rows
+    collected once, shipped in the UDF closure — same footprint as the LSH
+    planes); assignment is one Arrow-batched map stage over items (BLAS,
+    no shuffle); the probe join is an equi-join on cell id; exact scoring
+    touches only probed cells, ~``n_probe/n_cells`` of the corpus. Recall
+    is the standard IVF trade tuned by ``n_probe``; results stay
+    deterministic and hash-match the DuckDB oracle because every float op
+    (cumsum folds, ``dot/(n_q·n_i)``) reproduces the oracle's strict
+    left-fold arithmetic bit-for-bit.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    base = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
+    seed_rows = (
+        base.orderBy(rank_key, F.col("item_id")).limit(n_cells).collect()
+    )  # n_cells rows — control-plane, like the LSH plane literals
+    seed_rows.sort(key=lambda r: r["item_id"])  # argmax tie → lowest cid
+    cids = np.array([r["item_id"] for r in seed_rows], dtype=np.int64)
+    C = np.array([r["iv"] for r in seed_rows], dtype=np.float64)
+    # centroid norms via cumsum = the oracle's strict fold
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+    def _sims(V: np.ndarray) -> np.ndarray:
+        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        sims = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
+        for i in range(C.shape[0]):
+            sims[:, i] = np.cumsum(V * C[i], axis=1)[:, -1] / (nv * cn[i])
+        return sims
+
+    @pandas_udf(LongType())
+    def cell_of(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int64")
+        sims = _sims(np.stack(col.to_numpy()).astype(np.float64))
+        return pd.Series(cids[np.argmax(sims, axis=1)])  # first max = lowest cid
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes_of(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        sims = _sims(np.stack(col.to_numpy()).astype(np.float64))
+        # stable sort on -sim keeps cid-ascending order within ties,
+        # matching ORDER BY sim DESC, cid ASC
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cids[order]))
+
+    it = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
+        "inorm", l2norm(F.col("iv"))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cell", F.explode(probes_of(F.col("qv"))))
+        .withColumn("qn", l2norm(F.col("qv")))
+    )
+    scored = (
+        it.join(F.broadcast(q), "cell")
+        .where(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     items: DataFrame,
     threshold: float = 0.4,

@@ -123,3 +123,62 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return similarity.ann_topk_lsh(emb, queries, k=5)
+
+
+#: IVF probe structure replicated in SQL: seeds = Knuth-hash-ranked sample,
+#: assignment/probes = row_number over per-(vector, centroid) cosine, all
+#: dot products strict left folds — deterministic w.r.t. the Spark side's
+#: cumsum arithmetic, so the "approximate" IVF result full-hash-matches.
+_N_CELLS, _N_PROBE = 16, 4
+
+_ANN_IVF_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn
+      FROM e ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      LIMIT {_N_CELLS}
+    ),
+    allsims AS (
+      SELECT a.vec_id, a.v, a.nrm, s.cid,
+             {_dot('a.v', 's.cv')} / (a.nrm * s.cn) AS csim
+      FROM n a CROSS JOIN seeds s
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM allsims) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM allsims WHERE vec_id < 20) WHERE rn <= {_N_PROBE}
+    )
+    SELECT query_id, item_id, round(sim, 6) AS sim, rank FROM (
+      SELECT p.query_id, i.vec_id AS item_id,
+             {_dot('q.v', 'i.v')} / (q.nrm * i.nrm) AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_dot('q.v', 'i.v')} / (q.nrm * i.nrm) DESC, i.vec_id
+             ) AS BIGINT) AS rank
+      FROM probes p
+      JOIN asg ia ON ia.cid = p.cid
+      JOIN n i ON i.vec_id = ia.vec_id AND i.vec_id != p.query_id
+      JOIN n q ON q.vec_id = p.query_id
+    ) WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_topk_ivf", _ANN_IVF_ORACLE)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.ann_topk_ivf(
+        emb, queries, k=5, n_cells=_N_CELLS, n_probe=_N_PROBE
+    )

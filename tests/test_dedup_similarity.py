@@ -128,6 +128,34 @@ def test_ann_lsh_recall_floor(spark, sf_dir):
         assert ranks == list(range(1, len(rows) + 1))
 
 
+def test_ann_ivf_recall_and_structure(spark, sf_dir):
+    """IVF probes n_probe/n_cells of the corpus; with the planted near-dup
+    structure the true nearest neighbor lands in a probed cell often enough
+    for a fixed recall floor (deterministic: Knuth-hash seeds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact1 = {
+        r.query_id: r.item_id
+        for r in similarity.ann_topk_bruteforce(emb, q, k=1).collect()
+    }
+    ivf = similarity.ann_topk_ivf(emb, q, k=5).collect()
+    hits = {(r.query_id, r.item_id) for r in ivf}
+    recall = sum(1 for qid, iid in exact1.items() if (qid, iid) in hits) / len(exact1)
+    assert recall >= 0.5, f"IVF recall@1 regressed: {recall:.2f}"
+    # ranks are dense 1..n per query and sims match the exact scorer
+    brute = {
+        (r.query_id, r.item_id): r.sim
+        for r in similarity.ann_topk_bruteforce(emb, q, k=50).collect()
+    }
+    by_q: dict = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.item_id) in brute:
+            assert abs(brute[(r.query_id, r.item_id)] - r.sim) < 1e-9
+    for rows in by_q.values():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
 def test_embedding_near_dup_symmetric_free(spark):
     vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
