@@ -425,3 +425,73 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tag") == 1)
         .select("event_id", "signup_ts")
     )
+
+
+@register(
+    "semi_anti_join",
+    """
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT n.n_name AS nation,
+           count(*) FILTER (WHERE b.o_custkey IS NOT NULL) AS with_f_orders,
+           count(*) FILTER (WHERE b.o_custkey IS NULL)     AS without_f_orders
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN buyers b ON b.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join coverage: customers with vs without finished orders,
+    per nation. Spark-side it is a genuine ``left_semi`` + ``left_anti``
+    (both plan as existence hash joins — the orders side is aggregated to
+    distinct keys by the join itself, no DISTINCT materialization), then a
+    broadcast nation join and one skew-free aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders_f = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    semi = cust.join(orders_f, "c_custkey", "left_semi").withColumn(
+        "has", F.lit(1)
+    )
+    anti = cust.join(orders_f, "c_custkey", "left_anti").withColumn(
+        "has", F.lit(0)
+    )
+    both = semi.unionByName(anti).join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")
+    )
+    return both.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum("has").alias("with_f_orders"),
+        F.sum(1 - F.col("has")).alias("without_f_orders"),
+    )
+
+
+@register(
+    "outer_join_agg",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE)
+             / 100.0 AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregate preserving zero-order customers (the
+    outer-join class was otherwise uncovered). count(col) skips the nulls
+    the outer join introduces, so customers without orders report 0/0.0 —
+    same null semantics as the SQL oracle. Shuffle on c_custkey only."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", cents(F.col("o_totalprice")).alias("price_c")
+    )
+    joined = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left"
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        (F.coalesce(F.sum("price_c"), F.lit(0)).cast("double") / 100.0).alias(
+            "total_spend"
+        ),
+    )

@@ -130,3 +130,46 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path, sf_dir):
     assert got
     for k, v in got.items():
         assert batch[k] == v
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
+    # stateful applyInPandasWithState sessionization ≡ the batch lag+sum
+    # query when per-user events arrive in order (single sorted source)
+    from data_pipelines_worker_spark.queries.relational_queries import (
+        q_sessionization,
+    )
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.sessions import sessionize_stream
+
+    batch = {
+        r.event_id: (r.user_id, r.session_no)
+        for r in q_sessionization(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .orderBy("ts", "event_id")
+        .coalesce(1)
+    )
+    src = tmp_path / "sess_events"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).parquet(str(src))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.user_id, r.session_no)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == len(batch)
+    assert got == batch
