@@ -36,6 +36,7 @@ from ..functions.strings import (
     text_replace,
     wrap_text,
 )
+from ..session import local_df
 from ..sources import stage_store
 from ..streaming.moderation import ACTIONS, SHORT_FORMS
 
@@ -456,9 +457,17 @@ def _dfop_audio_convert(runner, df, block):
 def _dfop_http_request(runner, df, block):
     from ..operators import external
 
+    # per-row request shaping (block_http.go:69-91): method/headers/query/
+    # body bind from upstream columns when present, static values from the
+    # block input otherwise
     out = external.http_request(
         df,
         url_col="url",
+        method_col="method" if "method" in df.columns else None,
+        headers=block.input.get("headers"),
+        headers_col="headers" if "headers" in df.columns else None,
+        query_col="query" if "query" in df.columns else None,
+        body_col="body" if "body" in df.columns else None,
         policy=runner.http_policy,
         on_error=str(block.input.get("on_error", "fail")),
     )
@@ -756,12 +765,14 @@ class PipelineRunner:
                 if v0 and isinstance(v0[0], (bytes, bytearray)):
                     # multipart file[] uploads arrive as raw bytes
                     # (api/schemas/pipelines.go:117-151)
-                    df = self.spark.createDataFrame(
+                    df = local_df(
+                        self.spark,
                         [(i, bytes(x)) for i, x in enumerate(v0)],
                         f"input_index long, {k0} binary",
                     )
                 else:
-                    df = self.spark.createDataFrame(
+                    df = local_df(
+                        self.spark,
                         [(i, str(x)) for i, x in enumerate(v0)],
                         f"input_index long, {k0} string",
                     )
@@ -936,7 +947,8 @@ class PipelineRunner:
         cursors[block.slug] = consumed  # offset advance: events are acked
         declined = [i for i in indices if decs[i].action == "decline"]
         regen = [i for i in indices if decs[i].action == "regenerate"]
-        out = self.spark.createDataFrame(
+        out = local_df(
+            self.spark,
             [
                 (
                     int(i),

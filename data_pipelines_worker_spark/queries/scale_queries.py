@@ -104,8 +104,10 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop over every (event, bucket) pair. (Here the bucket side is
     also broadcast: double win.)"""
     ev = load_table(spark, sf_dir, "events")
-    buckets = ev.sparkSession.createDataFrame(
-        _BUCKETS, "name string, lo double, hi double"
+    from ..session import local_df
+
+    buckets = local_df(
+        ev.sparkSession, list(_BUCKETS), "name string, lo double, hi double"
     )
     exploded = buckets.select(
         "name",

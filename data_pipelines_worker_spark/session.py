@@ -63,6 +63,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small control-plane frame as a LocalRelation (Arrow), never a
+    parallelized Python RDD.
+
+    ``createDataFrame(list)`` spreads the rows over
+    ``defaultParallelism`` Python partitions; every downstream action then
+    pays one Python-worker round-trip *per partition* (~150 ms each), so a
+    3-row status write costs ~5 s under ``coalesce(1)``. Routing through
+    pandas + Arrow yields a ``LocalTableScan`` — pure JVM, no Python
+    workers — ~20× faster for the metadata/fan-out frames the pipeline
+    runner creates. (Table-scale data never comes from Python lists.)
+    """
+    import pandas as pd
+
+    names = [c.split()[0] for c in schema.split(",")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Parquet scan → pushdown + pruning free.
 

@@ -57,8 +57,13 @@ def write_status(
         )
         for slug, status in statuses.items()
     ]
+    from ..session import local_df
+
     path = _status_path(root, pipeline_slug, processing_id)
-    spark.createDataFrame(rows, STATUS_SCHEMA).coalesce(1).write.mode(
+    # LocalRelation (Arrow) rather than a parallelized list: a Python-RDD
+    # frame pays one Python-worker round-trip per partition under the
+    # coalesce(1), ~5 s for 3 rows; the local frame writes in ~0.2 s.
+    local_df(spark, rows, STATUS_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
     return path
