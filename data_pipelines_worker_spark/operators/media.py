@@ -718,3 +718,101 @@ def join_videos(
         return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
     return src.groupBy(*gcols).applyInPandas(assemble, schema)
+
+
+def video_frame_sample_bytes(video: bytes, every: int = 1) -> list[bytes]:
+    """Every ``every``-th frame of the first FRMS stream as a standalone
+    image (ffmpeg ``-vf select='not(mod(n,N))'`` shape): 1→N, frame k
+    rendered at the video's geometry."""
+    if every <= 0:
+        every = 1
+    w, h, _fps, _n = fvid_meta(video)
+    frames = b"".join(fvid_sections(video, b"FRMS"))
+    return [
+        fimg_encode(w, h, bytes([frames[k]]) * (w * h))
+        for k in range(0, len(frames), every)
+    ]
+
+
+def video_frame_sample(
+    df: DataFrame, every: int = 1, payload_col: str = "payload_bin"
+) -> DataFrame:
+    """1→N frame sampling over a video column — the multimodal analog of
+    ``audio_chunk``: each sampled frame becomes an indexed image row that
+    downstream fan-out consumes via posexplode semantics. Executor-side
+    only; at scale the per-task memory bound is one video's frames."""
+    base_fields = [
+        f for f in df.schema.fields if f.name not in (payload_col, "mime", "output_index")
+    ]
+    schema = T.StructType(
+        base_fields
+        + [
+            T.StructField("output_index", T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    names = [f.name for f in schema.fields]
+    passthrough = [f.name for f in base_fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                frames = video_frame_sample_bytes(bytes(r[payload_col]), every)
+                for i, img in enumerate(frames):
+                    row = {k: r[k] for k in passthrough}
+                    row["output_index"] = i
+                    row[payload_col] = img
+                    row["mime"] = MEDIA_MIME["png"]
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
+                columns=names
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def image_stats(df: DataFrame, payload_col: str = "payload_bin") -> DataFrame:
+    """Feature extraction over an image column: adds
+    (img_w, img_h, px_sum, px_mean) decoded from FIMG or real PNG bytes
+    (luma = mean of RGB channels for color PNGs). The canonical multimodal
+    "decode → features" stage: Arrow-batched, nothing touches the driver,
+    output is plain numeric columns any relational operator can consume."""
+    fields = list(df.schema.fields) + [
+        T.StructField("img_w", T.LongType(), True),
+        T.StructField("img_h", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+    schema = T.StructType(fields)
+    names = [f.name for f in schema.fields]
+
+    def gen(batches):
+        from . import png_codec as P
+
+        for pdf in batches:
+            out = pdf.copy()
+            ws, hs, sums, means = [], [], [], []
+            for b in pdf[payload_col]:
+                data = bytes(b)
+                if data[:4] == FIMG_MAGIC:
+                    w, h, px = fimg_decode(data)
+                    s = sum(px)
+                elif P.is_png(data):
+                    arr = P.png_decode(data)
+                    h, w = arr.shape[:2]
+                    gray = arr[:, :, :3].mean(axis=2) if arr.ndim == 3 and arr.shape[2] >= 3 else arr[:, :, 0]
+                    s = int(round(float(gray.sum())))
+                else:
+                    _require_real_backend("image", data)
+                    raise NotImplementedError
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(s))
+                means.append(s / float(w * h))
+            out["img_w"], out["img_h"] = ws, hs
+            out["px_sum"], out["px_mean"] = sums, means
+            yield out[names]
+
+    return df.mapInPandas(gen, schema)

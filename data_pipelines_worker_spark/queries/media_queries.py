@@ -207,3 +207,124 @@ def q_media_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "audio_seconds"
         ),
     )
+
+
+@register(
+    "media_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS output_index,
+           CAST((224 + 4 * k) % 256 AS BIGINT) AS frame_byte
+    FROM (
+        SELECT doc_id,
+               unnest(range(CAST(CEIL(10 * ((length(text) % 5) + 1) / 4.0) AS BIGINT))) AS k
+        FROM documents
+    )
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """video_frame_sample 1→N: every 4th frame of a 10 fps video whose
+    frame bytes are the arithmetic sequence (base + i) % 256 seeded by the
+    source image (video_from_image_bytes), base = sum(range(64)) % 256 =
+    224 — so sampled frame k carries (224 + 4k) % 256, closed-form per
+    doc. Frame byte decoded JVM-side from the FIMG pixel block."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("seconds", T.DoubleType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "seconds": float(len(t) % 5 + 1),
+                        "payload_bin": M.fimg_encode(8, 8, bytes(range(64))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    src = docs.mapInPandas(gen, schema)
+    vid_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+        ]
+    )
+
+    def to_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_bin": [
+                        M.video_from_image_bytes(bytes(p), 0.0, s, fps=10)
+                        for p, s in zip(pdf["payload_bin"], pdf["seconds"])
+                    ],
+                }
+            )
+
+    vid = src.mapInPandas(to_video, vid_schema)
+    frames = M.video_frame_sample(vid, every=4)
+    # FIMG pixel block starts at byte 13 (1-indexed); all pixels equal
+    return frames.select(
+        "doc_id",
+        "output_index",
+        F.conv(F.hex(F.substring(F.col("payload_bin"), 13, 1)), 16, 10)
+        .cast("long")
+        .alias("frame_byte"),
+    )
+
+
+@register(
+    "media_image_stats",
+    # pixel i of doc d is (d + i) % 256; the pixel sum over n = w*h pixels
+    # is S(a+n) - S(a) with a = d % 256 and S(m) = (m//256)*32640
+    # + r*(r-1)/2 for r = m % 256 (32640 = sum 0..255) — closed form, no
+    # lateral range() needed.
+    """
+    SELECT doc_id, img_w, img_h,
+           CAST(((a + n) // 256) * 32640
+                + ((a + n) % 256) * ((a + n) % 256 - 1) // 2
+                - a * (a - 1) // 2 AS BIGINT) AS px_sum
+    FROM (
+        SELECT doc_id,
+               CAST(8 + length(text) % 24 AS BIGINT) AS img_w,
+               CAST(8 + (length(text) // 7) % 24 AS BIGINT) AS img_h,
+               doc_id % 256 AS a,
+               (8 + length(text) % 24) * (8 + (length(text) // 7) % 24) AS n
+        FROM documents
+    )
+    """,
+)
+def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_stats feature extraction: per-image (w, h, pixel sum) where
+    pixel i of doc d is (d + i) % 256 — decode → reduce per payload,
+    closed-form for the oracle. The px_mean double is left out of the gate
+    (px_sum/(w*h) is the same information, integer-exact)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                w = 8 + len(t) % 24
+                h = 8 + (len(t) // 7) % 24
+                px = bytes((int(doc_id) + i) % 256 for i in range(w * h))
+                payloads.append(M.fimg_encode(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload_bin": payloads})
+
+    src = docs.mapInPandas(gen, schema)
+    return M.image_stats(src).select("doc_id", "img_w", "img_h", "px_sum")

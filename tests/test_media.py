@@ -228,3 +228,49 @@ class TestSparkOps:
         assert len(rows) == 1
         assert M.faud_duration(bytes(rows[0].payload_bin)) == pytest.approx(1.0)
         assert rows[0].mime == "audio/mpeg"
+
+
+class TestFrameSampleAndStats:
+    def test_frame_sample_bytes_every_n(self):
+        img = M.fimg_encode(4, 4, bytes(range(16)))
+        vid = M.video_from_image_bytes(img, 0.0, 1.0, fps=10)  # 10 frames
+        frames = M.video_frame_sample_bytes(vid, every=3)
+        assert len(frames) == 4  # ceil(10/3)
+        base = sum(range(16)) % 256
+        for k, fr in enumerate(frames):
+            w, h, px = M.fimg_decode(fr)
+            assert (w, h) == (4, 4)
+            assert px == bytes([(base + 3 * k) % 256]) * 16
+
+    def test_frame_sample_spark_1_to_n(self, spark):
+        img = M.fimg_encode(2, 2, bytes(4))
+        vids = [
+            (i, M.video_from_image_bytes(img, 0.0, float(i + 1), fps=2))
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(vids, "input_index long, payload_bin binary")
+        rows = (
+            M.video_frame_sample(df, every=2)
+            .orderBy("input_index", "output_index")
+            .collect()
+        )
+        # video i has 2*(i+1) frames → 1, 2, 3 samples at every=2
+        counts = {}
+        for r in rows:
+            counts[r.input_index] = counts.get(r.input_index, 0) + 1
+            assert r.mime == "image/png"
+        assert counts == {0: 1, 1: 2, 2: 3}
+
+    def test_image_stats_fimg_and_png(self, spark):
+        from data_pipelines_worker_spark.operators import png_codec as P
+        import numpy as np
+
+        fimg = M.fimg_encode(3, 2, bytes([10, 20, 30, 40, 50, 60]))
+        png = P.png_encode(np.full((4, 5, 3), 7, dtype=np.uint8))
+        df = spark.createDataFrame(
+            [(0, fimg), (1, png)], "input_index long, payload_bin binary"
+        )
+        rows = M.image_stats(df).orderBy("input_index").collect()
+        assert (rows[0].img_w, rows[0].img_h, rows[0].px_sum) == (3, 2, 210)
+        assert rows[0].px_mean == pytest.approx(35.0)
+        assert (rows[1].img_w, rows[1].img_h, rows[1].px_sum) == (5, 4, 140)
