@@ -86,6 +86,19 @@ class TestJoinStrategy:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_semi_anti_plan_as_existence_joins(self, spark, registry):
+        # left_semi/left_anti must not degrade to distinct+inner or NLJ
+        plan = plan_of(q(registry, "semi_anti_join", spark))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ivf_probe_join_is_equi(self, spark, registry):
+        # cell-probe join is an equi-join on cell id; queries broadcast
+        plan = plan_of(q(registry, "ann_cosine_topk_ivf", spark))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
 
 class TestAggregation:
     def test_q1_partial_aggregation(self, spark, registry):
@@ -134,6 +147,8 @@ class TestCodegenHygiene:
         "dedup_simhash",
         "token_count",
         "lang_id",
+        "semi_anti_join",
+        "outer_join_agg",
     ]
 
     def test_no_python_eval_in_hot_paths(self, spark, registry):

@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis): kernels hold their contracts over
+generated inputs, not just the fixture corpus.
+
+Pure-Python kernels (PNG codec, audio chunking, ASS time) get wide input
+ranges; Spark column kernels run a small number of examples with one tiny
+job each (string semantics vs an independent Python model)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipelines_worker_spark.operators import media as M
+from data_pipelines_worker_spark.operators import png_codec as P
+
+FAST = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+SPARK_FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class TestPngProperties:
+    @FAST
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_identity(self, w, h, ch, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        assert np.array_equal(P.png_decode(P.png_encode(arr)), arr)
+
+    @FAST
+    @given(
+        w=st.integers(2, 30),
+        h=st.integers(2, 30),
+        ow=st.integers(1, 40),
+        oh=st.integers(1, 40),
+    )
+    def test_resize_dims_and_range(self, w, h, ow, oh):
+        arr = np.fromfunction(
+            lambda y, x, c: (x * 7 + y * 13 + c) % 256, (h, w, 3)
+        ).astype(np.uint8)
+        out = P.resize_bilinear(arr, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        # bilinear never extrapolates beyond the input value range
+        assert out.min() >= arr.min() and out.max() <= arr.max()
+
+    @FAST
+    @given(sigma=st.floats(0.1, 5.0), seed=st.integers(0, 1000))
+    def test_blur_preserves_constant_images(self, sigma, seed):
+        v = seed % 256
+        arr = np.full((9, 11, 3), v, dtype=np.uint8)
+        assert np.array_equal(P.gaussian_blur(arr, sigma), arr)
+
+
+class TestMediaProperties:
+    @FAST
+    @given(
+        seconds=st.floats(0.1, 30.0),
+        duration=st.floats(0.2, 10.0),
+        rate=st.integers(10, 200),
+    )
+    def test_audio_chunks_partition_the_stream(self, seconds, duration, rate):
+        samples = bytes(i % 256 for i in range(int(seconds * rate)))
+        audio = M.faud_encode(rate, samples)
+        chunks = M.audio_chunk_bytes(audio, duration)
+        # chunks reassemble to the exact input; all but the last are full
+        joined = b"".join(M.faud_decode(c)[1] for c in chunks)
+        assert joined == samples
+        step = max(1, int(duration * rate))
+        for c in chunks[:-1]:
+            assert len(M.faud_decode(c)[1]) == step
+
+    @FAST
+    @given(
+        n_vids=st.integers(2, 6),
+        secs=st.lists(st.floats(0.1, 3.0), min_size=6, max_size=6),
+    )
+    def test_join_videos_frame_count_additive(self, n_vids, secs):
+        img = M.fimg_encode(4, 4, bytes(16))
+        vids = [
+            M.video_from_image_bytes(img, 0.0, secs[i], fps=10)
+            for i in range(n_vids)
+        ]
+        total = sum(M.fvid_meta(v)[3] for v in vids)
+        assert M.fvid_meta(M.join_videos_bytes(vids))[3] == total
+
+    @FAST
+    @given(every=st.integers(1, 10), seconds=st.floats(0.1, 5.0))
+    def test_frame_sample_count(self, every, seconds):
+        img = M.fimg_encode(3, 3, bytes(9))
+        vid = M.video_from_image_bytes(img, 0.0, seconds, fps=10)
+        n = M.fvid_meta(vid)[3]
+        frames = M.video_frame_sample_bytes(vid, every)
+        assert len(frames) == (n + every - 1) // every if n else len(frames) == 0
+
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=40,
+)
+
+
+class TestStringKernelProperties:
+    @SPARK_FAST
+    @given(rows=st.lists(st.tuples(TEXT, TEXT, TEXT), min_size=1, max_size=20))
+    def test_wrap_text_matches_python_model(self, spark, rows):
+        # wrap_text = ltrim-spaces(prefix) + ltrim(text) + ltrim(suffix)
+        # (block_wrap_text.go:67-71 TrimLeft(" ") semantics)
+        from data_pipelines_worker_spark.functions.strings import wrap_text
+        from data_pipelines_worker_spark.session import local_df
+
+        df = local_df(
+            spark,
+            [(i, t, p, s) for i, (t, p, s) in enumerate(rows)],
+            "i long, t string, p string, s string",
+        )
+        got = {
+            r.i: r.out
+            for r in df.select(
+                "i", wrap_text(F.col("t"), F.col("p"), F.col("s")).alias("out")
+            ).collect()
+        }
+        for i, (t, p, s) in enumerate(rows):
+            want = p.lstrip(" ") + t.lstrip(" ") + s.lstrip(" ")
+            assert got[i] == want, (t, p, s)
+
+    @SPARK_FAST
+    @given(
+        rows=st.lists(
+            st.tuples(TEXT, st.text(min_size=1, max_size=5), TEXT),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_text_replace_matches_python_model(self, spark, rows):
+        from data_pipelines_worker_spark.functions.strings import text_replace
+        from data_pipelines_worker_spark.session import local_df
+
+        df = local_df(
+            spark,
+            [(i, t, o, n) for i, (t, o, n) in enumerate(rows)],
+            "i long, t string, o string, n string",
+        )
+        got = {
+            r.i: r.out
+            for r in df.select(
+                "i",
+                text_replace(F.col("t"), F.col("o"), F.col("n")).alias("out"),
+            ).collect()
+        }
+        for i, (t, o, n) in enumerate(rows):
+            # block_text_replace.go:63-79: text and new both TrimLeft(" ")
+            assert got[i] == t.lstrip(" ").replace(o, n.lstrip(" ")), (t, o, n)
