@@ -11,12 +11,15 @@
   (recall < 1), so it is correctness-checked structurally (rows-only),
   not value-hashed.
 
-Verification dot products are `zip_with`+`aggregate` column expressions
-(JVM, strict fold, oracle-identical). The LSH *signature* stage is an
-Arrow-batched pandas UDF: 32 planes × an interpreted fold each would be
-the simhash anti-pattern; `np.cumsum` is the same sequential accumulation
-a strict left fold performs, so the vectorized projections stay
-bit-identical to the DuckDB oracle while running at BLAS speed.
+Determinism discipline: every float reduction (signature projections,
+norms, pair dots) is a *strict left fold* — in column form via
+`zip_with`+`aggregate` (:func:`dot`, the readable reference), and in the
+hot paths via Arrow-batched `np.cumsum` (:func:`dot_strict_udf`,
+:func:`bands_signature_udf`), which performs the identical left-to-right
+float64 addition sequence. Both therefore hash-match the DuckDB
+``list_reduce`` oracle bit-for-bit while the batch form runs vectorized
+(interpreted higher-order folds don't whole-stage-codegen — the simhash
+lesson generalized to the whole similarity family).
 """
 
 from __future__ import annotations
@@ -34,6 +37,28 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot_strict_udf():
+    """Arrow-batched pair dot product, bit-identical to :func:`dot`.
+
+    The column-expression fold is interpreted (no codegen for higher-order
+    functions) — fine for a handful of rows, ~µs/pair×dims at scoring
+    scale. ``np.cumsum(A*B, axis=1)[:, -1]`` performs the same strictly
+    left-to-right float64 additions, so scores hash-match the DuckDB
+    ``list_reduce`` oracle while running vectorized."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.cumsum(A * B, axis=1)[:, -1])
+
+    return pair_dot
 
 
 def l2norm(a: Column) -> Column:
@@ -68,15 +93,18 @@ def ann_topk_bruteforce(
     per-pair work drops to the single dot fold. Same arithmetic on the
     same values ⇒ bit-identical to the per-pair oracle.
     """
+    pd_dot = dot_strict_udf()
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", l2norm(F.col("qv")))
+    ).withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
     it = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
-    ).withColumn("inorm", l2norm(F.col("iv")))
+    ).withColumn("inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv"))))
     scored = (
         it.join(F.broadcast(q), F.col("item_id") != F.col("query_id"))
-        .withColumn("sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm")))
+        .withColumn(
+            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
     return (
@@ -194,19 +222,20 @@ def ann_topk_lsh(
     """
     planes = _hyperplanes(dim, n_planes * n_bands)
     sig = bands_signature_udf(planes, n_bands, n_planes)
+    pd_dot = dot_strict_udf()
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
         .withColumn("bands", sig(F.col("qv")))
-        .withColumn("qn", l2norm(F.col("qv")))
+        .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
     )
     it = (
         items.select(
             F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
         )
         .withColumn("bands", sig(F.col("iv")))
-        .withColumn("inorm", l2norm(F.col("iv")))
+        .withColumn("inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv"))))
     )
     q_ex = q.select(
         "query_id", F.posexplode("bands").alias("band", "bucket")
@@ -222,7 +251,7 @@ def ann_topk_lsh(
         cand.join(it.select("item_id", "iv", "inorm"), "item_id")
         .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
         .withColumn(
-            "sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
+            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
@@ -308,21 +337,22 @@ def ann_topk_ivf(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(cids[order]))
 
+    pd_dot = dot_strict_udf()
     it = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
-        "inorm", l2norm(F.col("iv"))
+        "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
         .withColumn("cell", F.explode(probes_of(F.col("qv"))))
-        .withColumn("qn", l2norm(F.col("qv")))
+        .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
     )
     scored = (
         it.join(F.broadcast(q), "cell")
         .where(F.col("item_id") != F.col("query_id"))
         .withColumn(
-            "sim", dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
+            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
