@@ -173,3 +173,34 @@ def test_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
         q.stop()
     assert len(got) == len(batch)
     assert got == batch
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
+    # first-seen streaming dedup ≡ batch exact_dedup canonical set
+    from data_pipelines_worker_spark.operators.dedup import exact_dedup
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.dedup import dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_keepers = {
+        r.doc_id
+        for r in exact_dedup(docs, "doc_id", "text")
+        .where(~F.col("is_duplicate"))
+        .collect()
+    }
+    src = tmp_path / "docs_stream"
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect()}
+    finally:
+        q.stop()
+    assert got == batch_keepers
