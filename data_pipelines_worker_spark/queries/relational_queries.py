@@ -495,3 +495,87 @@ def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_spend"
         ),
     )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation over a fact-dim join.
+    Date bounds push to the lineitem scan; part broadcasts; the CASE is a
+    codegen'd projection feeding one map-side-combined aggregate. Money in
+    exact integer cents so the ratio is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_c = cents(F.col("l_extendedprice")) * cents(1 - F.col("l_discount"))
+    joined = li.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    ).select(
+        disc_c.alias("rev_c"),
+        F.when(F.col("p_type").startswith("PROMO"), disc_c)
+        .otherwise(F.lit(0))
+        .alias("promo_c"),
+    )
+    agg = joined.agg(F.sum("promo_c").alias("p"), F.sum("rev_c").alias("t"))
+    return agg.select(
+        F.round(100.0 * F.col("p").cast("double") / F.col("t").cast("double"), 6).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_qty,
+           max(o.o_totalprice) AS o_totalprice
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
+    )
+    GROUP BY o.o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered keys semi-joined back to the
+    fact. The heavy aggregation (sum qty per order) runs once; the
+    qualifying key set drives a left_semi before the final join+agg, so
+    non-qualifying orders never reach the wide join. One shuffle key
+    (orderkey) throughout — co-partitioned end to end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", cents(F.col("l_quantity")).alias("qty_c")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("tq"))
+        .where(F.col("tq") > 20000)
+        .select("l_orderkey")
+    )
+    li_big = li.join(big, "l_orderkey", "left_semi")
+    joined = orders.join(
+        li_big, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderkey").agg(
+        (F.sum("qty_c").cast("double") / 100.0).alias("total_qty"),
+        F.max("o_totalprice").alias("o_totalprice"),
+    )
