@@ -206,3 +206,61 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("sum_cents").cast("double") / 100.0).alias("sum_value"),
     )
+
+
+@register(
+    "bucketed_join_agg",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing: both sides bucketed by the
+    join key at write time, so the join plans with ZERO exchanges — the
+    100 TB answer to repeated big-big joins on a stable key (pay one
+    bucketed write, then every subsequent join is shuffle-free). The
+    bucketed copies are written once per (session, sf) into a session-local
+    warehouse; ``tests/test_plan_quality.py`` asserts the no-Exchange
+    property machine-checked.
+    """
+    import os
+    import tempfile
+
+    n_buckets = 8
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    # session-scoped marker: rewrite buckets once per (session, sf)
+    if not hasattr(spark, "_dpws_bucket_roots"):
+        spark._dpws_bucket_roots = {}
+    root = spark._dpws_bucket_roots.get(tag)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"dpws_buckets_{tag}_")
+        for name, key, cols in (
+            ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+            ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+        ):
+            tbl = f"dpws_b_{tag.replace('.', '_')}_{name}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                load_table(spark, sf_dir, name)
+                .select(*cols)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", os.path.join(root, tbl))
+                .saveAsTable(tbl)
+            )
+        spark._dpws_bucket_roots[tag] = root
+    t = tag.replace(".", "_")
+    orders = spark.table(f"dpws_b_{t}_orders")
+    li = spark.table(f"dpws_b_{t}_lineitem")
+    joined = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+            "sum_price"
+        ),
+    )

@@ -92,6 +92,24 @@ class TestJoinStrategy:
         assert "LeftSemi" in plan and "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_bucketed_join_has_no_exchange_before_join(self, spark, registry):
+        # both sides bucketed+sorted by the join key → SortMergeJoin with
+        # ZERO exchanges feeding it (the co-located-join contract). At tiny
+        # SF the cost model would pick broadcast (also exchange-free on the
+        # big side) — disable it so the audit exercises the big-big shape
+        # this pattern exists for.
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = q(registry, "bucketed_join_agg", spark)
+            plan = plan_of(df)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin")[-1]  # subtree below the join
+        assert "Exchange" not in join_part, "join inputs were shuffled"
+        assert plan.count("Bucketed: true") == 2
+
     def test_ivf_probe_join_is_equi(self, spark, registry):
         # cell-probe join is an equi-join on cell id; queries broadcast
         plan = plan_of(q(registry, "ann_cosine_topk_ivf", spark))
