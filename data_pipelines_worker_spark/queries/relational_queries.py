@@ -579,3 +579,34 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("qty_c").cast("double") / 100.0).alias("total_qty"),
         F.max("o_totalprice").alias("o_totalprice"),
     )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+           count(*) AS n_orders,
+           CAST(max(datediff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_epoch
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function library coverage (absent from the reference,
+    SURVEY §2.3 — times there are raw float seconds): truncation,
+    component extraction, date arithmetic, all JVM built-ins grouped in one
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.max(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")))
+        .cast("long")
+        .alias("max_days_since_epoch"),
+    )

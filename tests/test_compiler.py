@@ -201,3 +201,45 @@ def test_spec_from_json_reference_shape(runner):
         "[where do they all come from]",
         "[ah look at all the lonely people]",
     ]
+
+
+def test_concurrent_processings_are_isolated(spark, tmp_path):
+    # two runs of the same pipeline share a store root but never cross
+    # paths: stage parquet and status live under distinct processing ids
+    # (reference: per-processing registry, pipeline_block_data_registry.go)
+    from data_pipelines_worker_spark.plans.compiler import (
+        BlockSpec,
+        InputBinding,
+        PipelineRunner,
+        PipelineSpec,
+    )
+    from data_pipelines_worker_spark.sources import run_log, stage_store
+
+    spec = PipelineSpec(
+        slug="iso",
+        blocks=[
+            BlockSpec(id="upload_file", slug="up", fan_out=True),
+            BlockSpec(
+                id="wrap_text",
+                slug="w",
+                input={"prefix": "<", "suffix": ">"},
+                bindings=[InputBinding(param="text", origin="up")],
+            ),
+        ],
+    )
+    runner = PipelineRunner(spark, str(tmp_path))
+    r1 = runner.run(spec, request_input={"up": {"file": ["alpha", "beta"]}})
+    r2 = runner.run(spec, request_input={"up": {"file": ["gamma"]}})
+    assert r1.processing_id != r2.processing_id
+    out1 = stage_store.read_stage(
+        spark, str(tmp_path), "iso", r1.processing_id, "w"
+    ).collect()
+    out2 = stage_store.read_stage(
+        spark, str(tmp_path), "iso", r2.processing_id, "w"
+    ).collect()
+    assert sorted(r.payload_str for r in out1) == ["<alpha>", "<beta>"]
+    assert [r.payload_str for r in out2] == ["<gamma>"]
+    assert set(run_log.list_processings(str(tmp_path), "iso")) == {
+        r1.processing_id,
+        r2.processing_id,
+    }
