@@ -123,3 +123,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", ta.normalize_text(F.col("text")).alias("normalized"))
+
+
+def _corpus_prep_oracle() -> str:
+    sw = _sw_sql()
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), w -> list_contains({arr}, w)))"
+        for lang, arr in sw.items()
+    }
+    all_sw = "[" + ", ".join(
+        f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws
+    ) + "]"
+    return f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    feats AS (
+      SELECT doc_id,
+             CASE
+               WHEN {score['en']} >= {score['es']} AND {score['en']} >= {score['de']}
+                    AND {score['en']} >= {score['fr']} THEN 'en'
+               WHEN {score['es']} >= {score['de']} AND {score['es']} >= {score['fr']} THEN 'es'
+               WHEN {score['de']} >= {score['fr']} THEN 'de'
+               ELSE 'fr'
+             END AS lang_pred,
+             round(
+               0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
+                                      / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
+             + 0.3 * least(len(list_filter(string_split(text, ' '),
+                                           w -> list_contains({all_sw}, w)))
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)), 6) AS quality,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT f.doc_id, f.lang_pred, f.quality, f.n_tokens
+    FROM feats f JOIN keep k ON k.doc_id = f.doc_id
+    WHERE f.quality >= 0.45
+    """
+
+
+@register("corpus_prep", _corpus_prep_oracle())
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-prep pipeline in one plan: exact dedup
+    (keep the canonical min-id copy) → language ID → quality scoring →
+    token counting → quality gate. All text features are projections over
+    one documents scan; dedup adds the single content-keyed window shuffle
+    — the whole corpus-prep pass costs one shuffle + one scan, the shape
+    you want when this runs over 100 TB of crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import exact_dedup
+
+    kept = exact_dedup(docs, "doc_id", "text").where(~F.col("is_duplicate"))
+    words = ta.tokenize_ws(F.col("text"))
+    return (
+        kept.select(
+            "doc_id",
+            ta.lang_id(words).alias("lang_pred"),
+            F.round(ta.quality_score(F.col("text")), 6).alias("quality"),
+            ta.token_count_regex(F.col("text")).alias("n_tokens"),
+        )
+        .where(F.col("quality") >= 0.45)
+    )
