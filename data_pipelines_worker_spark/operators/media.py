@@ -344,9 +344,15 @@ def audio_from_video_bytes(
 
 def audio_chunk_bytes(audio: bytes, duration: float = 600.0) -> list[bytes]:
     """ffmpeg ``-f segment -segment_time`` (block_audio_chunk.go:118-125):
-    fixed-duration chunks, last one ragged; default 10m (:210). 1→N."""
+    fixed-duration chunks, last one ragged; default 10m (:210). 1→N.
+    Real PCM WAV payloads chunk natively (wav_codec); FAUD is the
+    deterministic test container; MP3 needs ffmpeg."""
     if duration <= 0:
         duration = 600.0
+    from . import wav_codec as WAV
+
+    if WAV.is_wav(audio):
+        return WAV.chunk(audio, duration)
     rate, samples = faud_decode(audio)
     step = max(1, int(duration * rate))
     return [
@@ -363,7 +369,16 @@ def audio_convert_bytes(
 ) -> bytes:
     """``-ac/-ar/-b:a`` (block_audio_convert.go:108-120): nearest-neighbour
     resample to ``sample_rate``; the fake container is single-channel so
-    ``mono`` and ``bit_rate`` only affect the real-codec path."""
+    ``mono`` only affects the real paths. Real PCM WAV converts natively
+    (mixdown + resample, wav_codec); ``bit_rate`` is meaningful only for
+    lossy codecs, which need ffmpeg."""
+    from . import wav_codec as WAV
+
+    if WAV.is_wav(audio):
+        if format != "wav":
+            # lossy targets need a real encoder — honest ffmpeg gate
+            _require_real_backend("audio", audio)
+        return WAV.convert(audio, mono=mono, sample_rate=sample_rate)
     rate, samples = faud_decode(audio)
     if sample_rate and sample_rate != rate and samples:
         n_out = max(1, _round_half_up(len(samples) * sample_rate / rate))
@@ -669,7 +684,7 @@ def audio_chunk(
                     row = {k: r[k] for k in passthrough}
                     row["output_index"] = i
                     row[payload_col] = c
-                    row["mime"] = MEDIA_MIME["mp3"]
+                    row["mime"] = "audio/wav" if c[:4] == b"RIFF" else MEDIA_MIME["mp3"]
                     rows.append(row)
             yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
                 columns=names
