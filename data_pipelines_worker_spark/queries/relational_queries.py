@@ -610,3 +610,38 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_days_since_epoch"),
     )
+
+
+@register(
+    "window_functions",
+    """
+    SELECT event_id,
+           lag(event_id) OVER w AS prev_id,
+           lead(event_id) OVER w AS next_id,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth over one partitioning: lag/lead, ntile,
+    cume_dist, and a running sum share the same (user_id, ts) window, so
+    Catalyst plans a single exchange + sort for all five — the multi-window
+    consolidation that matters when analysts stack window columns at
+    100 TB. Ordering key is integer-tie-broken (ts, event_id): no float
+    ties, deterministic everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.sum(cents(F.col("value"))).over(wr).alias("run_cents"),
+    )

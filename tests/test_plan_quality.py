@@ -140,6 +140,13 @@ class TestAggregation:
         plan = plan_of(q(registry, "skew_salted_agg", spark))
         assert plan.count("HashAggregate") >= 4
 
+    def test_window_functions_share_one_exchange(self, spark, registry):
+        # five window columns over the same (user_id, ts) spec must plan
+        # one exchange + sort, not one per column
+        plan = plan_of(q(registry, "window_functions", spark))
+        assert plan.count("Exchange") == 1
+        assert plan.count("Sort ") <= 2  # ntile/cume_dist may resort frame
+
     def test_grouping_sets_single_scan(self, spark, registry):
         plan = plan_of(q(registry, "grouping_sets", spark))
         assert "Expand" in plan
