@@ -252,8 +252,28 @@ def image_add_text_bytes(
 def video_from_image_bytes(
     img: bytes, start: float, end: float, fps: int = 30
 ) -> bytes:
-    """ffmpeg ``-loop 1 -t (end-start)`` equivalent on the fake grid
-    (block_video_from_image.go:107-120): every frame derives from the image."""
+    """ffmpeg ``-loop 1 -t (end-start)`` equivalent
+    (block_video_from_image.go:107-120): every frame derives from the
+    image. Accepts the FIMG test container or a real PNG (decoded via
+    png_codec, luma = rounded RGB mean); the output container is FVID
+    either way — an actual MP4 mux needs ffmpeg."""
+    if img[:4] != FIMG_MAGIC:
+        from . import png_codec as P
+
+        if P.is_png(img):
+            arr = P.png_decode(img)
+            h, w = arr.shape[:2]
+            luma = (
+                arr[:, :, :3].mean(axis=2)
+                if arr.ndim == 3 and arr.shape[2] >= 3
+                else arr[:, :, 0]
+            )
+            import numpy as np
+
+            px = bytes(np.rint(luma).astype("uint8").reshape(-1))
+            img = fimg_encode(w, h, px)
+        else:
+            _require_real_backend("video", img)
     w, h, px = fimg_decode(img)
     n_frames = max(0, _round_half_up((end - start) * fps))
     base = sum(px) % 256
@@ -286,20 +306,54 @@ def join_videos_bytes(videos: Sequence[bytes], re_encode: bool = False) -> bytes
         (b"FRMS", b"".join(frames)),
     ]
     if audio_chunks:
-        rate, _ = faud_decode(audio_chunks[0])
-        merged = b"".join(faud_decode(a)[1] for a in audio_chunks)
-        sections.append((b"AUDI", faud_encode(rate, merged)))
+        from . import wav_codec as WAV
+
+        wavs = [WAV.is_wav(a) for a in audio_chunks]
+        if all(wavs):
+            import numpy as np
+
+            decoded = [WAV.wav_decode(a) for a in audio_chunks]
+            rate0 = decoded[0][0]
+            if any(r != rate0 for r, _ in decoded):
+                raise ValueError("audio sample-rate mismatch needs re_encode")
+            merged_frames = np.concatenate([f for _, f in decoded])
+            sections.append((b"AUDI", WAV.wav_encode(rate0, merged_frames)))
+        elif any(wavs):
+            raise ValueError("mixed WAV/FAUD audio streams cannot concat")
+        else:
+            rate, _ = faud_decode(audio_chunks[0])
+            merged = b"".join(faud_decode(a)[1] for a in audio_chunks)
+            sections.append((b"AUDI", faud_encode(rate, merged)))
     for s in subs:
         sections.append((b"SUBS", s))
     return fvid_encode(sections)
+
+
+def _validate_audio_payload(audio: bytes) -> None:
+    """FAUD test container or real PCM WAV; anything else is invalid."""
+    from . import wav_codec as WAV
+
+    if WAV.is_wav(audio):
+        WAV.wav_decode(audio)
+        return
+    faud_decode(audio)
+
+
+def _audio_stream_duration(audio: bytes) -> float:
+    from . import wav_codec as WAV
+
+    if WAV.is_wav(audio):
+        return WAV.wav_duration(audio)
+    return faud_duration(audio)
 
 
 def video_add_audio_bytes(
     video: bytes, audio: bytes, replace_original_audio: bool = False
 ) -> bytes:
     """``-map 0:v``/``-map 0`` + ``-map 1:a -c:v copy``: replace drops the
-    original audio streams, otherwise the new stream is appended."""
-    faud_decode(audio)  # validate
+    original audio streams, otherwise the new stream is appended. The
+    audio stream may be FAUD or real PCM WAV."""
+    _validate_audio_payload(audio)
     sections = fvid_decode(video)
     if replace_original_audio:
         sections = [(t, p) for t, p in sections if t != b"AUDI"]
@@ -332,10 +386,18 @@ def video_add_subtitles_bytes(
 def audio_from_video_bytes(
     video: bytes, start: float | None = None, end: float | None = None
 ) -> bytes:
-    """``-q:a 0 -map a`` with optional ``-ss/-t`` slice of the first stream."""
+    """``-q:a 0 -map a`` with optional ``-ss/-t`` slice of the first stream
+    (FAUD or real PCM WAV)."""
+    from . import wav_codec as WAV
+
     streams = fvid_sections(video, b"AUDI")
     if not streams:
         raise ValueError("video has no audio stream")
+    if WAV.is_wav(streams[0]):
+        rate, frames = WAV.wav_decode(streams[0])
+        lo = 0 if start is None else max(0, int(start * rate))
+        hi = frames.shape[0] if end is None else min(frames.shape[0], int(end * rate))
+        return WAV.wav_encode(rate, frames[lo:hi])
     rate, samples = faud_decode(streams[0])
     lo = 0 if start is None else max(0, int(start * rate))
     hi = len(samples) if end is None else min(len(samples), int(end * rate))

@@ -307,3 +307,93 @@ def test_upload_file_binary_roundtrip(spark, tmp_path):
         (0, 0), (0, 1), (0, 2), (1, 0), (1, 1),
     ]
     assert M.faud_duration(bytes(rows[2].payload_bin)) == pytest.approx(0.5)
+
+
+# --- real-media flagship: same spec, genuine PNG + PCM WAV payloads ---------
+
+REAL_WAV = None  # built lazily (module import order)
+REAL_PNG = None
+
+
+@pytest.fixture(scope="module")
+def real_client():
+    from data_pipelines_worker_spark.operators import wav_codec as W
+    from tests.test_png_codec import grid_png
+
+    global REAL_WAV, REAL_PNG
+    REAL_WAV = W.sine_wav(1000.0, 2.0, rate=8000, channels=1)  # small but real
+    REAL_PNG = grid_png(64, 48)
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, body, ctype):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if self.path == "/v1/chat/completions":
+                resp = {"choices": [{"message": {"role": "assistant", "content": STORY}}]}
+                self._send(json.dumps(resp).encode(), "application/json")
+            elif self.path == "/v1/audio/speech":
+                self._send(REAL_WAV, "audio/wav")
+            elif self.path == "/v1/audio/transcriptions":
+                self._send(json.dumps(TRANSCRIPTION).encode(), "application/json")
+            elif self.path == "/v1/images/generations":
+                resp = {"data": [{"b64_json": base64.b64encode(REAL_PNG).decode()}]}
+                self._send(json.dumps(resp).encode(), "application/json")
+            else:
+                self.send_error(400)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield X.OpenAIClient(
+        f"http://127.0.0.1:{srv.server_port}/v1",
+        policy=X.RetryPolicy(max_retries=2, retry_delay=0.01),
+    )
+    srv.shutdown()
+
+
+def test_yt_short_real_media_end_to_end(spark, tmp_path, real_client):
+    # the same flagship spec over genuine codec bytes: PNG through the
+    # zlib+numpy image kernels, PCM WAV through the wave codec; only the
+    # video container stays synthetic (MP4 needs ffmpeg)
+    from data_pipelines_worker_spark.operators import png_codec as P
+    from data_pipelines_worker_spark.operators import wav_codec as W
+    from data_pipelines_worker_spark.sources import stage_store
+
+    runner = PipelineRunner(spark, str(tmp_path / "stages"), openai_client=real_client)
+    res = runner.run(yt_short_spec())
+    assert res.stopped_at is None
+    assert all(s == "completed" for s in res.statuses.values()), res.statuses
+
+    def stage(slug):
+        return stage_store.read_stage(
+            spark, runner.store_root, "yt-short", res.processing_id, slug
+        )
+
+    # TTS produced a real WAV; mime sniffed from RIFF magic at the stage
+    tts = stage("tts").first()
+    assert W.is_wav(bytes(tts.payload_bin))
+    assert W.wav_duration(bytes(tts.payload_bin)) == pytest.approx(2.0)
+
+    # resize ran the real PNG kernel: 64x48 → keep-aspect width 8 → 8x6
+    resized = stage("resized").orderBy("input_index").collect()
+    assert len(resized) == 3
+    for r in resized:
+        arr = P.png_decode(bytes(r.payload_bin))
+        assert arr.shape[:2] == (6, 8)
+
+    # final video: concatenated narration audio is one valid WAV of 3 x 2 s
+    final = bytes(stage("final").first().payload_bin)
+    assert M.fvid_meta(final)[3] == 30  # 3 segments x 10 frames
+    audi = M.fvid_sections(final, b"AUDI")
+    assert len(audi) == 1 and W.is_wav(audi[0])
+    assert W.wav_duration(audi[0]) == pytest.approx(6.0)
+    assert len(M.fvid_sections(final, b"SUBS")) == 3
