@@ -186,3 +186,38 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("quality") >= 0.45)
     )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT source, count(*) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM (
+      SELECT source, doc_id FROM documents
+      WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+    )
+    GROUP BY source
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% downsample by multiplicative hash of the id —
+    the reproducible sampling a training-data pipeline needs (same subset
+    on every run/engine, no rand()). Engine-portable arithmetic (Knuth
+    hash, plain integer ops) so DuckDB draws the identical sample; scale
+    cost is a scan + one tiny aggregation, the filter evaluates inside
+    codegen and prunes before any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)), F.lit(100))
+        < 20
+    )
+    return (
+        docs.where(keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
