@@ -39,9 +39,12 @@ each codec call dispatches on the payload's magic bytes:
   + numpy, no Pillow) and run through vectorized resize/gaussian-blur/
   bitmap-text kernels; fixtures mirror the reference's grid PNG factory
   (test/factories/factories.go:319-354).
-- other real formats (JPEG/MP3/MP4/...) — routed to Pillow / ffmpeg when
-  available, else a clearly-marked ``NotImplementedError`` (STUB:
-  real-media decode needs the codec libs).
+- **real PCM WAV bytes** — parsed natively (``wav_codec``: stdlib ``wave``)
+  for chunk/convert/mux/extract; fixtures mirror the reference's
+  ffmpeg sine WAV factory (factories.go:215-263).
+- other real formats (JPEG / MP3 / MP4 mux) — routed to Pillow / ffmpeg
+  when available, else a clearly-marked ``NotImplementedError`` (STUB:
+  lossy codecs genuinely need the libs).
 
 Scale notes (100 TB)
 --------------------

@@ -174,6 +174,12 @@ class TestCodegenHygiene:
         "lang_id",
         "semi_anti_join",
         "outer_join_agg",
+        "date_functions",
+        "window_functions",
+        "stratified_sample",
+        "corpus_prep",
+        "q14_promo_revenue",
+        "q18_large_orders",
     ]
 
     def test_no_python_eval_in_hot_paths(self, spark, registry):
@@ -195,6 +201,13 @@ class TestCodegenHygiene:
         assert "toPandas" not in src and ".collect(" not in src
         plan = plan_of(q(registry, "embedding_near_dup", spark))
         assert "FlatMapGroupsInPandas" in plan
+
+    def test_corpus_prep_single_shuffle(self, spark, registry):
+        # the composed prep pass: all text features are projections; the
+        # only exchange is the dedup window's content-keyed shuffle
+        plan = plan_of(q(registry, "corpus_prep", spark))
+        assert plan.count("Exchange") == 1
+        assert plan.count("Scan parquet") == 1
 
     def test_wholestage_codegen_on_scan_queries(self, spark, registry):
         df = q(registry, "q1_pricing_summary", spark)
