@@ -225,3 +225,46 @@ class TestEntryContract:
         for name, (fn, _o) in registry.items():
             df = fn(spark, SF)
             assert df.schema is not None, name
+
+
+class TestAQESkewJoin:
+    def test_aqe_splits_planted_skew_join(self, spark):
+        # the engine's skew story is AQE for join skew (salting covers agg
+        # skew). Plant a hot key and force AQE's thresholds low enough to
+        # trigger at test scale; the final adaptive plan must mark the
+        # skewed side as split (isSkew=true) and still return exact counts.
+        import pyspark.sql.functions as F
+
+        confs = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            # 200k rows of key 0 vs uniform keys → one hot partition
+            left = spark.range(220_000).select(
+                F.when(F.col("id") < 200_000, 0).otherwise(F.col("id") % 97).alias("k"),
+                F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+            )
+            right = spark.range(97).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+            joined = left.join(right, "k")
+            # collect() finalizes THIS Dataset's adaptive plan (count()
+            # would execute a different QueryExecution)
+            assert len(joined.collect()) == 220_000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            # Spark 4 markers: the join is re-planned with skew handling
+            # and the hot side reads split shuffle partitions
+            assert "skew=true" in plan, "AQE did not split the hot partition"
+            assert "AQEShuffleRead skewed" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
