@@ -221,6 +221,10 @@ def image_add_text_bytes(
     font_size: int = 12,
     text_position: str = "center",
     margin: int = 0,
+    font_color=None,
+    bg_color=None,
+    bg_alpha: float = 1.0,
+    bg_all_width: bool = False,
 ) -> bytes:
     """Deterministic text stamp: XORs the text bytes into the pixel row block
     anchored per ``text_position`` (stands in for the gg/truetype word-wrap +
@@ -502,6 +506,10 @@ def _png_add_text(
     font_size: int = 12,
     text_position: str = "center",
     margin: int = 0,
+    font_color=None,
+    bg_color=None,
+    bg_alpha: float = 1.0,
+    bg_all_width: bool = False,
 ) -> bytes:
     from . import png_codec as P
 
@@ -509,7 +517,17 @@ def _png_add_text(
         raise ValueError(f"text_position must be one of {_ANCHORS}")
     arr = P.png_decode(data)
     return P.png_encode(
-        P.render_text(arr, text, font_size, text_position, margin)
+        P.render_text(
+            arr,
+            text,
+            font_size,
+            text_position,
+            margin,
+            color=P.parse_color(font_color, (0, 0, 0)),
+            bg=P.parse_color(bg_color, (255, 255, 255)),
+            bg_alpha=bg_alpha,
+            bg_all_width=bg_all_width,
+        )
     )
 
 
@@ -605,6 +623,10 @@ def image_add_text(
     font_size: int = 12,
     text_position: str = "center",
     margin: int = 0,
+    font_color=None,
+    bg_color=None,
+    bg_alpha: float = 1.0,
+    bg_all_width: bool = False,
     payload_col: str = "payload_bin",
 ) -> DataFrame:
     return _unary_media_op(
@@ -618,6 +640,10 @@ def image_add_text(
             font_size,
             text_position,
             margin,
+            font_color=font_color,
+            bg_color=bg_color,
+            bg_alpha=bg_alpha,
+            bg_all_width=bg_all_width,
         ),
     )
 

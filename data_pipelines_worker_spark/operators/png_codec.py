@@ -275,20 +275,40 @@ def _wrap_lines(text: str, max_cols: int) -> list[str]:
     return lines or [""]
 
 
+def parse_color(value, default):
+    """'#RRGGBB' / '#RGB' / int / (r, g, b) → (r, g, b) tuple."""
+    if value is None:
+        return default
+    if isinstance(value, (tuple, list)):
+        return tuple(int(c) for c in value[:3])
+    if isinstance(value, (int, float)):
+        v = int(value)
+        return (v, v, v)
+    s = str(value).lstrip("#")
+    if len(s) == 3:
+        s = "".join(c * 2 for c in s)
+    return tuple(int(s[i : i + 2], 16) for i in (0, 2, 4))
+
+
 def render_text(
     arr: np.ndarray,
     text: str,
     font_size: int = 12,
     text_position: str = "center",
     margin: int = 0,
-    color: int = 0,
-    bg: int | None = 255,
+    color=0,
+    bg=255,
+    bg_alpha: float = 1.0,
+    bg_all_width: bool = False,
 ) -> np.ndarray:
     """Stamp wrapped bitmap text onto a copy of ``arr``.
 
     ``font_size`` is the glyph pixel height (scale = font_size // 7, min 1);
-    the 9 anchors mirror block_image_add_text.go:126-157; ``bg`` draws the
-    opaque background rect behind the text block (None = no rect).
+    the 9 anchors mirror block_image_add_text.go:126-157. ``color``/``bg``
+    accept '#RRGGBB', grayscale ints, or RGB tuples (font_color /
+    text_bg_color, :184-186); ``bg`` None = no rect. ``bg_alpha`` blends
+    the rect over the image (text_bg_alpha :187); ``bg_all_width`` spans
+    the rect across the full image width (text_bg_all_width :189).
     """
     h, w = arr.shape[:2]
     scale = max(1, font_size // 7)
@@ -313,12 +333,26 @@ def render_text(
     x0, y0 = max(0, min(x0, w - 1)), max(0, min(y0, h - 1))
     out = arr.copy()
     ch = out.shape[2] if out.ndim == 3 else 1
-    if bg is not None:
-        y1, x1 = min(h, y0 + block_h), min(w, x0 + block_w)
+    fg_rgb = parse_color(color, (0, 0, 0))
+    bg_rgb = None if bg is None else parse_color(bg, (255, 255, 255))
+
+    def paint(ya, yb, xa, xb, rgb, alpha=1.0):
+        region = out[ya:yb, xa:xb]
+        if region.size == 0:
+            return
         if ch >= 3:
-            out[y0:y1, x0:x1, :3] = bg
+            val = np.array(rgb, dtype=np.float64)
+            blended = (1.0 - alpha) * region[:, :, :3].astype(np.float64) + alpha * val
+            out[ya:yb, xa:xb, :3] = np.clip(np.rint(blended), 0, 255).astype(np.uint8)
         else:
-            out[y0:y1, x0:x1, 0] = bg
+            gray = sum(rgb) / 3.0
+            blended = (1.0 - alpha) * region[:, :, 0].astype(np.float64) + alpha * gray
+            out[ya:yb, xa:xb, 0] = np.clip(np.rint(blended), 0, 255).astype(np.uint8)
+
+    if bg_rgb is not None:
+        y1 = min(h, y0 + block_h)
+        bx0, bx1 = (0, w) if bg_all_width else (x0, min(w, x0 + block_w))
+        paint(y0, y1, bx0, bx1, bg_rgb, max(0.0, min(1.0, bg_alpha)))
     for li, line in enumerate(lines):
         for ci, c in enumerate(line):
             rows = _glyph(c)
@@ -329,8 +363,5 @@ def render_text(
                         ya, xa = gy + ry * scale, gx + rx * scale
                         yb, xb = min(h, ya + scale), min(w, xa + scale)
                         if ya < h and xa < w:
-                            if ch >= 3:
-                                out[ya:yb, xa:xb, :3] = color
-                            else:
-                                out[ya:yb, xa:xb, 0] = color
+                            paint(ya, yb, xa, xb, fg_rgb)
     return out

@@ -360,7 +360,12 @@ def _dfop_image_add_text(runner, df, block):
         "text",
         font_size=int(cfg.get("font_size", 12)),
         text_position=str(cfg.get("text_position", "center")),
-        margin=int(cfg.get("margin", 0)),
+        # full style surface (block_image_add_text.go:182-189)
+        margin=int(cfg.get("text_bg_margin", cfg.get("margin", 0))),
+        font_color=cfg.get("font_color"),
+        bg_color=cfg.get("text_bg_color"),
+        bg_alpha=float(cfg.get("text_bg_alpha", 1.0)),
+        bg_all_width=bool(cfg.get("text_bg_all_width", False)),
     )
 
 

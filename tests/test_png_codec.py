@@ -209,3 +209,71 @@ class TestSparkOps:
                 [(0, b"\xff\xd8\xff\xe0fakejpeg")], "input_index long, payload_bin binary"
             )
             M.image_resize(df, 10, 10).collect()
+
+
+class TestTextStyle:
+    def test_font_and_bg_colors(self):
+        arr = np.full((60, 80, 3), 100, dtype=np.uint8)
+        out = P.render_text(
+            arr, "HI", font_size=14, text_position="center",
+            color="#FF0000", bg="#00FF00",
+        )
+        # glyph ink is pure red, rect is pure green
+        assert (np.all(out == [255, 0, 0], axis=2)).any()
+        assert (np.all(out == [0, 255, 0], axis=2)).any()
+
+    def test_bg_alpha_blend(self):
+        arr = np.full((40, 60, 3), 100, dtype=np.uint8)
+        out = P.render_text(
+            arr, "A", font_size=7, text_position="center",
+            color=0, bg=200, bg_alpha=0.5,
+        )
+        # 50% blend of 200 over 100 = 150 in the rect, outside untouched
+        assert (out == 150).any()
+        assert out[0, 0, 0] == 100
+
+    def test_bg_all_width_spans_image(self):
+        arr = np.full((40, 100, 3), 50, dtype=np.uint8)
+        out = P.render_text(
+            arr, "X", font_size=7, text_position="center",
+            color=0, bg=255, bg_all_width=True,
+        )
+        band_rows = np.where((out[:, 0, 0] == 255))[0]
+        assert len(band_rows) > 0  # rect reaches column 0 = full width
+
+    def test_color_parsing(self):
+        assert P.parse_color("#abc", None) == (0xAA, 0xBB, 0xCC)
+        assert P.parse_color("112233", None) == (0x11, 0x22, 0x33)
+        assert P.parse_color(7, None) == (7, 7, 7)
+        assert P.parse_color((1, 2, 3), None) == (1, 2, 3)
+        assert P.parse_color(None, (9, 9, 9)) == (9, 9, 9)
+
+    def test_full_style_through_compiled_block(self, spark, tmp_path):
+        from data_pipelines_worker_spark.plans.compiler import (
+            BlockSpec, InputBinding, PipelineRunner, PipelineSpec,
+        )
+
+        runner = PipelineRunner(spark, str(tmp_path))
+        spec = PipelineSpec(
+            slug="styled",
+            blocks=[
+                BlockSpec(id="upload_file", slug="up", fan_out=True),
+                BlockSpec(
+                    id="image_add_text",
+                    slug="titled",
+                    input={
+                        "text": "GO", "font_size": 14, "text_position": "top-left",
+                        "font_color": "#0000FF", "text_bg_color": "#FFFF00",
+                        "text_bg_alpha": 1.0, "text_bg_margin": 2,
+                        "text_bg_all_width": True,
+                    },
+                    bindings=[InputBinding(param="image", origin="up", binary=True)],
+                ),
+            ],
+        )
+        res = runner.run(spec, request_input={"up": {"file": [grid_png(64, 40)]}})
+        arr = P.png_decode(bytes(res.output.first().payload_bin))
+        assert (np.all(arr[:, :, :3] == [0, 0, 255], axis=2)).any()   # blue ink
+        assert (np.all(arr[:, :, :3] == [255, 255, 0], axis=2)).any() # yellow bg
+        # all_width: the bg band reaches the right edge
+        assert (np.all(arr[:, -1, :3] == [255, 255, 0], axis=1)).any()
