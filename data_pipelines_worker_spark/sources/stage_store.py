@@ -43,6 +43,11 @@ def write_stage(
 
     Deliberately not fused across block boundaries (SURVEY §4): the write is
     the durability point the reference's resume/goto semantics rely on.
+
+    ``root`` is any Hadoop-filesystem URI — a local path in tests, an
+    ``s3a://bucket/prefix`` on a real cluster (the MinIO role of the
+    reference's storage layer, pipeline_block_data_registry.go:291-334,
+    maps to object storage with no code change here).
     """
     path = stage_path(root, pipeline_slug, processing_id, block_slug)
     df.write.mode("overwrite").parquet(path)

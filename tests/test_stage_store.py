@@ -30,3 +30,16 @@ def test_sniff_mime_magic_bytes(spark):
     df = spark.createDataFrame([(c[0],) for c in cases], "payload binary")
     out = df.select(stage_store.sniff_mime(F.col("payload")).alias("m")).collect()
     assert [r.m for r in out] == [c[1] for c in cases]
+
+
+def test_local_df_edge_cases(spark):
+    # control-plane frame helper: LocalRelation for empty/binary/null rows
+    from data_pipelines_worker_spark.session import local_df
+
+    assert local_df(spark, [], "a long, b string").count() == 0
+    row = local_df(spark, [(1, b"xy")], "i long, p binary").first()
+    assert bytes(row.p) == b"xy"
+    assert local_df(spark, [(None, "x")], "a long, b string").first().a is None
+    # and it really is a LocalTableScan (no parallelized Python RDD)
+    plan = local_df(spark, [(1, "a")], "i long, s string")._jdf.queryExecution()
+    assert "LocalTableScan" in plan.executedPlan().toString()
