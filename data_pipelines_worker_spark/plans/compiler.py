@@ -432,13 +432,48 @@ def _dfop_audio_from_video(runner, df, block):
     )
 
 
+def _parse_go_duration(v, default: float) -> float:
+    """Go ``time.ParseDuration`` strings ("10m", "1h30m", "90s", "250ms")
+    → seconds (block_audio_chunk.go:94); bare numbers pass through."""
+    if v is None:
+        return default
+    if isinstance(v, (int, float)):
+        return float(v)
+    import re
+
+    total, matched = 0.0, False
+    for m in re.finditer(r"(\d+(?:\.\d+)?)(h|ms|m|s)", str(v).strip()):
+        total += float(m.group(1)) * {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 0.001}[
+            m.group(2)
+        ]
+        matched = True
+    if not matched:
+        return float(v)
+    return total
+
+
+def _parse_bitrate(v) -> int | None:
+    """ffmpeg bitrate strings ("32k", "1M") → bits/s; ints pass through."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = str(v).strip().lower()
+    mult = 1
+    if s.endswith("k"):
+        mult, s = 1000, s[:-1]
+    elif s.endswith("m"):
+        mult, s = 1_000_000, s[:-1]
+    return int(float(s) * mult)
+
+
 @df_operator("audio_chunk")
 def _dfop_audio_chunk(runner, df, block):
     from ..operators import media
 
     return media.audio_chunk(
         df.withColumnRenamed("audio", "payload_bin"),
-        float(block.input.get("duration", 600.0)),
+        _parse_go_duration(block.input.get("duration"), 600.0),
     )
 
 
@@ -448,13 +483,16 @@ def _dfop_audio_convert(runner, df, block):
 
     cfg = block.input
     sr = cfg.get("sample_rate")
-    br = cfg.get("bit_rate")
+    # schema field is bit_rate (block_audio_convert.go:153); the shipped
+    # podcast JSON writes "bitrate", which the reference's schema silently
+    # ignores — accept both here rather than reproduce the typo behavior
+    br = cfg.get("bit_rate", cfg.get("bitrate"))
     return media.audio_convert(
         df.withColumnRenamed("audio", "payload_bin"),
         format=str(cfg.get("format", "mp3")),
         mono=bool(cfg.get("mono", False)),
         sample_rate=None if sr is None else int(sr),
-        bit_rate=None if br is None else int(br),
+        bit_rate=_parse_bitrate(br),
     )
 
 
@@ -670,11 +708,19 @@ class PipelineRunner:
             return src.select(F.col("input_index"), F.col("payload_bin").alias(b.param))
         if b.array_input:
             # gather: ALL origin outputs as one array value, output order
-            # (block.go:274-276,306-336)
+            # (block.go:274-276,306-336). A scalar json_path applies per
+            # output BEFORE the gather (podcast-summary.json gathers
+            # "$.text" of every chunk transcription — block.go:306-336
+            # routes each buffer through the same JSONPath lookup).
+            v = (
+                json_path_scalar(F.col("payload_str"), path)
+                if path
+                else F.col("payload_str")
+            )
             pair = F.struct(
                 F.col("input_index").alias("i"),
                 F.col("output_index").alias("o"),
-                F.col("payload_str").alias("v"),
+                v.alias("v"),
             )
             arr = F.transform(F.sort_array(F.collect_list(pair)), lambda s: s["v"])
             return src.agg(arr.alias(b.param)).select(
@@ -784,7 +830,26 @@ class PipelineRunner:
                 bound_params = bound_params | {k0}
                 req = {k: v for k, v in req.items() if k != k0}
             else:
-                df = self.spark.range(1).select(F.lit(0).cast("long").alias("input_index"))
+                # single raw-bytes request value (one multipart file without
+                # fan-out, e.g. podcast-summary's upload): bind it as a
+                # binary COLUMN so the binary-ingest path sees its type —
+                # an F.lit param would coerce to string downstream
+                bin_params = {
+                    k: v for k, v in req.items() if isinstance(v, (bytes, bytearray))
+                }
+                if bin_params:
+                    k0, v0 = next(iter(bin_params.items()))
+                    df = local_df(
+                        self.spark,
+                        [(0, bytes(v0))],
+                        f"input_index long, {k0} binary",
+                    )
+                    bound_params = bound_params | {k0}
+                    req = {k: v for k, v in req.items() if k != k0}
+                else:
+                    df = self.spark.range(1).select(
+                        F.lit(0).cast("long").alias("input_index")
+                    )
 
         params: dict[str, Column] = {p: F.col(p) for p in bound_params}
         for k in set(block.input) | set(req):
