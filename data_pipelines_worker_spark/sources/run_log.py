@@ -72,8 +72,17 @@ def write_status(
 def read_statuses(
     spark: SparkSession, root: str, pipeline_slug: str, processing_id: str | None = None
 ) -> DataFrame:
-    """All block statuses for one pipeline (or one processing)."""
-    return spark.read.parquet(_status_path(root, pipeline_slug, processing_id))
+    """All block statuses for one pipeline (or one processing).
+
+    The pipeline-level listing spans the per-processing subdirectories
+    (``<pipeline>/<processing_id>/part-*.parquet``), so it needs a
+    recursive lookup — the `GET /pipelines/:slug/processings` analog of the
+    reference's storage walk (pipeline.go:643-700), served by a pruned
+    parquet scan instead."""
+    reader = spark.read
+    if processing_id is None:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.parquet(_status_path(root, pipeline_slug, processing_id))
 
 
 def list_processings(root: str, pipeline_slug: str) -> list[str]:

@@ -243,3 +243,48 @@ def test_concurrent_processings_are_isolated(spark, tmp_path):
         r1.processing_id,
         r2.processing_id,
     }
+
+
+def test_failing_index_aborts_run_and_persists_status(spark, tmp_path):
+    # reference parity (pipeline_test.go:1588 fail-at-index): a corrupt
+    # payload at one fan-out index fails the stage; the run raises, and the
+    # deferred status snapshot (SavePipelineLog, pipeline.go:207-214)
+    # still records every block's last state
+    from data_pipelines_worker_spark.operators import media as M
+    from data_pipelines_worker_spark.plans.compiler import (
+        BlockSpec,
+        InputBinding,
+        PipelineRunner,
+        PipelineSpec,
+    )
+    from data_pipelines_worker_spark.sources import run_log
+
+    spec = PipelineSpec(
+        slug="failing",
+        blocks=[
+            BlockSpec(id="upload_file", slug="up", fan_out=True),
+            BlockSpec(
+                id="image_resize",
+                slug="small",
+                input={"width": 4, "height": 4},
+                bindings=[InputBinding(param="image", origin="up", binary=True)],
+            ),
+        ],
+    )
+    runner = PipelineRunner(spark, str(tmp_path))
+    good = M.fimg_encode(8, 8, bytes(64))
+    with pytest.raises(Exception):
+        runner.run(
+            spec,
+            request_input={"up": {"file": [good, b"\xff\xd8corrupt", good]}},
+        )
+    # upload completed and is resumable; the failing block never reported
+    # completed
+    procs = run_log.list_processings(str(tmp_path), "failing")
+    assert len(procs) == 1
+    statuses = {
+        r.block_slug: r.status
+        for r in run_log.read_statuses(spark, str(tmp_path), "failing").collect()
+    }
+    assert statuses.get("up") == "completed"
+    assert statuses.get("small") != "completed"
