@@ -221,3 +221,32 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+@register(
+    "word_frequencies",
+    """
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w != ''
+    GROUP BY w
+    ORDER BY n DESC, w
+    LIMIT 25
+    """,
+)
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-25 words by frequency. explode →
+    map-side-combined count → global top-k; the ordering tie-breaks on the
+    word so the cut is deterministic. At 100 TB this is the canonical
+    two-phase heavy-hitters shape — partial counts per partition, one
+    shuffle of (word, partial) pairs, a tiny global sort of the group
+    counts (vocabulary-sized, not corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(ta.tokenize_ws(F.col("text"))).alias("word"))
+    return (
+        words.where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(25)
+    )
