@@ -16,14 +16,18 @@ from hypothesis import strategies as st
 from data_pipelines_worker_spark.operators import media as M
 from data_pipelines_worker_spark.operators import png_codec as P
 
+# derandomize: the same example set every run — property regressions fail
+# deterministically instead of flaking an unrelated CI run
 FAST = settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 SPARK_FAST = settings(
     max_examples=8,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
