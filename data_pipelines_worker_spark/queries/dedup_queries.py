@@ -97,3 +97,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted higher-order folds per row (~10× slower at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash16_agg(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_unique,
+           round(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile per source — the go/no-go number a
+    training-data pipeline reports before dedup runs at full scale. One
+    shuffle; the distinct-count side shuffles xxhash-sized grouping keys
+    via Spark's expand, not document bodies twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("text") / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+    )
