@@ -182,3 +182,38 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(
         emb, queries, k=5, n_cells=_N_CELLS, n_probe=_N_PROBE
     )
+
+
+_EMB_STATS_ORACLE = f"""
+    SELECT label,
+           count(*) AS n_vectors,
+           CAST(sum(CAST(round(sqrt({_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS avg_norm
+    FROM embeddings
+    GROUP BY label
+"""
+
+
+@register("embedding_stats", _EMB_STATS_ORACLE)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table profile: vector count and mean L2 norm per label.
+    Norms are strict-fold (cumsum UDF, oracle bit-identical); the mean
+    goes through integer micro-units so the double sum is
+    association-order-free — the money-math discipline applied to vector
+    stats. One Arrow map stage + one tiny shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pd_dot = similarity.dot_strict_udf()
+    norm_micro = F.round(
+        F.sqrt(pd_dot(F.col("embedding").cast("array<double>"),
+                      F.col("embedding").cast("array<double>"))) * 1_000_000
+    ).cast("long")
+    return (
+        emb.withColumn("nm", norm_micro)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (F.sum("nm").cast("double") / F.count("*") / 1_000_000.0).alias(
+                "avg_norm"
+            ),
+        )
+    )
