@@ -616,10 +616,11 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_functions",
     """
     SELECT event_id,
-           lag(event_id) OVER w AS prev_id,
-           lead(event_id) OVER w AS next_id,
+           coalesce(lag(event_id) OVER w, -1) AS prev_id,
+           coalesce(lead(event_id) OVER w, -1) AS next_id,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(row_number() OVER w AS BIGINT) AS cd_num,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cd_den,
            sum(CAST(round(value * 100) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
@@ -629,19 +630,29 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function breadth over one partitioning: lag/lead, ntile,
-    cume_dist, and a running sum share the same (user_id, ts) window, so
-    Catalyst plans a single exchange + sort for all five — the multi-window
-    consolidation that matters when analysts stack window columns at
-    100 TB. Ordering key is integer-tie-broken (ts, event_id): no float
-    ties, deterministic everywhere."""
+    cume_dist-as-integer-pair, and a running sum share the same
+    (user_id, ts) window, so Catalyst plans a single exchange + sort for
+    all six — the multi-window consolidation that matters when analysts
+    stack window columns at 100 TB. Ordering key is integer-tie-broken
+    (ts, event_id): no float ties, deterministic everywhere.
+
+    Driver-canonicalization discipline (VERDICT r2 #1): every column is a
+    non-NULL BIGINT. lag/lead coalesce to a -1 sentinel (event_id is
+    non-negative, so the sentinel is unambiguous), and cume_dist is
+    emitted as the exact integer pair (cd_num = peers-<=-current count =
+    row_number under a tie-free ordering, cd_den = partition count)
+    instead of a rounded double — the driver's pandas sort+hash cannot
+    then diverge on NULL-int dtype promotion or last-digit rounding."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wp = W.partitionBy("user_id")
     return ev.select(
         "event_id",
-        F.lag("event_id").over(w).alias("prev_id"),
-        F.lead("event_id").over(w).alias("next_id"),
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_id"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_id"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.row_number().over(w).cast("long").alias("cd_num"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("cd_den"),
         F.sum(cents(F.col("value"))).over(wr).alias("run_cents"),
     )
