@@ -210,7 +210,7 @@ def image_blur_bytes(data: bytes, sigma: float) -> bytes:
 
 _ANCHORS = (  # block_image_add_text.go:126-157 — 9 text anchors
     "top-left", "top-center", "top-right",
-    "center-left", "center", "center-right",
+    "center-left", "center", "center-center", "center-right",
     "bottom-left", "bottom-center", "bottom-right",
 )
 

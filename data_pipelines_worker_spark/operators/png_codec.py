@@ -90,33 +90,51 @@ def png_decode(data: bytes) -> np.ndarray:
     ftypes, rows = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.uint8)
+    # Vectorization (real-world encoders emit filters 1-4 heavily — a
+    # per-byte Python loop on a 1080p RGBA frame is ~8M interpreted
+    # iterations): Sub is an exact per-channel prefix sum mod 256 (full
+    # numpy cumsum, no loop); Up is pure vector; Average/Paeth carry a
+    # true sequential dependence on the defiltered left pixel, so they
+    # loop over the w *pixels* but compute all channels per step — w
+    # numpy ops per row instead of w*ch interpreted byte ops.
     for y in range(h):
         cur = rows[y].copy()
         prior = out[y - 1] if y else zero_row
         ft = ftypes[y]
         if ft == 0:
             out[y] = cur
-        elif ft == 1:  # Sub — sequential in x, vector in channels
-            for x in range(stride):
-                cur[x] = (cur[x] + (cur[x - ch] if x >= ch else 0)) & 0xFF
-            out[y] = cur
+        elif ft == 1:  # Sub — per-channel cumsum mod 256
+            out[y] = (
+                np.cumsum(cur.reshape(w, ch), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif ft == 2:  # Up
             out[y] = cur + prior
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (cur[x] + (left + int(prior[x])) // 2) & 0xFF
-            out[y] = cur
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prior[x])
-                c = int(prior[x - ch]) if x >= ch else 0
+        elif ft == 3:  # Average — sequential in pixels, vector in channels
+            curp = cur.reshape(w, ch).astype(np.int16)
+            priorp = prior.reshape(w, ch).astype(np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            for i in range(w):
+                left = (curp[i] + (left + priorp[i]) // 2) & 0xFF
+                curp[i] = left
+            out[y] = curp.astype(np.uint8).reshape(stride)
+        elif ft == 4:  # Paeth — sequential in pixels, vector in channels
+            curp = cur.reshape(w, ch).astype(np.int16)
+            priorp = prior.reshape(w, ch).astype(np.int16)
+            a = np.zeros(ch, dtype=np.int16)  # defiltered left pixel
+            c = np.zeros(ch, dtype=np.int16)  # prior-row left pixel
+            for i in range(w):
+                b = priorp[i]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
-            out[y] = cur
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (curp[i] + pred) & 0xFF
+                curp[i] = a
+                c = b
+            out[y] = curp.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"PNG filter type {ft} invalid")
     arr = out.reshape(h, w, ch)

@@ -331,9 +331,9 @@ def _dfop_image_resize(runner, df, block):
     cfg = block.input
     return media.image_resize(
         df.withColumnRenamed("image", "payload_bin"),
-        int(cfg.get("width", 0)),
-        int(cfg.get("height", 0)),
-        bool(cfg.get("keep_aspect_ratio", False)),
+        int(cfg.get("width", 100)),  # config.yaml:136-139
+        int(cfg.get("height", 100)),
+        bool(cfg.get("keep_aspect_ratio", True)),
     )
 
 
@@ -343,7 +343,7 @@ def _dfop_image_blur(runner, df, block):
 
     return media.image_blur(
         df.withColumnRenamed("image", "payload_bin"),
-        float(block.input.get("sigma", 1.0)),
+        float(block.input.get("sigma", 1.5)),  # config.yaml:149
     )
 
 
@@ -355,17 +355,19 @@ def _dfop_image_add_text(runner, df, block):
     src = df.withColumnRenamed("image", "payload_bin")
     if "text" not in src.columns:
         src = src.withColumn("text", F.lit(str(cfg.get("text", ""))))
+    # fallbacks mirror config/config.yaml:119-127 (the normal path seeds
+    # them via validation.BLOCK_CONFIG_DEFAULTS before cfg is read)
     return media.image_add_text(
         src,
         "text",
-        font_size=int(cfg.get("font_size", 12)),
-        text_position=str(cfg.get("text_position", "center")),
+        font_size=int(cfg.get("font_size", 50)),
+        text_position=str(cfg.get("text_position", "center-center")),
         # full style surface (block_image_add_text.go:182-189)
-        margin=int(cfg.get("text_bg_margin", cfg.get("margin", 0))),
-        font_color=cfg.get("font_color"),
-        bg_color=cfg.get("text_bg_color"),
-        bg_alpha=float(cfg.get("text_bg_alpha", 1.0)),
-        bg_all_width=bool(cfg.get("text_bg_all_width", False)),
+        margin=int(cfg.get("text_bg_margin", cfg.get("margin", 10))),
+        font_color=cfg.get("font_color", "#000000"),
+        bg_color=cfg.get("text_bg_color", "#000000"),
+        bg_alpha=float(cfg.get("text_bg_alpha", 0.5)),
+        bg_all_width=bool(cfg.get("text_bg_all_width", True)),
     )
 
 
@@ -379,7 +381,7 @@ def _dfop_video_from_image(runner, df, block):
     return media.video_from_image(
         df.withColumnRenamed("image", "payload_bin"),
         float(cfg.get("start", 0.0)),
-        float(cfg.get("end", 0.0)),
+        float(cfg.get("end", 1.0)),  # config.yaml:228-229
         int(cfg.get("fps", 30)),
         start_col="start" if "start" in df.columns else None,
         end_col="end" if "end" in df.columns else None,

@@ -274,17 +274,134 @@ def validate_pipeline_doc(doc: dict, known_block_ids: set[str]) -> None:
         raise SpecValidationError(slug, errors)
 
 
+# Per-block operator defaults mirroring config/config.yaml `blocks:` (the
+# reference's defaultBlockConfig layer, merged under the pipeline JSON by
+# MergeStructs — block.go GetBlockConfig). Only behavior-bearing keys are
+# kept; ffmpeg_binary/detector/reliability are deployment concerns the
+# Spark engine handles elsewhere (media backend gate, Spark retries).
+BLOCK_CONFIG_DEFAULTS: dict[str, dict[str, Any]] = {
+    # config.yaml:68-74
+    "openai_chat_completion": {
+        "model": "gpt-4o-2024-08-06",
+        "system_prompt": "You are a helpful assistant.",
+    },
+    # config.yaml:78-89
+    "openai_tts_request": {
+        "model": "tts-1",
+        "voice": "alloy",
+        "response_format": "mp3",
+        "speed": 1.0,
+    },
+    # config.yaml:91-100
+    "openai_transcription_request": {
+        "model": "whisper-1",
+        "language": "en",
+        "format": "verbose_json",
+    },
+    # config.yaml:102-110
+    "openai_image_request": {"quality": "standard", "size": "1024x1024"},
+    # config.yaml:112-127 — the ADVICE r2 item: font_size 50 (not 12),
+    # black half-alpha full-width bg rect by default
+    "image_add_text": {
+        "font_size": 50,
+        "font_color": "#000000",
+        "text_position": "center-center",
+        "text_bg_color": "#000000",
+        "text_bg_all_width": True,
+        "text_bg_alpha": 0.5,
+        "text_bg_margin": 10,
+    },
+    # config.yaml:129-139
+    "image_resize": {"width": 100, "height": 100, "keep_aspect_ratio": True},
+    # config.yaml:141-149
+    "image_blur": {"sigma": 1.5},
+    # config.yaml:151-159
+    "stop_pipeline": {"stop": False},
+    # config.yaml:161-172
+    "send_moderation_tg": {
+        "approve": "Approve",
+        "decline": "Decline",
+        "regenerate": "Regenerate",
+        "group_id": "0",
+    },
+    # config.yaml:174-186
+    "fetch_moderation_tg": {
+        "block_slug": "",
+        "stop_pipeline_if_decline": True,
+        "retry_if_unknown": True,
+        "retry_count": 50,
+        "retry_interval": "10s",
+    },
+    # config.yaml:197-204
+    "join_strings": {"separator": ""},
+    # config.yaml:215-229
+    "video_from_image": {
+        "format": "mp4",
+        "preset": "veryfast",
+        "crf": 23,
+        "fps": 30,
+        "start": 0.0,
+        "end": 1.0,
+    },
+    # config.yaml:231-239
+    "join_videos": {"re_encode": False},
+    # config.yaml:241-249
+    "video_add_audio": {"replace_original_audio": False},
+    # config.yaml:251-259
+    "video_add_subtitles": {"embedding_type": "mux"},
+    # config.yaml:261-269
+    "send_message_tg": {"group_id": "0"},
+    # config.yaml:271-279
+    "format_string_from_object": {"template": ""},
+    # config.yaml:281-289
+    "audio_chunk": {"duration": "10m"},
+    # config.yaml:291-300
+    "audio_convert": {
+        "format": "mp3",
+        "mono": False,
+        "sample_rate": 44100,
+        "bit_rate": "64k",
+    },
+    # config.yaml:302-310
+    "audio_from_video": {"start": -1, "end": -1, "format": "mp3"},
+    # config.yaml:323-347
+    "subtitles_from_transcription": {
+        "input_format": "openai_verbose_json",
+        "output_format": "ass",
+        "name": "Default",
+        "font_name": "Arial",
+        "font_size": 30,
+        "primary_colour": "&H00FFFFFF",
+        "secondary_colour": "&H00000000",
+        "back_colour": "&H00000000",
+        "bold": -1,
+        "italic": 0,
+        "border_style": 1,
+        "outline": 1.0,
+        "shadow": 0.0,
+        "alignment": 2,
+        "margin_l": 10,
+        "margin_r": 10,
+        "margin_v": 10,
+    },
+}
+
+
 def apply_input_defaults(block_id: str, static: dict[str, Any]) -> dict[str, Any]:
-    """Schema defaults merged under the user's static input (the reference
-    merges defaultBlockConfig ← userBlockConfig, e.g. block_wrap_text.go:
-    60-63 MergeStructs)."""
+    """Defaults merged under the user's static input, two layers like the
+    reference: block JSON-schema defaults, then config.yaml per-block
+    config (``BLOCK_CONFIG_DEFAULTS`` — MergeStructs order, e.g.
+    block_wrap_text.go:60-63), then the pipeline document's own input."""
     schema = BLOCK_INPUT_SCHEMAS.get(block_id)
-    if not schema:
-        return dict(static)
-    out = {
-        k: p["default"]
-        for k, p in schema.get("properties", {}).items()
-        if "default" in p
-    }
+    out: dict[str, Any] = (
+        {
+            k: p["default"]
+            for k, p in schema.get("properties", {}).items()
+            if "default" in p
+        }
+        if schema
+        else {}
+    )
+    out.update(BLOCK_CONFIG_DEFAULTS.get(block_id, {}))
     out.update(static)
     return out

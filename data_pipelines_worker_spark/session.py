@@ -76,8 +76,11 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     runner creates. (Table-scale data never comes from Python lists.)
     """
     import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
 
-    names = [c.split()[0] for c in schema.split(",")]
+    # parse the DDL properly — naive string-splitting on ',' mis-splits
+    # types that contain commas (decimal(10,2), map<string,int>, struct<>)
+    names = [f.name for f in _parse_datatype_string(schema).fields]
     return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema)
 
 

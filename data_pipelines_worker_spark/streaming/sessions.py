@@ -71,8 +71,13 @@ def _sessionize(
             last = cur
             out.append((int(eid), int(key[0]), int(session_no)))
     state.update((session_no, pd.Timestamp(last, unit="s")))
-    # close the session once event time moves gap past the last event
-    state.setTimeoutTimestamp(int(last * 1000) + int(GAP_SECONDS * 1000))
+    # close the session once event time moves gap past the last event;
+    # clamp above the current watermark — a user whose newest event is
+    # older than watermark-minus-gap (late but inside the allowance) would
+    # otherwise compute a timeout below the watermark, which Spark rejects
+    # with IllegalArgumentException and kills the streaming query
+    timeout_ms = int(last * 1000) + int(GAP_SECONDS * 1000)
+    state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
     yield pd.DataFrame(out, columns=["event_id", "user_id", "session_no"])
 
 

@@ -227,13 +227,27 @@ def test_real_png_through_compiled_pipeline(spark, tmp_path):
             BlockSpec(
                 id="image_resize",
                 slug="small",
-                input={"width": 60, "height": 40},
+                # exact-size resize; keep_aspect_ratio now defaults True
+                # per config.yaml:139, which would letterbox the 200x100
+                input={"width": 60, "height": 40, "keep_aspect_ratio": False},
                 bindings=[InputBinding(param="image", origin="up", binary=True)],
             ),
             BlockSpec(
                 id="image_add_text",
                 slug="titled",
-                input={"text": "HI", "font_size": 7, "text_position": "top-left"},
+                # explicit style: black ink on an opaque white rect (the
+                # config.yaml defaults — black-on-black half-alpha — are
+                # covered by test_image_add_text_seeds_reference_defaults)
+                input={
+                    "text": "HI",
+                    "font_size": 7,
+                    "text_position": "top-left",
+                    "font_color": "#000000",
+                    "text_bg_color": "#FFFFFF",
+                    "text_bg_alpha": 1.0,
+                    "text_bg_all_width": False,
+                    "text_bg_margin": 0,
+                },
                 bindings=[InputBinding(param="image", origin="small", binary=True)],
             ),
         ],

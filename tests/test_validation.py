@@ -191,3 +191,69 @@ def test_cast_fallback_to_string():
     # block.go:287-296: failed cast keeps the string representation
     assert cast_with_fallback("not-an-int", {"type": "integer"}) == "not-an-int"
     assert cast_with_fallback([1], {"type": "boolean"}) == "[1]"
+
+
+# --- config.yaml per-block defaults (GetBlockConfig MergeStructs layer) ----
+
+
+def test_image_add_text_seeds_reference_defaults():
+    # config/config.yaml:119-127 — font_size 50, black half-alpha
+    # full-width bg rect, margin 10 (ADVICE r2: compiler previously fell
+    # back to 12 / white / 1.0 / false)
+    doc = _doc()
+    doc["blocks"].append(
+        {
+            "id": "image_add_text",
+            "slug": "titled",
+            "description": "Stamp a title over the uploaded image.",
+            "input": {"text": "T"},
+            "input_config": {
+                "property": {"image": {"origin": "up", "format": "file"}}
+            },
+        }
+    )
+    blk = PipelineSpec.from_json(doc).blocks[-1]
+    assert blk.input["font_size"] == 50
+    assert blk.input["font_color"] == "#000000"
+    assert blk.input["text_position"] == "center-center"
+    assert blk.input["text_bg_color"] == "#000000"
+    assert blk.input["text_bg_alpha"] == 0.5
+    assert blk.input["text_bg_all_width"] is True
+    assert blk.input["text_bg_margin"] == 10
+
+
+def test_config_defaults_overridden_by_user_input():
+    doc = _doc()
+    doc["blocks"].append(
+        {
+            "id": "image_blur",
+            "slug": "soft",
+            "description": "Blur the uploaded image a little bit.",
+            "input": {"sigma": 0.25},
+            "input_config": {
+                "property": {"image": {"origin": "up", "format": "file"}}
+            },
+        }
+    )
+    spec = PipelineSpec.from_json(doc)
+    assert spec.blocks[-1].input["sigma"] == 0.25
+
+
+def test_audio_convert_seeds_config_defaults():
+    # config.yaml:291-300
+    doc = _doc()
+    doc["blocks"].append(
+        {
+            "id": "audio_convert",
+            "slug": "conv",
+            "description": "Convert the uploaded audio to the default fmt.",
+            "input": {},
+            "input_config": {
+                "property": {"audio": {"origin": "up", "format": "file"}}
+            },
+        }
+    )
+    blk = PipelineSpec.from_json(doc).blocks[-1]
+    assert blk.input["format"] == "mp3"
+    assert blk.input["mono"] is False
+    assert blk.input["sample_rate"] == 44100
