@@ -112,3 +112,84 @@ def normalize_text(text: Column) -> Column:
     t = F.lower(text)
     t = F.regexp_replace(t, "[^a-z0-9]+", " ")
     return F.trim(t)
+
+
+# --- BPE-style subword tokenization ----------------------------------------
+
+#: Greedy longest-match subword vocabulary (BPE-style merges over common
+#: English digraphs/trigraphs/affixes). Deliberately fixed and literal: the
+#: operator shape — broadcast vocab, longest-match per pre-split word —
+#: is exactly a production BPE tokenizer's; swapping in a real merges.txt
+#: only changes this table. Single characters are the implicit fallback
+#: (every string tokenizes; no <unk>).
+BPE_VOCAB: tuple[str, ...] = (
+    "the", "and", "ing", "ion", "tion", "ent", "ati", "for", "her", "ter",
+    "hat", "tha", "ere", "ate", "his", "con", "res", "ver", "all", "ons",
+    "nce", "men", "ith", "ted", "ers", "pro", "thi", "wit", "are", "ess",
+    "not", "ive", "was", "ect", "rea", "com", "eve", "per", "int", "est",
+    "sta", "cti", "ica", "ist", "ear", "ain", "one", "our", "iti", "rat",
+    "ell", "ant", "str", "tio", "able", "ment", "ught", "ness", "ship",
+    "ous", "ity", "ed", "er", "in", "on", "at", "en", "an", "re", "es",
+    "or", "te", "of", "ti", "to", "it", "is", "al", "ar", "st", "nt",
+)
+
+#: word pre-split pattern (GPT-2-style pre-tokenization, simplified to
+#: lowercase alnum runs so the oracle regex is engine-portable)
+BPE_PRESPLIT = "[a-z0-9]+"
+
+
+def bpe_tokenize_count(word: str, vocab: frozenset = frozenset(BPE_VOCAB)) -> int:
+    """Greedy longest-match token count for one pre-split word.
+
+    At each position take the longest vocab entry that prefixes the
+    remainder, else consume one character; deterministic (only one string
+    of a given length can match). Mirrored 1:1 by the DuckDB recursive-CTE
+    oracle in ``text_queries.q_token_count_bpe``.
+    """
+    lens = sorted({len(t) for t in vocab}, reverse=True)
+    i, n, L = 0, 0, len(word)
+    while i < L:
+        step = 1
+        for tl in lens:
+            if tl <= L - i and word[i : i + tl] in vocab:
+                step = tl
+                break
+        i += step
+        n += 1
+    return n
+
+
+def bpe_count_udf():
+    """Arrow-batched pandas UDF: word → greedy token count.
+
+    Applied to *distinct* words only (the caller dedups first), the same
+    per-word memoization a production BPE tokenizer uses (GPT-2's
+    lru_cache) — at 100 TB the UDF touches the language's vocabulary
+    (~1e7 rows), not the corpus (~1e11 words), and the counts join back
+    on an 8-byte-hashable short key.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = frozenset(BPE_VOCAB)
+    lens = tuple(sorted({len(t) for t in vocab}, reverse=True))
+
+    # no type hints: postponed annotations ('pd.Series' strings) don't
+    # resolve against the function-local pandas import
+    @pandas_udf("long")
+    def _count(words):
+        out = []
+        for w in words:
+            i, n, L = 0, 0, len(w)
+            while i < L:
+                step = 1
+                for tl in lens:
+                    if tl <= L - i and w[i : i + tl] in vocab:
+                        step = tl
+                        break
+                i += step
+                n += 1
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    return _count

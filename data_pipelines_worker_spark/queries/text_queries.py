@@ -250,3 +250,63 @@ def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(25)
     )
+
+
+def _bpe_oracle() -> str:
+    vocab_vals = ", ".join(f"('{t}', {len(t)})" for t in ta.BPE_VOCAB)
+    return f"""
+    WITH RECURSIVE vocab(tok, toklen) AS (VALUES {vocab_vals}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ta.BPE_PRESPLIT}')) AS word
+      FROM documents
+    ),
+    words AS (SELECT DISTINCT word FROM toks),
+    steps AS (
+      SELECT word, word AS rest, 0 AS n FROM words
+      UNION ALL
+      SELECT word,
+             substr(rest, 1 + coalesce((SELECT max(toklen) FROM vocab
+                                        WHERE substr(rest, 1, toklen) = tok), 1)) AS rest,
+             n + 1 AS n
+      FROM steps WHERE rest <> ''
+    ),
+    wtok AS (SELECT word, n AS n_tok FROM steps WHERE rest = '')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM toks JOIN wtok USING (word)
+    GROUP BY doc_id
+    """
+
+
+@register("token_count_bpe", _bpe_oracle())
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token metering with a broadcast-vocab greedy longest-match
+    (BPE-style) tokenizer — what a training-data pipeline actually meters,
+    vs token_count's regex proxy.
+
+    Scale shape: pre-split is a codegen'd regexp explode; the Python
+    tokenizer touches *distinct* words only (per-word memoization, the
+    GPT-2 lru_cache pattern distributed); counts rejoin on the word key
+    and aggregate per document. At 100 TB the UDF input is the language's
+    vocabulary, not the corpus — the two shuffles (distinct + final
+    groupBy) carry short keys and AQE picks broadcast for the counts side
+    when it fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(ta.BPE_PRESPLIT), 0)
+        ).alias("word"),
+    )
+    counts = (
+        words.select("word").distinct().withColumn("n_tok", ta.bpe_count_udf()(F.col("word")))
+    )
+    return (
+        words.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

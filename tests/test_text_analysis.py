@@ -38,3 +38,26 @@ def test_fingerprints_deterministic(spark):
 
 def test_normalize_text(spark):
     assert one(spark, ta.normalize_text(F.col("t")), "  Héllo,   WORLD!! 42 ") == "h llo world 42"
+
+
+def test_bpe_greedy_longest_match():
+    # 'the' is a 3-char vocab entry: 'the' → 1 token; 'theory' → the|or|y
+    assert ta.bpe_tokenize_count("the") == 1
+    assert ta.bpe_tokenize_count("theory") == 3
+    # no vocab hit → one token per char
+    assert ta.bpe_tokenize_count("zzz") == 3
+    assert ta.bpe_tokenize_count("") == 0
+    # greedy takes the longest prefix at each position ('ment' over 'men')
+    assert ta.bpe_tokenize_count("ment") == 1
+
+
+def test_bpe_udf_matches_python_kernel(spark):
+    from data_pipelines_worker_spark.session import local_df
+
+    words = ["the", "theory", "zzz", "ment", "information", "a"]
+    df = local_df(spark, [(w,) for w in words], "word string")
+    got = {
+        r.word: r.n
+        for r in df.withColumn("n", ta.bpe_count_udf()(F.col("word"))).collect()
+    }
+    assert got == {w: ta.bpe_tokenize_count(w) for w in words}
