@@ -125,6 +125,81 @@ def _spec_json(spec: PipelineSpec) -> dict:
     return {"slug": spec.slug, "blocks": [asdict(b) for b in spec.blocks]}
 
 
+#: multipart memory cap — ParseMultipartForm(10 << 20),
+#: api/handlers/pipelines.go:155
+MULTIPART_MAX_BYTES = 10 << 20
+
+
+class MultipartError(ValueError):
+    pass
+
+
+def _parse_multipart(content_type: str, body: bytes) -> tuple[dict, dict]:
+    """``multipart/form-data`` body → (form fields, file parts).
+
+    Mirrors the reference's binding (api/schemas/pipelines.go:79-151):
+    text fields keep every value (``field[]`` arrays need them all), file
+    parts keep the first file per key as raw bytes. stdlib ``email``
+    parser — no framework dependency, same as the rest of the shim.
+    """
+    from email.parser import BytesParser
+
+    msg = BytesParser().parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
+    )
+    if not msg.is_multipart():
+        raise MultipartError("unable to parse multipart form")
+    form: dict[str, list[str]] = {}
+    files: dict[str, bytes] = {}
+    for part in msg.get_payload():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        if part.get_filename() is not None:
+            files.setdefault(name, payload)  # first file per key (:213)
+        else:
+            form.setdefault(name, []).append(payload.decode("utf-8", "replace"))
+    return form, files
+
+
+def _bind_multipart_start(form: dict, files: dict) -> dict:
+    """Form/file maps → the JSON-start body shape (pipeline.slug,
+    pipeline.processing_id, block.slug/target_index, block.input.*).
+
+    ``block.input.field[]`` gathers all values as an array
+    (pipelines.go:117-124); file parts bind raw bytes (:129-151) — the
+    compiler accepts both (InputBinding format:"file")."""
+    if not form.get("block.slug", [""])[0]:
+        raise MultipartError("block.slug is missing")
+    block: dict = {"slug": form["block.slug"][0]}
+    if form.get("block.target_index", [""])[0]:
+        try:
+            block["target_index"] = int(form["block.target_index"][0])
+        except ValueError as e:
+            raise MultipartError(f"invalid block.target_index: {e}") from e
+    inputs: dict = {}
+    for key, values in form.items():
+        if not key.startswith("block.input."):
+            continue
+        field = key[len("block.input.") :]
+        if field.endswith("[]"):
+            inputs[field[:-2]] = list(values)
+        else:
+            inputs[field] = values[0]
+    for key, payload in files.items():
+        if key.startswith("block.input."):
+            inputs[key[len("block.input.") :]] = payload
+    pipeline: dict = {}
+    if form.get("pipeline.processing_id", [""])[0]:
+        pipeline["processing_id"] = form["pipeline.processing_id"][0]
+    return {
+        "block": {**block, "input": inputs},
+        "pipeline": pipeline,
+        "input": {block["slug"]: inputs},
+    }
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: PipelineService  # injected by serve()
 
@@ -175,11 +250,24 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         parts = [p for p in url.path.split("/") if p]
         svc = self.service
-        try:
-            n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n) or b"{}")
-        except json.JSONDecodeError:
-            return self._json({"error": "invalid JSON"}, 400)
+        n = int(self.headers.get("Content-Length", 0))
+        ctype = self.headers.get("Content-Type", "application/json")
+        if ctype.startswith("multipart/form-data"):
+            # reference caps the parsed form at 10 MiB
+            # (ParseMultipartForm(10 << 20), api/handlers/pipelines.go:155)
+            if n > MULTIPART_MAX_BYTES:
+                self.rfile.read(n)
+                return self._json({"error": "multipart form too large"}, 400)
+            try:
+                form, file_parts = _parse_multipart(ctype, self.rfile.read(n))
+                body = _bind_multipart_start(form, file_parts)
+            except MultipartError as e:
+                return self._json({"error": str(e)}, 400)
+        else:
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._json({"error": "invalid JSON"}, 400)
         if len(parts) == 3 and parts[0] == "pipelines" and parts[2] in ("start", "resume"):
             slug = parts[1]
             if slug not in svc.pipelines:

@@ -156,3 +156,137 @@ def test_unknown_pipeline_404(api):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(base, "/pipelines/nope")
     assert e.value.code == 404
+
+
+# --- multipart/form-data start (api/schemas/pipelines.go:79-151) -----------
+
+
+def _multipart_body(fields: dict, files: dict) -> tuple[bytes, str]:
+    boundary = "testboundary42"
+    out = []
+    for name, value in fields.items():
+        for v in value if isinstance(value, list) else [value]:
+            out += [
+                f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="{name}"\r\n\r\n'.encode(),
+                v.encode() if isinstance(v, str) else v,
+                b"\r\n",
+            ]
+    for name, (filename, payload) in files.items():
+        out += [
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="{name}"; filename="{filename}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n".encode(),
+            payload,
+            b"\r\n",
+        ]
+    out.append(f"--{boundary}--\r\n".encode())
+    return b"".join(out), f"multipart/form-data; boundary={boundary}"
+
+
+def _post_multipart(base, path, fields, files):
+    body, ctype = _multipart_body(fields, files)
+    req = urllib.request.Request(
+        base + path, body, {"Content-Type": ctype}, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _png_spec() -> PipelineSpec:
+    return PipelineSpec(
+        slug="png-upload",
+        blocks=[
+            BlockSpec(id="upload_file", slug="up"),
+            BlockSpec(
+                id="image_resize",
+                slug="small",
+                input={"width": 40, "height": 30, "keep_aspect_ratio": False},
+                bindings=[InputBinding(param="image", origin="up", binary=True)],
+            ),
+        ],
+    )
+
+
+@pytest.fixture()
+def png_api(spark, tmp_path):
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    service = PipelineService(runner, {"png-upload": _png_spec()})
+    srv = serve(service)
+    yield f"http://127.0.0.1:{srv.server_port}", service
+    srv.shutdown()
+
+
+def test_multipart_file_upload_runs_pipeline(png_api):
+    # a real PNG POSTed as a multipart file part reaches upload_file as
+    # raw bytes and flows through the compiled pipeline (mirrors reference
+    # functional test TestPipelineMultipartFormDataFile + main_test.go:
+    # 308-347 field naming)
+    from data_pipelines_worker_spark.operators import png_codec as P
+    from tests.test_png_codec import grid_png
+
+    base, service = png_api
+    status, resp = _post_multipart(
+        base,
+        "/pipelines/png-upload/start",
+        {"pipeline.slug": "png-upload", "block.slug": "up"},
+        {"block.input.file": ("in.png", grid_png(120, 80))},
+    )
+    assert status == 202
+    pid = resp["processing_id"]
+    assert service.wait(pid, 120.0)
+    assert service._errors.get(pid) is None
+
+    from data_pipelines_worker_spark.sources import stage_store
+
+    out = stage_store.read_stage(
+        service.runner.spark, service.runner.store_root, "png-upload", pid, "small"
+    ).collect()
+    assert len(out) == 1 and out[0].mime == "image/png"
+    assert P.png_decode(bytes(out[0].payload_bin)).shape[:2] == (30, 40)
+
+
+def test_multipart_array_fields_fan_out(api):
+    # block.input.field[] values gather into an array (pipelines.go:117-124)
+    base, service = api
+    status, resp = _post_multipart(
+        base,
+        "/pipelines/wrap-join/start",
+        {
+            "pipeline.slug": "wrap-join",
+            "block.slug": "src",
+            "block.input.file[]": ["x", "y"],  # repeated key → array
+        },
+        {},
+    )
+    assert status == 202
+    pid = resp["processing_id"]
+    assert service.wait(pid, 120.0)
+    assert service._errors.get(pid) is None
+
+    from data_pipelines_worker_spark.sources import stage_store
+
+    out = stage_store.read_stage(
+        service.runner.spark, service.runner.store_root, "wrap-join", pid, "join"
+    )
+    assert out.first().payload_str == "[x]+[y]"
+
+
+def test_multipart_missing_block_slug_400(api):
+    base, _ = api
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_multipart(base, "/pipelines/wrap-join/start", {"pipeline.slug": "x"}, {})
+    assert e.value.code == 400
+
+
+def test_multipart_over_10mib_rejected(api):
+    base, _ = api
+    big = b"A" * (10 * 1024 * 1024 + 1024)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_multipart(
+            base,
+            "/pipelines/wrap-join/start",
+            {"pipeline.slug": "wrap-join", "block.slug": "src"},
+            {"block.input.file": ("big.bin", big)},
+        )
+    assert e.value.code == 400
