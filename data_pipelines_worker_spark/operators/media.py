@@ -262,11 +262,15 @@ def video_from_image_bytes(
     """ffmpeg ``-loop 1 -t (end-start)`` equivalent
     (block_video_from_image.go:107-120): every frame derives from the
     image. Accepts the FIMG test container or a real PNG (decoded via
-    png_codec, luma = rounded RGB mean); the output container is FVID
-    either way — an actual MP4 mux needs ffmpeg."""
+    png_codec, luma = rounded RGB mean); with ffmpeg present a real PNG
+    (or JPEG) renders to actual H.264 MP4 via the reference's own arg
+    list, else the output container is FVID."""
     if img[:4] != FIMG_MAGIC:
+        from . import ffmpeg_backend as FF
         from . import png_codec as P
 
+        if FF.HAVE and (P.is_png(img) or FF.is_jpeg(img)):
+            return FF.video_from_image(img, max(0.0, end - start), fps)
         if P.is_png(img):
             arr = P.png_decode(img)
             h, w = arr.shape[:2]
@@ -295,6 +299,12 @@ def join_videos_bytes(videos: Sequence[bytes], re_encode: bool = False) -> bytes
     1-element shortcut returns the input untouched (:76-81)."""
     if len(videos) == 1:
         return videos[0]
+    from . import ffmpeg_backend as FF
+
+    if any(FF.is_mp4(v) for v in videos):
+        if FF.HAVE:
+            return FF.join_videos(list(videos), re_encode)
+        _require_real_backend("video", videos[0])
     w = h = fps = None
     frames, audio_chunks, subs = [], [], []
     n_frames = 0
@@ -360,6 +370,12 @@ def video_add_audio_bytes(
     """``-map 0:v``/``-map 0`` + ``-map 1:a -c:v copy``: replace drops the
     original audio streams, otherwise the new stream is appended. The
     audio stream may be FAUD or real PCM WAV."""
+    from . import ffmpeg_backend as FF
+
+    if FF.is_mp4(video):
+        if FF.HAVE:
+            return FF.video_add_audio(video, audio, replace_original_audio)
+        _require_real_backend("video", video)
     _validate_audio_payload(audio)
     sections = fvid_decode(video)
     if replace_original_audio:
@@ -375,6 +391,12 @@ def video_add_subtitles_bytes(
     subtitle stream (mov_text) without touching frames."""
     if embedding_type not in ("burn", "mux"):
         raise ValueError("embedding_type must be burn|mux")
+    from . import ffmpeg_backend as FF
+
+    if FF.is_mp4(video):
+        if FF.HAVE:
+            return FF.video_add_subtitles(video, subtitles, embedding_type)
+        _require_real_backend("video", video)
     sections = fvid_decode(video)
     if embedding_type == "mux":
         sections.append((b"SUBS", subtitles))
@@ -394,9 +416,15 @@ def audio_from_video_bytes(
     video: bytes, start: float | None = None, end: float | None = None
 ) -> bytes:
     """``-q:a 0 -map a`` with optional ``-ss/-t`` slice of the first stream
-    (FAUD or real PCM WAV)."""
+    (FAUD or real PCM WAV); MP4 input extracts through ffmpeg when
+    present."""
+    from . import ffmpeg_backend as FF
     from . import wav_codec as WAV
 
+    if FF.is_mp4(video):
+        if FF.HAVE:
+            return FF.audio_from_video(video, start, end)
+        _require_real_backend("video", video)
     streams = fvid_sections(video, b"AUDI")
     if not streams:
         raise ValueError("video has no audio stream")
@@ -415,11 +443,17 @@ def audio_chunk_bytes(audio: bytes, duration: float = 600.0) -> list[bytes]:
     """ffmpeg ``-f segment -segment_time`` (block_audio_chunk.go:118-125):
     fixed-duration chunks, last one ragged; default 10m (:210). 1→N.
     Real PCM WAV payloads chunk natively (wav_codec); FAUD is the
-    deterministic test container; MP3 needs ffmpeg."""
+    deterministic test container; MP3 segments through ffmpeg when the
+    binary exists (the reference's own path), else the honest gate."""
     if duration <= 0:
         duration = 600.0
+    from . import ffmpeg_backend as FF
     from . import wav_codec as WAV
 
+    if FF.is_mp3(audio) or FF.is_mp4(audio):
+        if FF.HAVE:
+            return FF.audio_chunk(audio, duration)
+        _require_real_backend("audio", audio)
     if WAV.is_wav(audio):
         return WAV.chunk(audio, duration)
     rate, samples = faud_decode(audio)
@@ -441,10 +475,21 @@ def audio_convert_bytes(
     ``mono`` only affects the real paths. Real PCM WAV converts natively
     (mixdown + resample, wav_codec); ``bit_rate`` is meaningful only for
     lossy codecs, which need ffmpeg."""
+    from . import ffmpeg_backend as FF
     from . import wav_codec as WAV
 
+    if FF.is_mp3(audio) or FF.is_mp4(audio):
+        if FF.HAVE:
+            return FF.audio_convert(
+                audio, format, mono=mono, sample_rate=sample_rate, bit_rate=bit_rate
+            )
+        _require_real_backend("audio", audio)
     if WAV.is_wav(audio):
         if format != "wav":
+            if FF.HAVE:  # lossy target through the real encoder
+                return FF.audio_convert(
+                    audio, format, mono=mono, sample_rate=sample_rate, bit_rate=bit_rate
+                )
             # lossy targets need a real encoder — honest ffmpeg gate
             _require_real_backend("audio", audio)
         return WAV.convert(audio, mono=mono, sample_rate=sample_rate)

