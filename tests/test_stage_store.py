@@ -15,6 +15,31 @@ def test_stage_roundtrip(spark, tmp_path):
     assert back.collect() == df.collect()
 
 
+def test_stage_roundtrip_non_file_uri(spark, tmp_path):
+    # "root is any Hadoop-filesystem URI" (write_stage docstring / the
+    # reference's MinIO role, types/storage.go:207-368) — exercised through
+    # a genuinely non-file: scheme. viewfs:// resolves via Hadoop's
+    # client-side mount table (the same FileSystem plumbing an s3a:// root
+    # rides), so the stage path goes URI → FileSystem.get(scheme) → write
+    # → read instead of the local-path fast path.
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.viewfs.mounttable.stagetest.link./stages",
+        tmp_path.as_uri(),
+    )
+    root = "viewfs://stagetest/stages"
+    df = spark.createDataFrame(
+        [(0, 0, None, b"\x89PNG_payload", "image/png"),
+         (1, 0, "text out", None, "text/plain")],
+        stage_store.STAGE_SCHEMA,
+    )
+    stage_store.write_stage(df, root, "p", "proc-uri", "b")
+    back = stage_store.read_stage(spark, root, "p", "proc-uri", "b")
+    assert sorted(back.collect()) == sorted(df.collect())
+    # the bytes really landed under the mounted local dir
+    assert (tmp_path / "p" / "proc-uri" / "b").exists()
+
+
 def test_sniff_mime_magic_bytes(spark):
     cases = [
         (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "image/png"),
