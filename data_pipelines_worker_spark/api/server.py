@@ -38,16 +38,91 @@ from ..plans.compiler import ModerationPending, PipelineRunner, PipelineSpec
 from ..sources import run_log
 
 
+#: decision-event schema shared by the static DataFrame path and the
+#: streaming JSON source (same columns the compiler's poll-loop replay
+#: consumes, block_fetch_moderation_telegram.go:99-245)
+DECISION_SCHEMA = (
+    "block_slug string, input_index long, action string, event_time long, "
+    "event_id long, regenerate_block_slug string"
+)
+
+
 class PipelineService:
     """Registry + async execution state (PipelineRegistry /
-    ProcessingRegistry equivalents, types/registries/)."""
+    ProcessingRegistry equivalents, types/registries/).
 
-    def __init__(self, runner: PipelineRunner, pipelines: dict[str, PipelineSpec]):
+    ``decisions_dir`` (optional) activates the live moderation path: a
+    Structured Streaming JSON source tails the directory — the Spark
+    analogue of the reference's Telegram GetUpdates long-poll — and each
+    micro-batch folds into the decision log and re-drives any processing
+    parked in ``waiting_moderation``.
+    """
+
+    def __init__(
+        self,
+        runner: PipelineRunner,
+        pipelines: dict[str, PipelineSpec],
+        decisions_dir: str | None = None,
+    ):
         self.runner = runner
         self.pipelines = dict(pipelines)
         self.decisions = None  # optional moderation decision DataFrame
         self._threads: dict[str, threading.Thread] = {}
         self._errors: dict[str, str] = {}
+        self._lock = threading.Lock()
+        self._decision_rows: list[tuple] = []
+        self._decision_version = 0
+        self._pending: dict[str, tuple[str, dict | None]] = {}
+        self._decision_stream = None
+        if decisions_dir:
+            self.start_decision_stream(decisions_dir)
+
+    # -- live moderation decisions (VERDICT r2 #8) ---------------------------
+
+    def start_decision_stream(self, path: str, trigger_seconds: float = 1.0):
+        """Tail ``path`` as a streaming JSON source of decision events.
+
+        foreachBatch folds each micro-batch into the accumulated decision
+        log (control-plane scale — the same human-sized table the
+        reference polls out of Telegram) and resumes every parked
+        processing; a processing that pends *while* a batch lands retries
+        itself via the version counter in ``start()``."""
+        from ..session import local_df
+
+        spark = self.runner.spark
+
+        def on_batch(batch_df, _batch_id):
+            rows = [tuple(r) for r in batch_df.collect()]
+            if not rows:
+                return
+            with self._lock:
+                self._decision_rows.extend(rows)
+                self.decisions = local_df(
+                    spark, list(self._decision_rows), DECISION_SCHEMA
+                )
+                self._decision_version += 1
+                parked = [
+                    (pid, slug, req)
+                    for pid, (slug, req) in self._pending.items()
+                    if not self._threads[pid].is_alive()
+                ]
+            for pid, slug, req in parked:
+                self.start(slug, request_input=req, processing_id=pid)
+
+        self._decision_stream = (
+            spark.readStream.schema(DECISION_SCHEMA)
+            .json(path)
+            .writeStream.foreachBatch(on_batch)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .queryName("moderation-decisions")
+            .start()
+        )
+        return self._decision_stream
+
+    def stop_decision_stream(self):
+        if self._decision_stream is not None:
+            self._decision_stream.stop()
+            self._decision_stream = None
 
     # -- async execution (pipeline.go:204 goroutine → daemon thread) --------
 
@@ -63,19 +138,34 @@ class PipelineService:
         processing_id = processing_id or uuid.uuid4().hex[:12]
 
         def work():
-            try:
-                self.runner.run(
-                    spec,
-                    request_input=request_input,
-                    processing_id=processing_id,
-                    start_slug=start_slug,
-                    target_index=target_index,
-                    decisions=self.decisions,
-                )
-            except ModerationPending as e:  # recorded status: waiting
-                self._errors[processing_id] = str(e)
-            except Exception as e:  # noqa: BLE001 - surfaced via API
-                self._errors[processing_id] = f"{type(e).__name__}: {e}"
+            while True:
+                with self._lock:
+                    version = self._decision_version
+                    decisions = self.decisions
+                try:
+                    self.runner.run(
+                        spec,
+                        request_input=request_input,
+                        processing_id=processing_id,
+                        start_slug=start_slug,
+                        target_index=target_index,
+                        decisions=decisions,
+                    )
+                    with self._lock:
+                        self._pending.pop(processing_id, None)
+                    self._errors.pop(processing_id, None)
+                    return
+                except ModerationPending as e:  # recorded status: waiting
+                    self._errors[processing_id] = str(e)
+                    with self._lock:
+                        # decisions advanced mid-run → replay immediately;
+                        # else park for the stream's on_batch to resume
+                        if self._decision_version == version:
+                            self._pending[processing_id] = (slug, request_input)
+                            return
+                except Exception as e:  # noqa: BLE001 - surfaced via API
+                    self._errors[processing_id] = f"{type(e).__name__}: {e}"
+                    return
 
         t = threading.Thread(target=work, daemon=True)
         self._threads[processing_id] = t

@@ -290,3 +290,54 @@ def test_multipart_over_10mib_rejected(api):
             {"block.input.file": ("big.bin", big)},
         )
     assert e.value.code == 400
+
+
+# --- live moderation decision stream (VERDICT r2 #8) -----------------------
+
+
+def test_decision_stream_unblocks_waiting_moderation(spark, tmp_path):
+    # a decision file appended mid-run unblocks a processing parked in
+    # waiting_moderation: streaming JSON source → foreachBatch fold →
+    # auto-resume (the reference's GetUpdates poll loop, as a stream)
+    import os
+
+    from tests.test_moderation_flow import _spec as moderated_spec
+
+    decisions_dir = tmp_path / "decisions"
+    decisions_dir.mkdir()
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    service = PipelineService(
+        runner, {"moderated": moderated_spec()}, decisions_dir=str(decisions_dir)
+    )
+    try:
+        req = {"src": {"file": ["a", "b"]}}
+        pid = service.start("moderated", request_input=req)
+        assert service.wait(pid, 120.0)
+        assert "pending" in (service._errors.get(pid) or "")
+
+        events = [
+            {"block_slug": "gate", "input_index": i, "action": "approve",
+             "event_time": 100 + i, "event_id": i, "regenerate_block_slug": None}
+            for i in range(2)
+        ]
+        tmp = decisions_dir / ".approve.json.tmp"
+        tmp.write_text("\n".join(json.dumps(e) for e in events))
+        os.rename(tmp, decisions_dir / "approve.json")  # atomic appearance
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if service.wait(pid, 1.0) and pid not in service._pending:
+                if service._errors.get(pid) is None:
+                    break
+            time.sleep(0.5)
+        assert service._errors.get(pid) is None
+        assert pid not in service._pending
+
+        from data_pipelines_worker_spark.sources import stage_store
+
+        out = stage_store.read_stage(
+            spark, runner.store_root, "moderated", pid, "join"
+        )
+        assert out.first().payload_str == "<a> <b>"
+    finally:
+        service.stop_decision_stream()
