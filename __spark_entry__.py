@@ -38,6 +38,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail.
 _DRIVER_PRIORITY = (
     "window_functions",
+    # round-3 additions, never driver-checked
+    "pii_redact",
+    "repetition_signals",
+    "decontaminate_ngram",
+    "sequence_packing",
+    "doc_chunking",
+    "length_histogram",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    # round-2 additions dropped by the r02 50-row cap
     "token_count_bpe",
     "pipeline_e2e",
     "subtitles_from_transcription",

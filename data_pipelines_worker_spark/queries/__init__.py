@@ -40,5 +40,7 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     from . import pipeline_queries  # noqa: F401
     from . import media_queries  # noqa: F401
     from . import scale_queries  # noqa: F401
+    from . import curation_queries  # noqa: F401
+    from . import tpch_queries  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,297 @@
+"""Correctness queries for the corpus-curation operator family
+(:mod:`..operators.curation`): PII redaction, repetition profiling,
+benchmark decontamination, sequence packing, context-window chunking, and
+length bucketing.
+
+Oracle discipline (the window_functions lesson): every emitted column is
+either an exact integer, a string, or a *single* IEEE division of two
+exact integers — no rounded floats, no NULLs, no engine-local math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators import curation as cu
+from ..operators import text_analysis as ta
+from ..session import load_table
+from . import register
+
+
+# --- PII redaction ----------------------------------------------------------
+#
+# The synthetic corpus contains no PII, so the query *derives* it
+# deterministically from document fields (source + doc_id → an email, a
+# phone, an IP, with per-doc-varying extras) and then detects/redacts with
+# the production regexes. The construction is identical SQL on both sides;
+# what is under test is the detector/redactor.
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact ' || source || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+              || CASE WHEN doc_id % 2 = 0
+                      THEN ' alt 555-0000-9999' ELSE ' alt none' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{cu.PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{cu.PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{cu.PII_IPV4}')) AS BIGINT)  AS n_ip,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{cu.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{cu.PII_PHONE}', '<PHONE>', 'g'),
+         '{cu.PII_IPV4}', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
+@register("pii_redact", _PII_ORACLE)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + typed-placeholder redaction over the documents
+    table. Pure regexp column expressions — zero shuffle, codegen'd; at
+    100 TB this is a scan-bound map stage, the cheapest possible shape for
+    a compliance pass that must touch every byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        d.cast("string"),
+        F.lit("@mail.example.com call 555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (d % 256).cast("string"),
+        F.lit(".0."),
+        (d % 100).cast("string"),
+        F.when(d % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit(" alt 555-0000-9999")).otherwise(F.lit(" alt none")),
+    )
+    counts = cu.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ip"].alias("n_ip"),
+        cu.pii_redact(aug).alias("redacted"),
+    )
+
+
+# --- repetition / diversity profiling --------------------------------------
+
+_REP_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(generate_series(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS g2
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       CAST(list_max(list_transform(list_distinct(ws),
+                                    w -> len(list_filter(ws, x -> x = w))))
+            AS BIGINT) AS top_word_n,
+       CAST(len(g2) AS BIGINT) AS n_2grams,
+       CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
+       CAST(CASE WHEN len(g2) > 0
+                 THEN list_max(list_transform(list_distinct(g2),
+                                              w -> len(list_filter(g2, x -> x = w))))
+                 ELSE 0 END AS BIGINT) AS top_2gram_n
+FROM g
+"""
+
+
+@register("repetition_signals", _REP_ORACLE)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals as exact integers (the
+    filter thresholds — type-token ratio, top-2-gram fraction — are
+    downstream divisions of these). Higher-order-function column math,
+    no UDF, no shuffle; per-row cost is quadratic in *distinct* tokens,
+    bounded by vocabulary size, not document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = cu.repetition_profile(ta.tokenize_ws(F.col("text")))
+    return docs.select("doc_id", *[c.alias(n) for n, c in prof.items()])
+
+
+# --- benchmark decontamination ---------------------------------------------
+#
+# Real pipelines use 8–13-gram overlap against held-out benchmarks; the
+# synthetic corpus has a ~40-word vocabulary, so 3-grams give the same
+# collision statistics the long n-grams give on real text. The benchmark
+# "set" is the deterministic doc_id % 41 == 0 slice.
+
+_DECON_N = 3
+_DECON_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM t
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 41 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@register("decontaminate_ngram", _DECON_ORACLE)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: per training document, the number
+    of distinct word 3-grams it shares with the benchmark slice.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are MBs, crawls are TBs) — it is explicitly broadcast, so
+    the corpus side streams through a map-side hash join with no shuffle of
+    the big side; per-doc ``array_distinct`` bounds the join input at one
+    row per distinct gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(cu.doc_ngram_set(F.col("text"), _DECON_N)).alias("gram"),
+    )
+    bench = grams.where(F.col("doc_id") % 41 == 0).select("gram").distinct()
+    return (
+        grams.where(F.col("doc_id") % 41 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT source,
+       CAST(floor(cum_before / {cu.PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM c
+GROUP BY source, pack_id
+"""
+
+
+@register("sequence_packing", _PACK_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: per source stream, documents are
+    concatenated in doc_id order and the stream is cut every PACK_BUDGET
+    tokens; a document joins the pack its first token lands in. One window
+    per (source) partition + one small aggregation — the window key is the
+    stream id, so at 100 TB the state per task is one running counter and
+    no stream ever needs to fit in memory (contrast greedy bin-packing,
+    which is inherently sequential per bin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", ta.token_count_regex(F.col("text")).alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        toks.withColumn("pack_id", cu.pack_id(cum_before))
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --- context-window chunking ------------------------------------------------
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       s // {cu.CHUNK_STRIDE} AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, s + 1, {cu.CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       md5(substr(text, s + 1, {cu.CHUNK_SIZE})) AS chunk_fp
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - 1, {cu.CHUNK_STRIDE})) AS s
+  FROM documents
+)
+"""
+
+
+@register("doc_chunking", _CHUNK_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (size {200}, stride {150}) — the
+    1→N document→training-window fan-out. ``sequence`` + ``posexplode``
+    stay inside codegen; chunk content is fingerprinted (md5) so the oracle
+    checks bytes without hauling chunk text through the hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(cu.chunk_starts(F.col("text"))).alias("s"),
+    )
+    chunk = cu.chunk_at(F.col("text"), F.col("s"))
+    return exploded.select(
+        "doc_id",
+        F.floor(F.col("s") / cu.CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_fp"),
+    )
+
+
+# --- token-length bucketing -------------------------------------------------
+
+_LENHIST_ORACLE = """
+SELECT (CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) // 16) * 16
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+         AS sum_tokens
+FROM documents
+GROUP BY bucket
+"""
+
+
+@register("length_histogram", _LENHIST_ORACLE)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in 16-token buckets — the profile a batching/
+    packing stage reads to pick sequence budgets. Map-side partial agg on a
+    derived integer key; one tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = ta.token_count_regex(F.col("text"))
+    return (
+        docs.select((F.floor(n_tok / 16) * 16).cast("long").alias("bucket"), n_tok.alias("n"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_tokens"))
+    )

@@ -1,0 +1,474 @@
+"""Additional TPC-H-shaped relational queries (SURVEY §2.3 gap map,
+round 3): existential semi-joins, multi-way snowflake joins, outer-join
+distributions, scalar-subquery predicates, disjunctive pushdown, and
+anti-join + global-threshold selection.
+
+The driver's tables are a reduced TPC-H (no partsupp, no commit/receipt
+dates, generic NATION_i names), so each query keeps the reference TPC-H
+*shape* with parameters adapted to the data that exists; the docstrings
+note the adaptation.
+
+Same exactness discipline as relational_queries: money in integer cents
+(:func:`..queries.relational_queries.cents`), thresholds as cross-
+multiplied integer inequalities (never a floating average compared to a
+float), top-k ordered by integer keys with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import register
+from .relational_queries import cents
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelated to a left-semi join). The
+    reference Q4 tests l_commitdate < l_receiptdate, columns this dataset
+    lacks; the adaptation keeps the correlated-predicate semi-join (ship
+    later than orderdate + 60 days). Catalyst plans it as a semi hash join
+    on o_orderkey with the date filter pushed below the join; one shuffle
+    on the order key, aggregation on a 5-value key after."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           sum(vol_c) / 10000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS vol_c
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the two-nation volume-shipping snowflake. Join
+    order matters at scale: lineitem→supplier→nation prunes to 1/25 of
+    rows via broadcast joins *before* the only big-big shuffle
+    (lineitem⋈orders); customer and both nation dims broadcast. Volume is
+    computed exactly as price_c·disc_c (integer 1e-4 currency units,
+    divided back to currency only at the output boundary)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol_c = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            vol_c.alias("vol_c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("vol_c") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS share_num_c,
+           sum(vol_c) AS share_den_c,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS DOUBLE)
+             / sum(vol_c) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             n1.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS vol_c
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 7-table snowflake, the
+    widest join tree in the suite. All five dims broadcast; the only
+    shuffle is lineitem⋈orders on the order key. The share is emitted
+    three ways — exact integer numerator and denominator (hash-stable),
+    plus the single-division double for human use."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("asia_nationkey"))
+    n1 = n.select("n_nationkey", F.col("n_name").alias("supp_nation"))
+    vol_c = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    num = F.when(F.col("supp_nation") == "NATION_3", F.col("vol_c")).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("asia_nationkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == n1["n_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            vol_c.alias("vol_c"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(num).alias("share_num_c"),
+            F.sum("vol_c").alias("share_den_c"),
+            (F.sum(num).cast("double") / F.sum("vol_c")).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0
+             AS revenue,
+           c.c_acctbal
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. The top-k orders by the exact integer cent sum with the
+    customer key as tie-break, so the LIMIT cut is deterministic across
+    engines (a double-ordered LIMIT is not). TakeOrderedAndProject keeps
+    the sort k-bounded per partition — no global sort materializes."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol_c = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(vol_c).alias("rev_c"))
+        .orderBy(F.desc("rev_c"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("rev_c") / 10000.0).alias("revenue"),
+            "c_acctbal",
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution through a
+    filtered LEFT JOIN (customers with zero qualifying orders must appear
+    with c_count = 0 — the join filter lives in the ON clause, not WHERE).
+    Two shuffles: custkey join/agg, then the tiny c_count regroup. The
+    reference filters o_comment with NOT LIKE; this dataset has no comment
+    column, so the non-trivial ON-clause filter is o_orderpriority."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_c / 10000.0 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_c = (SELECT max(total_c) FROM revenue)
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue via a reused
+    aggregate (the reference's CREATE VIEW): the revenue aggregate feeds
+    both the max scalar and the final selection. Exact integer cents make
+    the max/equality reliable (a double max can tie-break differently per
+    engine). The 1-row max side is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    vol_c = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(vol_c).alias("total_c")
+    )
+    mx = rev.agg(F.max("total_c").alias("max_c"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_c"] == mx["max_c"])
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("total_c") / 10000.0).alias("total_revenue"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH agg AS (
+      SELECT l_partkey,
+             count(*) AS n_li,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#11'
+      GROUP BY l_partkey
+    )
+    SELECT sum(CAST(round(l.l_quantity * 100) AS BIGINT)) / 100.0 AS small_qty,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 700.0 AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l
+    JOIN agg a ON a.l_partkey = l.l_partkey
+    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * a.n_li < a.sum_qty_c
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)`
+    decorrelated to a per-part aggregate joined back to lineitem. The
+    threshold is the cross-multiplied integer inequality
+    qty_c · 5 · n < sum_qty_c — exactly 0.2·avg without ever computing a
+    float average (engine-portable and overflow-safe: qty_c ≤ 5e3,
+    n ≤ 1e7 at 100 TB fits int64). Both the brand-filtered part dim and
+    the per-part aggregate broadcast."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty_c = cents(F.col("l_quantity"))
+    agg = li_b.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.count("*").alias("n_li"), F.sum(qty_c).alias("sum_qty_c")
+    )
+    return (
+        li_b.join(F.broadcast(agg), F.col("l_partkey") == F.col("a_partkey"))
+        .where(qty_c * 5 * F.col("n_li") < F.col("sum_qty_c"))
+        .agg(
+            (F.sum(qty_c) / 100.0).alias("small_qty"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 700.0).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    """
+    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+             AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three-way disjunctive join predicate. The shared
+    conjunct (the equi-key) joins first — part is pre-filtered to the
+    union of the three brand/size windows and broadcast — and the
+    residual disjunction evaluates post-join inside codegen; the naive
+    alternative (three joins unioned) would scan lineitem three times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    part_pre = part.where(
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)))
+        | ((F.col("p_brand") == "Brand#14") & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#16") & (F.col("p_size").between(1, 15)))
+    )
+    vol_c = cents(F.col("l_extendedprice")) * cents(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part_pre), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#14", 10, 10, 20)
+            | arm("Brand#16", 15, 20, 30)
+        )
+        .agg((F.sum(vol_c) / 10000.0).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH pos AS (
+      SELECT count(*) AS n_pos,
+             sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_pos_c
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.sum_pos_c
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with
+    above-average positive balance and no orders in the window, grouped
+    by nation (the reference groups by phone country code; this dataset
+    has no phone column). The global average is the cross-multiplied
+    integer inequality acctbal_c · n_pos > sum_pos_c against a broadcast
+    1-row aggregate; the no-orders test is a left-anti join with the date
+    filter pushed below it. Every customer row is touched once; the only
+    big shuffle is the anti join on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    bal_c = cents(F.col("c_acctbal"))
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum(bal_c).alias("sum_pos_c")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(bal_c * F.col("n_pos") > F.col("sum_pos_c"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(bal_c) / 100.0).alias("totacctbal"),
+        )
+    )

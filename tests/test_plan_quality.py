@@ -268,3 +268,55 @@ class TestAQESkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound3Plans:
+    """Plan audits for the round-3 curation + TPC-H-shaped queries."""
+
+    def test_q7_q8_q10_dims_broadcast_no_cartesian(self, spark, registry):
+        for name, min_bhj in (("q7_volume_shipping", 4),
+                              ("q8_market_share", 5),
+                              ("q10_returned_items", 2)):
+            plan = plan_of(q(registry, name, spark))
+            assert plan.count("BroadcastHashJoin") >= min_bhj, name
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_q4_is_semi_join(self, spark, registry):
+        plan = plan_of(q(registry, "q4_order_priority", spark))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q22_anti_join_and_broadcast_threshold(self, spark, registry):
+        plan = plan_of(q(registry, "q22_idle_customers", spark))
+        assert "LeftAnti" in plan
+        # the 1-row global-threshold side rides a broadcast, never a shuffle
+        assert "BroadcastExchange" in plan
+
+    def test_q17_threshold_join_broadcasts_agg(self, spark, registry):
+        plan = plan_of(q(registry, "q17_small_qty_revenue", spark))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_decontaminate_broadcasts_benchmark_grams(self, spark, registry):
+        # the corpus side must stream through a broadcast hash join — a
+        # shuffle of the big side here is the 100 TB killer
+        plan = plan_of(q(registry, "decontaminate_ngram", spark))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_curation_map_stages_are_udf_free(self, spark, registry):
+        for name in ("pii_redact", "repetition_signals", "doc_chunking",
+                     "length_histogram"):
+            plan = plan_of(q(registry, name, spark))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+            if name != "length_histogram":  # agg plans hide codegen marks until AQE finalizes
+                assert "*(1)" in plan, name  # whole-stage codegen span
+
+    def test_sequence_packing_reuses_source_partitioning(self, spark, registry):
+        # window on (source) then groupBy (source, pack_id): two exchanges
+        # max (window hash + final agg); the agg must partial-aggregate
+        plan = plan_of(q(registry, "sequence_packing", spark))
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "partial_" in plan  # map-side combine before the shuffle
