@@ -120,12 +120,12 @@ FROM g
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity signals as exact integers (the
     filter thresholds — type-token ratio, top-2-gram fraction — are
-    downstream divisions of these). Higher-order-function column math,
-    no UDF, no shuffle; per-row cost is quadratic in *distinct* tokens,
-    bounded by vocabulary size, not document length."""
+    downstream divisions of these). Explode + codegen hash aggregation
+    (:func:`..operators.curation.repetition_stats`) rather than per-row
+    array lambdas: Spark higher-order functions evaluate interpreted, and
+    the measured gap on this profile is ~15× (see operator docstring)."""
     docs = load_table(spark, sf_dir, "documents")
-    prof = cu.repetition_profile(ta.tokenize_ws(F.col("text")))
-    return docs.select("doc_id", *[c.alias(n) for n, c in prof.items()])
+    return cu.repetition_stats(docs)
 
 
 # --- benchmark decontamination ---------------------------------------------
@@ -166,9 +166,8 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big side; per-doc ``array_distinct`` bounds the join input at one
     row per distinct gram."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(cu.doc_ngram_set(F.col("text"), _DECON_N)).alias("gram"),
+    grams = cu.explode_ngrams(docs, "doc_id", "text", _DECON_N).dropDuplicates(
+        ["doc_id", "gram"]
     )
     bench = grams.where(F.col("doc_id") % 41 == 0).select("gram").distinct()
     return (

@@ -311,7 +311,9 @@ class TestRound3Plans:
             plan = plan_of(q(registry, name, spark))
             assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
-            if name != "length_histogram":  # agg plans hide codegen marks until AQE finalizes
+            # agg plans (repetition_signals, length_histogram) hide codegen
+            # marks behind AdaptiveSparkPlan until execution finalizes
+            if name in ("pii_redact", "doc_chunking"):
                 assert "*(1)" in plan, name  # whole-stage codegen span
 
     def test_sequence_packing_reuses_source_partitioning(self, spark, registry):
