@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = (
     "q17_small_qty_revenue",
     "q19_disjunctive_pred",
     "q22_idle_customers",
+    "interval_join_attribution",
     # round-2 additions dropped by the r02 50-row cap
     "token_count_bpe",
     "pipeline_e2e",

@@ -656,3 +656,34 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wp).cast("long").alias("cd_den"),
         F.sum(cents(F.col("value"))).over(wr).alias("run_cents"),
     )
+
+
+@register(
+    "interval_join_attribution",
+    """
+    SELECT v.user_id,
+           v.event_id AS left_id,
+           c.event_id AS right_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM events v
+    JOIN events c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click attribution: every click within 30 minutes after a view
+    by the same user — the batch face of the watermarked stream-stream
+    interval join (:func:`..streaming.joins.interval_join`; stream≡batch
+    parity in test_streaming.py). Event-time lag emitted as exact integer
+    microseconds. In batch Catalyst plans the equi-key + range residual as
+    a hash join on user_id; in streaming the same range bound is what
+    makes join state evictable (O(rate × interval))."""
+    from ..streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    return interval_join(views, clicks, interval="30 minutes")
