@@ -55,6 +55,9 @@ _DRIVER_PRIORITY = (
     "q19_disjunctive_pred",
     "q22_idle_customers",
     "interval_join_attribution",
+    "semantic_dedup",
+    "mixture_sample",
+    "lm_bigram_score",
     # round-2 additions dropped by the r02 50-row cap
     "token_count_bpe",
     "pipeline_e2e",

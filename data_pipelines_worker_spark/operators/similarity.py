@@ -269,6 +269,59 @@ _KNUTH = 2654435761
 _KNUTH_MOD = 1 << 32
 
 
+def _ivf_quantizer(base: DataFrame, n_cells: int):
+    """Trainless IVF coarse quantizer: centroids are the ``n_cells``
+    vectors ranked first by the Knuth multiplicative hash of their id.
+    Returns (cids, C, cn): centroid ids (ascending), the centroid matrix,
+    and strict-fold centroid norms. ``base`` must carry (item_id, iv).
+
+    Control-plane collect: n_cells rows, same footprint as the LSH plane
+    literals — never corpus-scale."""
+    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
+    seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(n_cells).collect()
+    seed_rows.sort(key=lambda r: r["item_id"])  # argmax tie → lowest cid
+    cids = np.array([r["item_id"] for r in seed_rows], dtype=np.int64)
+    C = np.array([r["iv"] for r in seed_rows], dtype=np.float64)
+    # centroid norms via cumsum = the oracle's strict fold
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    return cids, C, cn
+
+
+def _ivf_cell_udfs(cids: np.ndarray, C: np.ndarray, cn: np.ndarray, n_probe: int):
+    """(cell_of, probes_of) Arrow-batched assignment UDFs for a fixed
+    quantizer: argmax-cosine cell (ties → lowest cid) and the n_probe
+    nearest cells per query — cosines via cumsum, bit-identical to the
+    oracle's strict left fold."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def _sims(V: np.ndarray) -> np.ndarray:
+        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        sims = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
+        for i in range(C.shape[0]):
+            sims[:, i] = np.cumsum(V * C[i], axis=1)[:, -1] / (nv * cn[i])
+        return sims
+
+    @pandas_udf(LongType())
+    def cell_of(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int64")
+        sims = _sims(np.stack(col.to_numpy()).astype(np.float64))
+        return pd.Series(cids[np.argmax(sims, axis=1)])  # first max = lowest cid
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes_of(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        sims = _sims(np.stack(col.to_numpy()).astype(np.float64))
+        # stable sort on -sim keeps cid-ascending order within ties,
+        # matching ORDER BY sim DESC, cid ASC
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cids[order]))
+
+    return cell_of, probes_of
+
+
 def ann_topk_ivf(
     items: DataFrame,
     queries: DataFrame,
@@ -297,46 +350,11 @@ def ann_topk_ivf(
     (cumsum folds, ``dot/(n_q·n_i)``) reproduces the oracle's strict
     left-fold arithmetic bit-for-bit.
     """
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
     base = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
     )
-    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
-    seed_rows = (
-        base.orderBy(rank_key, F.col("item_id")).limit(n_cells).collect()
-    )  # n_cells rows — control-plane, like the LSH plane literals
-    seed_rows.sort(key=lambda r: r["item_id"])  # argmax tie → lowest cid
-    cids = np.array([r["item_id"] for r in seed_rows], dtype=np.int64)
-    C = np.array([r["iv"] for r in seed_rows], dtype=np.float64)
-    # centroid norms via cumsum = the oracle's strict fold
-    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
-
-    def _sims(V: np.ndarray) -> np.ndarray:
-        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-        sims = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
-        for i in range(C.shape[0]):
-            sims[:, i] = np.cumsum(V * C[i], axis=1)[:, -1] / (nv * cn[i])
-        return sims
-
-    @pandas_udf(LongType())
-    def cell_of(col: pd.Series) -> pd.Series:
-        if not len(col):
-            return pd.Series([], dtype="int64")
-        sims = _sims(np.stack(col.to_numpy()).astype(np.float64))
-        return pd.Series(cids[np.argmax(sims, axis=1)])  # first max = lowest cid
-
-    @pandas_udf(ArrayType(LongType()))
-    def probes_of(col: pd.Series) -> pd.Series:
-        if not len(col):
-            return pd.Series([], dtype=object)
-        sims = _sims(np.stack(col.to_numpy()).astype(np.float64))
-        # stable sort on -sim keeps cid-ascending order within ties,
-        # matching ORDER BY sim DESC, cid ASC
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(cids[order]))
-
+    cids, C, cn = _ivf_quantizer(base, n_cells)
+    cell_of, probes_of = _ivf_cell_udfs(cids, C, cn, n_probe)
     pd_dot = dot_strict_udf()
     it = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
         "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
@@ -452,3 +470,67 @@ def embedding_near_dup_pairs(
         score, "id1 long, id2 long, sim double"
     )
     return paired.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
+def semantic_dedup(
+    items: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    coarse-cluster with the trainless IVF quantizer, then mark any vector
+    that has a lower-id neighbor with cosine ≥ ``threshold`` *within its
+    cell* as a duplicate (the kept copy is the lowest id, mirroring the
+    exact-dedup canonical-min convention).
+
+    Returns (id, cell, is_dup ∈ {0,1}) for every input vector.
+
+    100 TB shape: assignment is one Arrow-batched map stage (centroids are
+    control-plane data); candidate pairs are generated by a *cell* equi-
+    join, so pair count is Σ|cell|² over cells rather than n² — the same
+    reason SemDeDup clusters before comparing. Cross-cell duplicates are
+    out of scope by construction (the documented recall trade; raise
+    n_cells for smaller cells, or run LSH dedup for recall guarantees).
+    All pair cosines are strict-fold (cumsum) — bit-identical to the
+    DuckDB oracle, so the threshold predicate decides identically.
+    """
+    base = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    cids, C, cn = _ivf_quantizer(base, n_cells)
+    cell_of, _probes = _ivf_cell_udfs(cids, C, cn, n_probe=1)
+    pd_dot = dot_strict_udf()
+    asg = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
+        "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
+    )
+    a = asg.select(
+        F.col("item_id").alias("a_id"),
+        F.col("iv").alias("a_iv"),
+        F.col("inorm").alias("a_n"),
+        F.col("cell").alias("a_cell"),
+    )
+    b = asg.select(
+        F.col("item_id").alias("b_id"),
+        F.col("iv").alias("b_iv"),
+        F.col("inorm").alias("b_n"),
+        F.col("cell").alias("b_cell"),
+    )
+    dups = (
+        a.join(b, (F.col("a_cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn(
+            "sim", pd_dot(F.col("a_iv"), F.col("b_iv")) / (F.col("a_n") * F.col("b_n"))
+        )
+        .where(F.col("sim") >= threshold)
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        asg.join(dups, asg["item_id"] == dups["dup_id"], "left")
+        .select(
+            F.col("item_id").alias(id_col),
+            F.col("cell"),
+            F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).cast("long").alias("is_dup"),
+        )
+    )

@@ -294,3 +294,86 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_tokens"))
     )
+
+
+# --- data-mixture sampling --------------------------------------------------
+
+_MIX_ORACLE = """
+SELECT source,
+       CAST(max(10 + (CAST(substr(source, 4) AS BIGINT) % 3) * 20) AS BIGINT)
+         AS rate_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100
+                          < 10 + (CAST(substr(source, 4) AS BIGINT) % 3) * 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+"""
+
+
+@register("mixture_sample", _MIX_ORACLE)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixture sampling: each source gets its own
+    deterministic keep rate (derived here from the source id: 10/30/50 %),
+    rows kept by the Knuth multiplicative hash of doc_id against the rate
+    threshold — the reproducible weighted-mixture draw a training-data
+    pipeline uses to rebalance sources. Same subset on every engine/run
+    (no rand()); cost is one codegen'd scan + a source-keyed partial agg.
+    In production the rate map is a broadcast dimension; deriving it from
+    the source id keeps the oracle self-contained."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_n = F.substring(F.col("source"), 4, 10).cast("long")
+    rate = F.lit(10) + (src_n % 3) * 20
+    keep = (
+        F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)), F.lit(100))
+        < rate
+    )
+    return docs.groupBy("source").agg(
+        F.max(rate).cast("long").alias("rate_pct"),
+        F.count("*").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+
+
+# --- n-gram LM familiarity scoring -----------------------------------------
+
+_LM_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c) AS BIGINT) AS familiarity
+FROM g JOIN cnt USING (gram)
+GROUP BY doc_id
+"""
+
+
+@register("lm_bigram_score", _LM_ORACLE)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-familiarity scoring with an n-gram LM built from
+    the corpus itself in the same plan: corpus-wide bigram counts (the
+    "language model") joined back to each document's bigrams; familiarity
+    = Σ corpus-count over the document's bigrams, kept as exact integers
+    (a real pipeline takes log-probs; integer counts keep the oracle
+    hash-stable while exercising the identical two-pass shape).
+
+    Scale shape: both passes explode the same codegen n-gram stream; the
+    count side aggregates map-side to vocabulary size before the join, so
+    the join's build side is the LM table, not the corpus — at 100 TB the
+    LM is billions of short keys (shuffle hash join territory), while the
+    probe side streams."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = cu.explode_ngrams(docs, "doc_id", "text", 2)
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("c").alias("familiarity"))
+    )

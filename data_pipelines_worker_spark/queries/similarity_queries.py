@@ -217,3 +217,55 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SEMDEDUP_THRESHOLD = 0.4
+
+_SEMDEDUP_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn
+      FROM e ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      LIMIT {_N_CELLS}
+    ),
+    allsims AS (
+      SELECT a.vec_id, s.cid,
+             {_dot('a.v', 's.cv')} / (a.nrm * s.cn) AS csim
+      FROM n a CROSS JOIN seeds s
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM allsims) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM asg a
+      JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n va ON va.vec_id = a.vec_id
+      JOIN n vb ON vb.vec_id = b.vec_id
+      WHERE {_dot('va.v', 'vb.v')} / (va.nrm * vb.nrm) >= {_SEMDEDUP_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cid AS cell,
+           CAST(CASE WHEN d.dup_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+    FROM asg a LEFT JOIN dups d ON d.dup_id = a.vec_id
+"""
+
+
+@register("semantic_dedup", _SEMDEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: IVF coarse clustering, then
+    within-cell cosine-threshold duplicate marking with lowest-id-kept
+    canonicalization (:func:`..operators.similarity.semantic_dedup`).
+    Pair work is Σ|cell|², not n² — the clustering bound that makes
+    embedding dedup feasible at corpus scale; strict-fold cosines keep the
+    threshold predicate engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=_SEMDEDUP_THRESHOLD, n_cells=_N_CELLS
+    )

@@ -45,3 +45,17 @@ def test_query_matches_duckdb(spark, sf_dir, name):
     assert len(srows) == len(drows)
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert value_hash(srows, sdf.columns) == value_hash(drows, rel.columns)
+
+
+def test_every_registered_query_analyzes(spark, sf_dir):
+    """Catalyst analysis (schema resolution) must succeed for every
+    registered query — catches unresolved columns/ambiguous joins at
+    registration time without executing anything."""
+    qs = entrymod.queries()
+    failed = {}
+    for name, fn in qs.items():
+        try:
+            _ = fn(spark, sf_dir).schema
+        except Exception as ex:  # noqa: BLE001
+            failed[name] = str(ex)[:200]
+    assert not failed, failed
