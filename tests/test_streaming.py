@@ -244,3 +244,38 @@ def test_interval_join_stream_matches_batch(spark, tmp_path, sf_dir):
         q.stop()
     assert got == batch
     assert batch  # non-trivial: the sf0.001 slice must produce matches
+
+
+def test_corpus_prep_stream_matches_batch(spark, tmp_path, sf_dir):
+    # composed streaming ingestion (first-seen dedup + lang + quality gate
+    # + token metering) ≡ the batch corpus_prep query, column for column
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.corpus import corpus_prep_stream
+    import __spark_entry__ as entrymod
+
+    batch = {
+        r.doc_id: (r.lang_pred, r.quality, r.n_tokens)
+        for r in entrymod.queries()["corpus_prep"](spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_stream"
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        corpus_prep_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.lang_pred, r.quality, r.n_tokens)
+            for r in spark.sql("SELECT * FROM corpus_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert batch  # gate+dedup must keep a non-trivial set
