@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "semantic_dedup",
     "mixture_sample",
     "lm_bigram_score",
+    "embedding_pq_codes",
     # round-2 additions dropped by the r02 50-row cap
     "token_count_bpe",
     "pipeline_e2e",

@@ -534,3 +534,75 @@ def semantic_dedup(
             F.when(F.col("dup_id").isNotNull(), 1).otherwise(0).cast("long").alias("is_dup"),
         )
     )
+
+
+def pq_encode(
+    items: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subspaces and replace each subvector with the index of its nearest
+    codebook centroid — the memory-bound ANN scale path (IVF-PQ): a
+    64-dim float32 vector (256 B) compresses to ``m`` byte codes, letting
+    a 100 TB embedding corpus's index live in RAM while exact vectors
+    stay in object storage for re-ranking.
+
+    Codebooks are trainless (the IVF quantizer convention): the ``k``
+    Knuth-hash-ranked vectors donate their subvectors as centroids, code
+    j = rank of the donor id — deterministic and oracle-replicable, no
+    k-means to mirror. Assignment is argmin squared L2 per subspace with
+    first-min (lowest code) tie-break; distances are strict-fold
+    (cumsum), bit-identical to the DuckDB ``list_reduce`` oracle.
+
+    Returns (id, subspace, code, qdist): the code and the quantization
+    error contribution per subspace (``qdist`` rounded at the output
+    boundary only). One Arrow-batched map stage over items; the codebook
+    is control-plane data in the UDF closure.
+    """
+    base = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
+    seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(k).collect()
+    seed_rows.sort(key=lambda r: r["item_id"])  # code j = j-th donor by id
+    C = np.array([r["iv"] for r in seed_rows], dtype=np.float64)  # (k, D)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    subdim = dim // m
+
+    schema = "vec_id long, subspace long, code long, qdist double"
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["iv"].to_numpy()).astype(np.float64)  # (n, D)
+            n = V.shape[0]
+            for s in range(m):
+                Vs = V[:, s * subdim : (s + 1) * subdim]
+                d = np.empty((n, k), dtype=np.float64)
+                for j in range(k):
+                    Cs = C[j, s * subdim : (s + 1) * subdim]
+                    # cumsum = the oracle's strict left fold over (x-c)^2
+                    d[:, j] = np.cumsum((Vs - Cs) ** 2, axis=1)[:, -1]
+                code = np.argmin(d, axis=1)  # first min = lowest code
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["item_id"].to_numpy(),
+                        "subspace": np.full(n, s, dtype=np.int64),
+                        "code": code.astype(np.int64),
+                        "qdist": d[np.arange(n), code],
+                    }
+                )
+
+    out = base.mapInPandas(encode, schema=schema)
+    return out.select(
+        F.col("vec_id").alias(id_col),
+        "subspace",
+        "code",
+        F.round("qdist", 6).alias("qdist"),
+    )

@@ -269,3 +269,48 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         emb, threshold=_SEMDEDUP_THRESHOLD, n_cells=_N_CELLS
     )
+
+
+_PQ_M, _PQ_K, _PQ_SUBDIM = 4, 16, 16
+
+_PQ_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+            LIMIT {_PQ_K})
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    dists AS (
+      SELECT a.vec_id, sub.s AS subspace, seeds.code,
+             list_reduce(list_prepend(0.0,
+               list_transform(
+                 list_zip(array_slice(a.v, sub.s * {_PQ_SUBDIM} + 1,
+                                      sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}),
+                          array_slice(seeds.cv, sub.s * {_PQ_SUBDIM} + 1,
+                                      sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM})),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (acc, x) -> acc + x) AS d
+      FROM e a CROSS JOIN sub CROSS JOIN seeds
+    )
+    SELECT vec_id, subspace, code, round(d, 6) AS qdist FROM (
+      SELECT vec_id, subspace, code, d,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY d, code) AS rn
+      FROM dists) WHERE rn = 1
+"""
+
+
+@register("embedding_pq_codes", _PQ_ORACLE)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + per-subspace quantization error for
+    every embedding (:func:`..operators.similarity.pq_encode`) — the
+    compression layer of IVF-PQ. Trainless Knuth-ranked codebooks and
+    strict-fold distances keep the argmin engine-identical, so even the
+    'approximate' compressed representation value-hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb, m=_PQ_M, k=_PQ_K)
