@@ -536,6 +536,16 @@ def semantic_dedup(
     )
 
 
+def _pq_codebook(base: DataFrame, k: int) -> np.ndarray:
+    """Trainless PQ codebook: the ``k`` Knuth-hash-ranked vectors, sorted
+    by donor id so code j is the j-th donor. Control-plane collect
+    (k rows). ``base`` must carry (item_id, iv)."""
+    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
+    seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(k).collect()
+    seed_rows.sort(key=lambda r: r["item_id"])  # code j = j-th donor by id
+    return np.array([r["iv"] for r in seed_rows], dtype=np.float64)  # (k, D)
+
+
 def pq_encode(
     items: DataFrame,
     m: int = 4,
@@ -565,10 +575,7 @@ def pq_encode(
     base = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
     )
-    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
-    seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(k).collect()
-    seed_rows.sort(key=lambda r: r["item_id"])  # code j = j-th donor by id
-    C = np.array([r["iv"] for r in seed_rows], dtype=np.float64)  # (k, D)
+    C = _pq_codebook(base, k)  # (k, D)
     dim = C.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -605,4 +612,127 @@ def pq_encode(
         "subspace",
         "code",
         F.round("qdist", 6).alias("qdist"),
+    )
+
+
+def ann_topk_ivfpq(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ retrieval: coarse probe (IVF) → asymmetric-distance
+    scoring on PQ codes (ADC) → exact cosine re-rank of the best
+    ``rerank`` candidates → top-k.
+
+    This is the memory-bound ANN architecture at corpus scale: the index
+    the candidate stage touches is (cell id + m byte codes) per item —
+    ~20 B instead of a 256 B raw vector — and the expensive exact scoring
+    reads true vectors for only ``rerank`` candidates per query.
+
+    Determinism end-to-end: shared trainless quantizer/codebook (Knuth-
+    ranked donors), strict-fold distances, the per-candidate ADC sum
+    written as the explicit left-to-right chain d0+d1+…+d(m-1) (a float
+    sum aggregate would have engine-defined order), and integer id
+    tie-breaks at both the rerank cut and the final top-k — so the whole
+    approximate retrieval value-hash-matches the DuckDB oracle.
+
+    100 TB shape: items are touched by one assignment/encode map stage;
+    the candidate join is (probe cells ⋈ cell-keyed codes) — an equi-join
+    on a small integer key; the ADC distance table is per-query
+    control-plane data (m·k_codes doubles) broadcast with the query set.
+    """
+    base = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    cids, C, cn = _ivf_quantizer(base, n_cells)
+    cell_of, probes_of = _ivf_cell_udfs(cids, C, cn, n_probe)
+    CB = _pq_codebook(base, k_codes)  # (k_codes, D)
+    dim = CB.shape[1]
+    subdim = dim // m
+    pd_dot = dot_strict_udf()
+
+    # --- item side: cell + PQ codes (the compressed index) -----------------
+    asg = base.withColumn("cell", cell_of(F.col("iv")))
+    codes = pq_encode(items, m=m, k=k_codes, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("item_id"), "subspace", "code"
+    )
+
+    # --- query side: probe cells + ADC distance table ----------------------
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+
+    def dtable(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            n = Q.shape[0]
+            for s in range(m):
+                Qs = Q[:, s * subdim : (s + 1) * subdim]
+                for j in range(k_codes):
+                    Cs = CB[j, s * subdim : (s + 1) * subdim]
+                    d = np.cumsum((Qs - Cs) ** 2, axis=1)[:, -1]  # strict fold
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pdf["query_id"].to_numpy(),
+                            "subspace": np.full(n, s, dtype=np.int64),
+                            "code": np.full(n, j, dtype=np.int64),
+                            "qd": d,
+                        }
+                    )
+
+    qd = qbase.mapInPandas(dtable, schema="query_id long, subspace long, code long, qd double")
+    probes = qbase.withColumn("cell", F.explode(probes_of(F.col("qv")))).select(
+        "query_id", "cell"
+    )
+
+    # --- ADC candidate scoring over the compressed index -------------------
+    cand = (
+        probes.join(asg.select("item_id", "cell"), "cell")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id")
+    )
+    scored = cand.join(codes, "item_id").join(
+        F.broadcast(qd), ["query_id", "subspace", "code"]
+    )
+    pvt = (
+        scored.groupBy("query_id", "item_id")
+        .pivot("subspace", list(range(m)))
+        .agg(F.first("qd"))
+    )
+    approx = None
+    for s in range(m):  # explicit left-to-right chain — deterministic FP order
+        term = F.col(str(s))
+        approx = term if approx is None else approx + term
+    shortlist = pvt.select("query_id", "item_id", approx.alias("adc"))
+    w_cut = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("item_id"))
+    short = (
+        shortlist.withColumn("rn", F.row_number().over(w_cut))
+        .where(F.col("rn") <= rerank)
+        .select("query_id", "item_id")
+    )
+
+    # --- exact re-rank of the shortlist ------------------------------------
+    it = base.withColumn("inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv"))))
+    qn = qbase.withColumn("qnorm", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
+    exact = (
+        short.join(it, "item_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qnorm") * F.col("inorm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", F.round("sim", 6).alias("sim"), "rank")
     )

@@ -314,3 +314,129 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     'approximate' compressed representation value-hash-matches."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_encode(emb, m=_PQ_M, k=_PQ_K)
+
+
+_PQ_RERANK = 32
+
+_ANN_IVFPQ_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn
+      FROM e ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      LIMIT {_N_CELLS}
+    ),
+    cb AS (
+      SELECT v AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+            LIMIT {_PQ_K})
+    ),
+    allsims AS (
+      SELECT a.vec_id, s.cid,
+             {_dot('a.v', 's.cv')} / (a.nrm * s.cn) AS csim
+      FROM n a CROSS JOIN seeds s
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM allsims) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM allsims WHERE vec_id < 20) WHERE rn <= {_N_PROBE}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    codes AS (
+      SELECT vec_id AS item_id, subspace, code FROM (
+        SELECT a.vec_id, sub.s AS subspace, cb.code,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, sub.s
+                 ORDER BY list_reduce(list_prepend(0.0,
+                   list_transform(
+                     list_zip(array_slice(a.v, sub.s * {_PQ_SUBDIM} + 1,
+                                          sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}),
+                              array_slice(cb.cv, sub.s * {_PQ_SUBDIM} + 1,
+                                          sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM})),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                   (acc, x) -> acc + x), cb.code) AS rn
+        FROM e a CROSS JOIN sub CROSS JOIN cb) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT q.vec_id AS query_id, sub.s AS subspace, cb.code,
+             list_reduce(list_prepend(0.0,
+               list_transform(
+                 list_zip(array_slice(q.v, sub.s * {_PQ_SUBDIM} + 1,
+                                      sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}),
+                          array_slice(cb.cv, sub.s * {_PQ_SUBDIM} + 1,
+                                      sub.s * {_PQ_SUBDIM} + {_PQ_SUBDIM})),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (acc, x) -> acc + x) AS qdv
+      FROM e q CROSS JOIN sub CROSS JOIN cb
+      WHERE q.vec_id < 20
+    ),
+    cand AS (
+      SELECT p.query_id, ia.vec_id AS item_id
+      FROM probes p JOIN asg ia ON ia.cid = p.cid
+      WHERE ia.vec_id != p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.item_id,
+             max(CASE WHEN k.subspace = 0 THEN q.qdv END)
+           + max(CASE WHEN k.subspace = 1 THEN q.qdv END)
+           + max(CASE WHEN k.subspace = 2 THEN q.qdv END)
+           + max(CASE WHEN k.subspace = 3 THEN q.qdv END) AS adist
+      FROM cand c
+      JOIN codes k ON k.item_id = c.item_id
+      JOIN qd q ON q.query_id = c.query_id
+              AND q.subspace = k.subspace AND q.code = k.code
+      GROUP BY c.query_id, c.item_id
+    ),
+    short AS (
+      SELECT query_id, item_id FROM (
+        SELECT query_id, item_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, item_id) AS rn
+        FROM adc) WHERE rn <= {_PQ_RERANK}
+    )
+    SELECT query_id, item_id, round(sim, 6) AS sim, rank FROM (
+      SELECT s.query_id, s.item_id,
+             {_dot('q.v', 'i.v')} / (q.nrm * i.nrm) AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_dot('q.v', 'i.v')} / (q.nrm * i.nrm) DESC, s.item_id
+             ) AS BIGINT) AS rank
+      FROM short s
+      JOIN n i ON i.vec_id = s.item_id
+      JOIN n q ON q.vec_id = s.query_id
+    ) WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_topk_ivfpq", _ANN_IVFPQ_ORACLE)
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ retrieval: coarse probe → asymmetric-distance scoring
+    over the compressed (cell, codes) index → exact re-rank of the top
+    candidates (:func:`..operators.similarity.ann_topk_ivfpq`). The entire
+    approximate path — probes, PQ codes, the explicit left-to-right ADC
+    sum, the rerank cut — is engine-deterministic, so even this doubly-
+    approximate retrieval value-hash-matches the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return similarity.ann_topk_ivfpq(
+        emb,
+        queries,
+        k=5,
+        n_cells=_N_CELLS,
+        n_probe=_N_PROBE,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        rerank=_PQ_RERANK,
+    )
