@@ -215,3 +215,44 @@ def chunk_starts(text: Column, stride: int = CHUNK_STRIDE) -> Column:
 def chunk_at(text: Column, start: Column, size: int = CHUNK_SIZE) -> Column:
     """The chunk starting at 0-based ``start`` (SQL substring is 1-based)."""
     return F.substring(text, start + 1, size)
+
+
+def sequence_packing_greedy(docs, budget: int = PACK_BUDGET,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            stream_col: str = "source"):
+    """True greedy packing (first-fit with reset): walk each stream in doc
+    order accumulating tokens; when adding a document would overflow the
+    budget, close the pack and start a new one. Unlike :func:`pack_id`'s
+    contiguous-stream split, the greedy variant never splits a document
+    across packs — the semantics real sequence packers use when documents
+    must stay whole.
+
+    The reset makes it inherently sequential *per stream* — not a window
+    expression — so it runs as one ``applyInPandas`` group per stream:
+    sequential inside a stream (irreducible), parallel across streams
+    (the actual unit of scale: a 100 TB corpus is millions of streams).
+    Returns (stream, doc_id, n_tokens, pack_id)."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from ..operators import text_analysis as ta
+
+    toks = docs.select(
+        F.col(stream_col).alias("stream"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        ta.token_count_regex(F.col(text_col)).alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, run, pid = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if run > 0 and run + int(t) > budget:
+                pid += 1
+                run = 0
+            run += int(t)
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    return toks.groupBy("stream").applyInPandas(
+        pack, schema="stream string, doc_id long, n_tokens long, pack_id long"
+    )

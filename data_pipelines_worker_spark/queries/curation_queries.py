@@ -377,3 +377,56 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("c").alias("familiarity"))
     )
+
+
+# --- greedy (first-fit reset) sequence packing -----------------------------
+
+_GREEDY_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+g AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS run
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+              THEN g.pack_id + 1 ELSE g.pack_id END,
+         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+              THEN t.n_tokens ELSE g.run + t.n_tokens END
+  FROM g JOIN t ON t.source = g.source AND t.rn = g.rn + 1
+)
+SELECT source, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM g
+GROUP BY source, pack_id
+"""
+
+
+@register("sequence_packing_greedy", _GREEDY_ORACLE)
+def q_sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-document packing
+    (:func:`..operators.curation.sequence_packing_greedy`): first-fit with
+    reset, so no document ever splits across packs — inherently sequential
+    per stream, hence one applyInPandas group per stream (parallel across
+    the corpus's streams, the real unit of scale). The DuckDB oracle walks
+    the identical recursion as a recursive CTE, pinning the reset
+    semantics exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = cu.sequence_packing_greedy(docs)
+    return (
+        packed.groupBy(F.col("stream").alias("source"), "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -110,3 +110,24 @@ def test_new_query_matches_duckdb(spark, sf_dir, name):
     assert len(srows) == len(drows)
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert value_hash(srows, sdf.columns) == value_hash(drows, rel.columns)
+
+
+def test_greedy_packing_respects_budget(spark, sf_dir):
+    # property: no pack exceeds the budget unless it is a single over-
+    # budget document; docs stay whole and consecutive within a stream
+    from data_pipelines_worker_spark.operators.curation import (
+        PACK_BUDGET,
+        sequence_packing_greedy,
+    )
+    from data_pipelines_worker_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = sequence_packing_greedy(docs)
+    agg = (
+        packed.groupBy("stream", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        assert r.tot <= PACK_BUDGET or r.n == 1, (r.stream, r.pack_id, r.tot, r.n)

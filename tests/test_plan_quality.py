@@ -322,3 +322,12 @@ class TestRound3Plans:
         plan = plan_of(q(registry, "sequence_packing", spark))
         assert plan.count("Exchange hashpartitioning") <= 2
         assert "partial_" in plan  # map-side combine before the shuffle
+
+    def test_ivfpq_and_semantic_dedup_no_cartesian(self, spark, registry):
+        # candidate generation must ride integer-key equi-joins (cell /
+        # code keys), never a cross product of the corpus
+        for name in ("ann_cosine_topk_ivfpq", "semantic_dedup",
+                     "embedding_pq_codes", "lm_bigram_score"):
+            plan = plan_of(q(registry, name, spark))
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
