@@ -161,3 +161,48 @@ def test_embedding_near_dup_symmetric_free(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     out = similarity.embedding_near_dup_pairs(df, threshold=0.99).collect()
     assert [(r.id1, r.id2) for r in out] == [(0, 1)]
+
+
+def test_ann_ivfpq_recall_and_rank_structure(spark, sf_dir):
+    """IVF-PQ adds lossy ADC shortlisting on top of IVF probing; the exact
+    re-rank stage restores true cosines for whatever survives the
+    shortlist, so (a) recall@1 vs the exact scorer keeps a floor and
+    (b) every reported sim equals the exact scorer's sim bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact1 = {
+        r.query_id: r.item_id
+        for r in similarity.ann_topk_bruteforce(emb, q, k=1).collect()
+    }
+    pq = similarity.ann_topk_ivfpq(emb, q, k=5).collect()
+    hits = {(r.query_id, r.item_id) for r in pq}
+    recall = sum(1 for qid, iid in exact1.items() if (qid, iid) in hits) / len(exact1)
+    assert recall >= 0.5, f"IVF-PQ recall@1 regressed: {recall:.2f}"
+    brute = {
+        (r.query_id, r.item_id): r.sim
+        for r in similarity.ann_topk_bruteforce(emb, q, k=200).collect()
+    }
+    by_q: dict = {}
+    for r in pq:
+        assert brute[(r.query_id, r.item_id)] == r.sim  # exact re-rank stage
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_pq_codes_reconstruction_sanity(spark, sf_dir):
+    """PQ codebook sanity: a codebook donor vector quantizes to itself
+    (zero error) in every subspace, and codes stay within [0, k)."""
+    from data_pipelines_worker_spark.queries.similarity_queries import _PQ_K, _PQ_M
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = similarity.pq_encode(emb, m=_PQ_M, k=_PQ_K).collect()
+    assert {r.subspace for r in codes} == set(range(_PQ_M))
+    assert all(0 <= r.code < _PQ_K for r in codes)
+    # donors: qdist exactly 0 in all subspaces
+    by_vec: dict = {}
+    for r in codes:
+        by_vec.setdefault(r.vec_id, []).append(r.qdist)
+    donors = [v for v, ds in by_vec.items() if all(d == 0.0 for d in ds)]
+    assert len(donors) >= _PQ_K  # at least the codebook donors
