@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = (
     "embedding_pq_codes",
     "ann_cosine_topk_ivfpq",
     "sequence_packing_greedy",
+    "sketch_error_bounds",
     # round-2 additions dropped by the r02 50-row cap
     "token_count_bpe",
     "pipeline_e2e",

@@ -264,3 +264,53 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price"
         ),
     )
+
+
+@register(
+    "sketch_error_bounds",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           count(*) AS n,
+           TRUE AS hll_within_bound,
+           TRUE AS p50_within_bound,
+           TRUE AS p95_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family's *verifiable* face: sketch outputs themselves are
+    engine-specific (rows-only gate on `sketch_aggregates`), but their
+    error CONTRACTS are not — this query computes both the sketch and the
+    exact answer in one plan and emits whether the sketch landed inside
+    its documented bound (HLL rsd 0.02 → allow 3σ = 6 %; percentile_approx
+    accuracy 10000 → rank error 1e-4, allow a ±0.02-quantile window). The
+    oracle pins the booleans to TRUE, so a sketch regression outside its
+    contract turns the driver row red while exact_users/n stay hash-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = F.expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))")
+    pcts = F.percentile_approx("value", F.lit([0.5, 0.95]), F.lit(10000))
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count("*").alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        bounds.alias("b"),
+    )
+    hll_ok = (
+        F.abs(F.col("au") - F.col("exact_users")) / F.col("exact_users") <= 0.06
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n",
+        hll_ok.alias("hll_within_bound"),
+        ((F.col("p50") >= F.col("b")[0]) & (F.col("p50") <= F.col("b")[1])).alias(
+            "p50_within_bound"
+        ),
+        ((F.col("p95") >= F.col("b")[2]) & (F.col("p95") <= F.col("b")[3])).alias(
+            "p95_within_bound"
+        ),
+    )
