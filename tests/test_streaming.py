@@ -279,3 +279,58 @@ def test_corpus_prep_stream_matches_batch(spark, tmp_path, sf_dir):
         q.stop()
     assert got == batch
     assert batch  # gate+dedup must keep a non-trivial set
+
+
+def test_windowed_agg_drops_data_later_than_watermark(spark, tmp_path):
+    # append-mode watermark contract: once the watermark passes a window's
+    # end, that window is final — an event arriving afterwards for it is
+    # dropped, not re-emitted (bounded state depends on this)
+    import shutil
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        pdf = spark.createDataFrame(rows, schema)
+        tmp = tmp_path / ("stage_" + name)
+        pdf.coalesce(1).write.parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    # phase 1: events in hour 0 and hour 10 — watermark (2h) advances to
+    # hour 8, finalizing the hour-0 window
+    write_batch(
+        "p1",
+        [
+            (_t(0), "view", 1.0),
+            (_t(600), "view", 2.0),
+            (_t(10 * 3600), "view", 3.0),
+        ],
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        windowed_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.window_start, r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+        # hour-0 window emitted (watermark passed), hour-10 still open
+        assert any(r[1] == 2 for r in first), first
+        # phase 2: a straggler for hour 0 — already finalized, must be dropped
+        write_batch("p2", [(_t(30), "view", 99.0)])
+        q.processAllAvailable()
+        second = {
+            (r.window_start, r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+        assert second == first, "late event past the watermark was not dropped"
+    finally:
+        q.stop()
