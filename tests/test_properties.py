@@ -168,3 +168,75 @@ class TestStringKernelProperties:
         for i, (t, o, n) in enumerate(rows):
             # block_text_replace.go:63-79: text and new both TrimLeft(" ")
             assert got[i] == t.lstrip(" ").replace(o, n.lstrip(" ")), (t, o, n)
+
+
+class TestCurationProperties:
+    """Curation kernels vs independent Python models over generated docs."""
+
+    WORDS = st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=12
+    )
+
+    @SPARK_FAST
+    @given(ws=WORDS, n=st.integers(2, 3))
+    def test_ngrams_match_naive_model(self, spark, ws, n):
+        from data_pipelines_worker_spark.operators import curation as cu
+
+        df = spark.createDataFrame([(ws,)], "ws array<string>")
+        got = df.select(cu.ngrams(F.col("ws"), n).alias("g")).collect()[0].g
+        want = [" ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 0))]
+        assert got == want
+
+    @SPARK_FAST
+    @given(ws=WORDS)
+    def test_top_count_matches_counter(self, spark, ws):
+        from collections import Counter
+
+        from data_pipelines_worker_spark.operators import curation as cu
+
+        df = spark.createDataFrame([(ws,)], "ws array<string>")
+        got = df.select(cu.top_count(F.col("ws")).alias("t")).collect()[0].t
+        assert got == max(Counter(ws).values())
+
+    @SPARK_FAST
+    @given(ws=WORDS)
+    def test_explode_ngrams_equals_ngrams_column(self, spark, ws):
+        # the codegen explode path and the lambda column path must emit the
+        # same gram multiset (ordering aside)
+        from data_pipelines_worker_spark.operators import curation as cu
+
+        df = spark.createDataFrame([(1, " ".join(ws))], "doc_id long, text string")
+        a = sorted(
+            r.gram for r in cu.explode_ngrams(df, "doc_id", "text", 2).collect()
+        )
+        b = sorted(
+            df.select(F.explode(cu.ngrams(F.split(F.col("text"), " ", -1), 2)).alias("g"))
+            .toPandas()["g"]
+            .tolist()
+        )
+        assert a == b
+
+    @SPARK_FAST
+    @given(
+        toks=st.lists(st.integers(1, 700), min_size=1, max_size=20),
+        budget=st.sampled_from([256, 512]),
+    )
+    def test_greedy_packing_model(self, spark, toks, budget):
+        # applyInPandas greedy == the obvious sequential model
+        from data_pipelines_worker_spark.operators.curation import (
+            sequence_packing_greedy,
+        )
+
+        rows = [("s", i, "x " * t) for i, t in enumerate(toks)]  # t tokens each
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = {
+            r.doc_id: r.pack_id
+            for r in sequence_packing_greedy(df, budget=budget).collect()
+        }
+        run, pid, want = 0, 0, {}
+        for i, t in enumerate(toks):
+            if run > 0 and run + t > budget:
+                pid, run = pid + 1, 0
+            run += t
+            want[i] = pid
+        assert got == want
