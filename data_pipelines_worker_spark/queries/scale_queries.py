@@ -281,36 +281,57 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch family's *verifiable* face: sketch outputs themselves are
     engine-specific (rows-only gate on `sketch_aggregates`), but their
-    error CONTRACTS are not — this query computes both the sketch and the
-    exact answer in one plan and emits whether the sketch landed inside
-    its documented bound (HLL rsd 0.02 → allow 3σ = 6 %; percentile_approx
-    accuracy 10000 → rank error 1e-4, allow a ±0.02-quantile window). The
-    oracle pins the booleans to TRUE, so a sketch regression outside its
-    contract turns the driver row red while exact_users/n stay hash-exact.
+    error CONTRACTS are not — compute the sketch and its exact
+    verification in one plan and emit whether the sketch landed inside its
+    documented bound. The oracle pins the booleans to TRUE, so a sketch
+    regression outside its contract turns the driver row red while
+    exact_users/n stay hash-exact.
+
+    Scale discipline: the percentile check is a *rank* verification —
+    count how many values fall at or below the sketch's answer and assert
+    the rank lands in a ±0.02-quantile window (cross-multiplied integers,
+    no floats). That is one extra streaming pass with O(1) memory per
+    group, unlike exact ``percentile()``, whose aggregate buffers every
+    value of the group and cannot run at 100 TB. HLL gets 3σ of its
+    rsd=0.02 (6 %); percentile_approx accuracy 10000 has rank error 1e-4,
+    far inside the window.
     """
     ev = load_table(spark, sf_dir, "events")
-    bounds = F.expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))")
     pcts = F.percentile_approx("value", F.lit([0.5, 0.95]), F.lit(10000))
-    agg = ev.groupBy("event_type").agg(
+    sketch = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
         F.element_at(pcts, 1).alias("p50"),
         F.element_at(pcts, 2).alias("p95"),
-        bounds.alias("b"),
+    )
+    # second streaming pass: rank of each sketch answer within its group
+    ranks = (
+        ev.join(F.broadcast(sketch.select("event_type", "p50", "p95")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)).alias("le95"),
+        )
     )
     hll_ok = (
         F.abs(F.col("au") - F.col("exact_users")) / F.col("exact_users") <= 0.06
     )
-    return agg.select(
-        "event_type",
-        "exact_users",
-        "n",
-        hll_ok.alias("hll_within_bound"),
-        ((F.col("p50") >= F.col("b")[0]) & (F.col("p50") <= F.col("b")[1])).alias(
-            "p50_within_bound"
-        ),
-        ((F.col("p95") >= F.col("b")[2]) & (F.col("p95") <= F.col("b")[3])).alias(
-            "p95_within_bound"
-        ),
+    # rank windows as integer cross-multiplication: 0.48n ≤ le50 ≤ 0.52n etc.
+    p50_ok = (F.col("le50") * 100 >= F.col("n") * 48) & (
+        F.col("le50") * 100 <= F.col("n") * 52
+    )
+    p95_ok = (F.col("le95") * 100 >= F.col("n") * 93) & (
+        F.col("le95") * 100 <= F.col("n") * 97
+    )
+    return (
+        sketch.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n",
+            hll_ok.alias("hll_within_bound"),
+            p50_ok.alias("p50_within_bound"),
+            p95_ok.alias("p95_within_bound"),
+        )
     )
