@@ -62,6 +62,8 @@ _DRIVER_PRIORITY = (
     "ann_cosine_topk_ivfpq",
     "sequence_packing_greedy",
     "sketch_error_bounds",
+    "pack_manifest",
+    "corpus_final_manifest",
     # round-2 additions dropped by the r02 50-row cap
     "token_count_bpe",
     "pipeline_e2e",

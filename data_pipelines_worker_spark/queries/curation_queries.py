@@ -430,3 +430,144 @@ def q_sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- pack manifests: the materialized training sequences --------------------
+
+_MANIFEST_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, text,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+g AS (
+  SELECT source, doc_id, text, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS run
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.text, t.n_tokens, t.rn,
+         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+              THEN g.pack_id + 1 ELSE g.pack_id END,
+         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+              THEN t.n_tokens ELSE g.run + t.n_tokens END
+  FROM g JOIN t ON t.source = g.source AND t.rn = g.rn + 1
+)
+SELECT source, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(length(string_agg(text, chr(30) ORDER BY doc_id)) AS BIGINT)
+         AS seq_chars,
+       md5(string_agg(text, chr(30) ORDER BY doc_id)) AS seq_md5
+FROM g
+GROUP BY source, pack_id
+"""
+
+
+@register("pack_manifest", _MANIFEST_ORACLE)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training sequences: greedy whole-document packs joined
+    back to their text, concatenated in doc order with a record separator
+    (0x1e), fingerprinted — the artifact a trainer's data loader actually
+    reads, so its bytes are what the oracle should pin. Ordered gather =
+    sort_array(collect_list(struct(doc_id, text))): the packing family's
+    analog of the join_videos ordered-gather discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = cu.sequence_packing_greedy(docs)
+    joined = packed.join(docs.select("doc_id", "text"), "doc_id")
+    gathered = joined.groupBy(F.col("stream").alias("source"), "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "text"))).alias("parts"),
+    )
+    seq = F.concat_ws("\x1e", F.transform(F.col("parts"), lambda s: s["text"]))
+    return gathered.select(
+        "source",
+        "pack_id",
+        "n_docs",
+        "n_tokens",
+        F.length(seq).cast("long").alias("seq_chars"),
+        F.md5(seq).alias("seq_md5"),
+    )
+
+
+# --- the end-to-end clean-corpus manifest ----------------------------------
+
+
+def _final_manifest_oracle() -> str:
+    all_sw = "[" + ", ".join(
+        f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws
+    ) + "]"
+    return f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+q AS (
+  SELECT doc_id, source,
+         round(
+           0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
+                                  / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
+         + 0.3 * least(len(list_filter(string_split(text, ' '),
+                                       w -> list_contains({all_sw}, w)))
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
+         + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE)), 6) AS quality,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+gr AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+                ELSE CAST([] AS VARCHAR[]) END)) AS gram
+  FROM t
+),
+bench AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 41 = 0),
+contaminated AS (
+  SELECT DISTINCT gr.doc_id FROM gr JOIN bench USING (gram)
+  WHERE gr.doc_id % 41 <> 0
+)
+SELECT q.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens
+FROM q
+JOIN keep k ON k.doc_id = q.doc_id
+LEFT JOIN contaminated c ON c.doc_id = q.doc_id
+WHERE q.quality >= 0.45 AND q.doc_id % 41 <> 0 AND c.doc_id IS NULL
+GROUP BY q.source
+"""
+
+
+@register("corpus_final_manifest", _final_manifest_oracle())
+def q_corpus_final_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline's OUTPUT contract, per source: exact
+    dedup (canonical min-id) → quality gate → benchmark-slice exclusion →
+    n-gram decontamination, rolled up to (n_docs, n_tokens) — the
+    manifest a training run is provisioned from. One composition, four
+    operators, still only: one content-keyed window shuffle (dedup), one
+    broadcast gram join (decontamination), one source-keyed rollup."""
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "doc_id", "text").where(~F.col("is_duplicate"))
+    grams = cu.explode_ngrams(docs, "doc_id", "text", _DECON_N).dropDuplicates(
+        ["doc_id", "gram"]
+    )
+    bench_grams = grams.where(F.col("doc_id") % 41 == 0).select("gram").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") % 41 != 0)
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        kept.where(F.round(ta.quality_score(F.col("text")), 6) >= 0.45)
+        .where(F.col("doc_id") % 41 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ta.token_count_regex(F.col("text"))).alias("n_tokens"),
+        )
+    )
