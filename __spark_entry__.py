@@ -64,6 +64,8 @@ _DRIVER_PRIORITY = (
     "sketch_error_bounds",
     "pack_manifest",
     "corpus_final_manifest",
+    "cohort_retention",
+    "funnel_analysis",
     # round-2 additions dropped by the r02 50-row cap
     "token_count_bpe",
     "pipeline_e2e",

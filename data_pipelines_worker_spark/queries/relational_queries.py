@@ -687,3 +687,104 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view")
     clicks = ev.where(F.col("event_type") == "click")
     return interval_join(views, clicks, interval="30 minutes")
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firstseen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM active a JOIN firstseen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted active
+    per subsequent week offset — the canonical growth-analytics triangle.
+    Two aggregations over one scan (first-seen per user, distinct active
+    weeks) joined on the user key; offsets are exact integer day
+    differences ÷ 7 (both weeks are Monday-truncated, so the difference is
+    always a multiple of 7). At 100 TB both aggregations partial-combine
+    map-side and the join key is the 8-byte user id."""
+    ev = load_table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        active.join(firstseen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "funnel_analysis",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → later click → later purchase per user, each
+    stage anchored on the previous stage's first occurrence (min-ts
+    anchoring makes the ordered-sequence match a pair of aggregations +
+    equi-joins instead of a per-user sort — the shape that survives scale;
+    a window-sort funnel would shuffle the full event stream per stage).
+    Single-row integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
