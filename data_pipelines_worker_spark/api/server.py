@@ -72,7 +72,8 @@ class PipelineService:
         self._lock = threading.Lock()
         self._decision_rows: list[tuple] = []
         self._decision_version = 0
-        self._pending: dict[str, tuple[str, dict | None]] = {}
+        #: parked moderation-pending runs: pid -> full restart context
+        self._pending: dict[str, tuple[str, dict | None, str | None, int | None]] = {}
         self._decision_stream = None
         if decisions_dir:
             self.start_decision_stream(decisions_dir)
@@ -101,13 +102,24 @@ class PipelineService:
                     spark, list(self._decision_rows), DECISION_SCHEMA
                 )
                 self._decision_version += 1
+                # claim every parked run by popping it under the lock: the
+                # parking thread inserted it under this same lock right
+                # before returning, so no aliveness check is needed (an
+                # is_alive() filter raced the short window between insert
+                # and thread exit, leaving runs parked forever)
                 parked = [
-                    (pid, slug, req)
-                    for pid, (slug, req) in self._pending.items()
-                    if not self._threads[pid].is_alive()
+                    (pid, slug, req, start_slug, target_index)
+                    for pid, (slug, req, start_slug, target_index) in self._pending.items()
                 ]
-            for pid, slug, req in parked:
-                self.start(slug, request_input=req, processing_id=pid)
+                self._pending.clear()
+            for pid, slug, req, start_slug, target_index in parked:
+                self.start(
+                    slug,
+                    request_input=req,
+                    processing_id=pid,
+                    start_slug=start_slug,
+                    target_index=target_index,
+                )
 
         self._decision_stream = (
             spark.readStream.schema(DECISION_SCHEMA)
@@ -161,7 +173,12 @@ class PipelineService:
                         # decisions advanced mid-run → replay immediately;
                         # else park for the stream's on_batch to resume
                         if self._decision_version == version:
-                            self._pending[processing_id] = (slug, request_input)
+                            # park with the FULL restart context: dropping
+                            # start_slug/target_index here made a resumed
+                            # pipeline replay from block 0 on decision
+                            self._pending[processing_id] = (
+                                slug, request_input, start_slug, target_index
+                            )
                             return
                 except Exception as e:  # noqa: BLE001 - surfaced via API
                     self._errors[processing_id] = f"{type(e).__name__}: {e}"

@@ -208,8 +208,13 @@ CHUNK_STRIDE = 150
 def chunk_starts(text: Column, stride: int = CHUNK_STRIDE) -> Column:
     """0-based chunk start offsets covering the document with the given
     stride (last chunk may be short; every char is covered since
-    stride < size)."""
-    return F.sequence(F.lit(0), F.length(text) - 1, F.lit(stride))
+    stride < size). Empty text → no chunks: guarded explicitly, because
+    ``sequence(0, -1, stride)`` raises at runtime (and the DuckDB
+    ``generate_series`` oracle quietly returns no rows — the contract is
+    the oracle's)."""
+    return F.when(
+        F.length(text) > 0, F.sequence(F.lit(0), F.length(text) - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def chunk_at(text: Column, start: Column, size: int = CHUNK_SIZE) -> Column:

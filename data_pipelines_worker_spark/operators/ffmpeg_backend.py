@@ -50,16 +50,16 @@ def is_jpeg(data: bytes) -> bool:
 # --- pure arg builders (1:1 with the reference's exec.Command lists) --------
 
 
-def audio_chunk_args(src: str, duration: float, out_pattern: str) -> list[str]:
-    """block_audio_chunk.go:118-125 — stream-copy segmenter."""
-    return [
-        "-y",
-        "-i", src,
-        "-f", "segment",
-        "-segment_time", f"{duration:f}",
-        "-c", "copy",
-        out_pattern,
-    ]
+def audio_chunk_args(
+    src: str, duration: float, out_pattern: str, drop_video: bool = False
+) -> list[str]:
+    """block_audio_chunk.go:118-125 — stream-copy segmenter. The reference
+    is mp3-in/mp3-out; for our mp4 extension ``drop_video`` adds ``-vn``
+    (segments must carry exactly the audio stream)."""
+    args = ["-y", "-i", src, "-f", "segment", "-segment_time", f"{duration:f}"]
+    if drop_video:
+        args += ["-vn"]
+    return args + ["-c", "copy", out_pattern]
 
 
 def audio_convert_args(
@@ -201,10 +201,23 @@ def _ext_for(data: bytes) -> str:
 
 def audio_chunk(audio: bytes, duration: float) -> list[bytes]:
     with tempfile.TemporaryDirectory(prefix="dpws_ff_") as d:
-        src = os.path.join(d, f"in.{_ext_for(audio)}")
+        ext = _ext_for(audio)
+        src = os.path.join(d, f"in.{ext}")
         with open(src, "wb") as f:
             f.write(audio)
-        _run(audio_chunk_args(src, duration, os.path.join(d, "segment%03d.mp3")))
+        # segment container must match the stream-copied codec: mp3 stays
+        # mp3 (the reference path); mp4 input copies its AAC into m4a
+        # segments with the video stream dropped — "-c copy" into .mp3
+        # would be rejected by ffmpeg for AAC input
+        seg_ext = "m4a" if ext == "mp4" else "mp3"
+        _run(
+            audio_chunk_args(
+                src,
+                duration,
+                os.path.join(d, f"segment%03d.{seg_ext}"),
+                drop_video=(ext == "mp4"),
+            )
+        )
         out = []
         for name in sorted(os.listdir(d)):
             if name.startswith("segment"):

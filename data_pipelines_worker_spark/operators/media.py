@@ -415,9 +415,12 @@ def video_add_subtitles_bytes(
 def audio_from_video_bytes(
     video: bytes, start: float | None = None, end: float | None = None
 ) -> bytes:
-    """``-q:a 0 -map a`` with optional ``-ss/-t`` slice of the first stream
-    (FAUD or real PCM WAV); MP4 input extracts through ffmpeg when
-    present."""
+    """``-q:a 0 -map a`` extraction with the reference's exact trim
+    semantics (block_audio_from_video.go:111-116): ``-ss start`` only when
+    start > 0, and ``-t end`` — i.e. ``end`` is a DURATION from start, not
+    an absolute timestamp — only when end > 0 and end > start. The -1
+    config defaults (config.yaml) therefore mean "unset" on every path.
+    MP4 input extracts through ffmpeg when present (same arg gates)."""
     from . import ffmpeg_backend as FF
     from . import wav_codec as WAV
 
@@ -428,14 +431,20 @@ def audio_from_video_bytes(
     streams = fvid_sections(video, b"AUDI")
     if not streams:
         raise ValueError("video has no audio stream")
+    s = -1.0 if start is None else float(start)
+    e = -1.0 if end is None else float(end)
+
+    def _bounds(n: int, rate: int) -> tuple[int, int]:
+        lo = max(0, int(s * rate)) if s > 0 else 0
+        hi = min(n, lo + int(e * rate)) if (e > 0 and e > s) else n
+        return lo, hi
+
     if WAV.is_wav(streams[0]):
         rate, frames = WAV.wav_decode(streams[0])
-        lo = 0 if start is None else max(0, int(start * rate))
-        hi = frames.shape[0] if end is None else min(frames.shape[0], int(end * rate))
+        lo, hi = _bounds(frames.shape[0], rate)
         return WAV.wav_encode(rate, frames[lo:hi])
     rate, samples = faud_decode(streams[0])
-    lo = 0 if start is None else max(0, int(start * rate))
-    hi = len(samples) if end is None else min(len(samples), int(end * rate))
+    lo, hi = _bounds(len(samples), rate)
     return faud_encode(rate, samples[lo:hi])
 
 

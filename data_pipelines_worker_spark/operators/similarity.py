@@ -552,6 +552,7 @@ def pq_encode(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into ``m``
     subspaces and replace each subvector with the index of its nearest
@@ -575,7 +576,10 @@ def pq_encode(
     base = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
     )
-    C = _pq_codebook(base, k)  # (k, D)
+    # callers that already collected the codebook (ann_topk_ivfpq shares
+    # one seed set across quantizer and encoder) pass it in — saves a
+    # full Knuth-rank sort + driver collect per call
+    C = _pq_codebook(base, k) if codebook is None else codebook  # (k, D)
     dim = C.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -660,9 +664,9 @@ def ann_topk_ivfpq(
 
     # --- item side: cell + PQ codes (the compressed index) -----------------
     asg = base.withColumn("cell", cell_of(F.col("iv")))
-    codes = pq_encode(items, m=m, k=k_codes, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("item_id"), "subspace", "code"
-    )
+    codes = pq_encode(
+        items, m=m, k=k_codes, id_col=id_col, vec_col=vec_col, codebook=CB
+    ).select(F.col(id_col).alias("item_id"), "subspace", "code")
 
     # --- query side: probe cells + ADC distance table ----------------------
     qbase = queries.select(

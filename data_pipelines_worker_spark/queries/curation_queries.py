@@ -394,9 +394,9 @@ g AS (
   FROM t WHERE rn = 1
   UNION ALL
   SELECT t.source, t.doc_id, t.n_tokens, t.rn,
-         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+         CASE WHEN g.run > 0 AND g.run + t.n_tokens > {cu.PACK_BUDGET}
               THEN g.pack_id + 1 ELSE g.pack_id END,
-         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+         CASE WHEN g.run > 0 AND g.run + t.n_tokens > {cu.PACK_BUDGET}
               THEN t.n_tokens ELSE g.run + t.n_tokens END
   FROM g JOIN t ON t.source = g.source AND t.rn = g.rn + 1
 )
@@ -447,9 +447,9 @@ g AS (
   FROM t WHERE rn = 1
   UNION ALL
   SELECT t.source, t.doc_id, t.text, t.n_tokens, t.rn,
-         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+         CASE WHEN g.run > 0 AND g.run + t.n_tokens > {cu.PACK_BUDGET}
               THEN g.pack_id + 1 ELSE g.pack_id END,
-         CASE WHEN g.run + t.n_tokens > {cu.PACK_BUDGET}
+         CASE WHEN g.run > 0 AND g.run + t.n_tokens > {cu.PACK_BUDGET}
               THEN t.n_tokens ELSE g.run + t.n_tokens END
   FROM g JOIN t ON t.source = g.source AND t.rn = g.rn + 1
 )

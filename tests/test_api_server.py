@@ -341,3 +341,70 @@ def test_decision_stream_unblocks_waiting_moderation(spark, tmp_path):
         assert out.first().payload_str == "<a> <b>"
     finally:
         service.stop_decision_stream()
+
+
+def test_parked_resume_preserves_start_slug(spark, tmp_path):
+    # a processing parked while RESUMING mid-pipeline must restart from
+    # its start_slug when a decision lands — not replay from block 0
+    # (regression: the parked context used to drop start_slug/target_index)
+    import os
+
+    from tests.test_moderation_flow import _spec as moderated_spec
+
+    decisions_dir = tmp_path / "decisions"
+    decisions_dir.mkdir()
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    service = PipelineService(
+        runner, {"moderated": moderated_spec()}, decisions_dir=str(decisions_dir)
+    )
+    try:
+        req = {"src": {"file": ["a", "b"]}}
+        pid = service.start("moderated", request_input=req)
+        assert service.wait(pid, 120.0)
+        assert "pending" in (service._errors.get(pid) or "")
+
+        # mid-pipeline resume of the parked processing: earlier stages are
+        # rehydrated from the store; it parks again at the gate, now with
+        # start_slug recorded
+        pid2 = service.start(
+            "moderated", request_input=req, processing_id=pid, start_slug="review"
+        )
+        assert pid2 == pid
+        assert service.wait(pid, 120.0)
+        assert service._pending[pid][2] == "review"
+
+        from data_pipelines_worker_spark.sources import stage_store
+
+        src_dir = stage_store.stage_path(runner.store_root, "moderated", pid, "src")
+        before = max(
+            os.path.getmtime(os.path.join(src_dir, f)) for f in os.listdir(src_dir)
+        )
+
+        events = [
+            {"block_slug": "gate", "input_index": i, "action": "approve",
+             "event_time": 100 + i, "event_id": i, "regenerate_block_slug": None}
+            for i in range(2)
+        ]
+        tmp = decisions_dir / ".approve.json.tmp"
+        tmp.write_text("\n".join(json.dumps(e) for e in events))
+        os.rename(tmp, decisions_dir / "approve.json")
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if service.wait(pid, 1.0) and pid not in service._pending:
+                if service._errors.get(pid) is None:
+                    break
+            time.sleep(0.5)
+        assert service._errors.get(pid) is None
+
+        out = stage_store.read_stage(
+            spark, runner.store_root, "moderated", pid, "join"
+        )
+        assert out.first().payload_str == "<a> <b>"
+        # the pre-start_slug stage was rehydrated, never rewritten
+        after = max(
+            os.path.getmtime(os.path.join(src_dir, f)) for f in os.listdir(src_dir)
+        )
+        assert after == before, "restart replayed blocks before start_slug"
+    finally:
+        service.stop_decision_stream()

@@ -134,8 +134,14 @@ class TestKernels:
         v = make_video(seconds=3.0)
         full = M.audio_from_video_bytes(v)
         assert M.faud_duration(full) == pytest.approx(3.0)
+        # reference semantics (block_audio_from_video.go:111-116): end is
+        # a DURATION (-t end), so [1.0, 1.0+2.5] clipped to the 3s stream
         part = M.audio_from_video_bytes(v, start=1.0, end=2.5)
-        assert M.faud_duration(part) == pytest.approx(1.5)
+        assert M.faud_duration(part) == pytest.approx(2.0)
+        # -1 defaults (config.yaml) mean unset on the native path too
+        assert M.faud_duration(
+            M.audio_from_video_bytes(v, start=-1.0, end=-1.0)
+        ) == pytest.approx(3.0)
         with pytest.raises(ValueError):
             M.audio_from_video_bytes(make_video(with_audio=False))
 
@@ -226,7 +232,8 @@ class TestSparkOps:
         final = M.audio_from_video(out, start=0.5, end=1.5)
         rows = final.collect()
         assert len(rows) == 1
-        assert M.faud_duration(bytes(rows[0].payload_bin)) == pytest.approx(1.0)
+        # -t duration semantics: [0.5, 0.5+1.5] clipped to the 2s stream
+        assert M.faud_duration(bytes(rows[0].payload_bin)) == pytest.approx(1.5)
         assert rows[0].mime == "audio/mpeg"
 
 
