@@ -475,9 +475,10 @@ def embedding_near_dup_pairs(
 def semantic_dedup(
     items: DataFrame,
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_target: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     coarse-cluster with the trainless IVF quantizer, then mark any vector
@@ -499,6 +500,12 @@ def semantic_dedup(
     base = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
     )
+    if n_cells is None:
+        # adaptive quantizer: a FIXED cell count makes cell sizes grow
+        # linearly with the corpus and within-cell pair work grow
+        # quadratically (measured x8.5 wall at 10x data) — bound the
+        # expected cell size instead; one control-plane count()
+        n_cells = max(16, base.count() // cell_target)
     cids, C, cn = _ivf_quantizer(base, n_cells)
     cell_of, _probes = _ivf_cell_udfs(cids, C, cn, n_probe=1)
     pd_dot = dot_strict_udf()

@@ -221,15 +221,23 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_THRESHOLD = 0.4
 
+#: adaptive cell count — cells of ~64 vectors keep within-cell pair work
+#: linear in the corpus (floor 16 matches the fixed-_N_CELLS behavior on
+#: the small driver tables, so sf0.01 hashes are unchanged)
+_SEMDEDUP_CELL_TARGET = 64
+
 _SEMDEDUP_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
     n AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e),
     seeds AS (
-      SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn
-      FROM e ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-      LIMIT {_N_CELLS}
+      SELECT cid, cv, cn FROM (
+        SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn,
+               row_number() OVER (
+                 ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS srn
+        FROM e)
+      WHERE srn <= greatest(16, (SELECT count(*) FROM e) // {_SEMDEDUP_CELL_TARGET})
     ),
     allsims AS (
       SELECT a.vec_id, s.cid,
@@ -267,7 +275,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold predicate engine-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb, threshold=_SEMDEDUP_THRESHOLD, n_cells=_N_CELLS
+        emb, threshold=_SEMDEDUP_THRESHOLD, cell_target=_SEMDEDUP_CELL_TARGET
     )
 
 
