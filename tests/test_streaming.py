@@ -334,3 +334,54 @@ def test_windowed_agg_drops_data_later_than_watermark(spark, tmp_path):
         assert second == first, "late event past the watermark was not dropped"
     finally:
         q.stop()
+
+
+def test_stage_store_sink_idempotent_and_batch_parity(spark, tmp_path, sf_dir):
+    # streaming ingestion lands in the SAME stage substrate batch pipelines
+    # resume from; replaying a micro-batch (at-least-once delivery) must
+    # not duplicate rows (batch=<id> overwrite idempotency)
+    import os
+
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.sources import stage_store
+    from data_pipelines_worker_spark.streaming.corpus import corpus_prep_stream
+    from data_pipelines_worker_spark.streaming.sink import stage_store_sink
+    import __spark_entry__ as entrymod
+
+    batch = {
+        r.doc_id: (r.lang_pred, r.quality, r.n_tokens)
+        for r in entrymod.queries()["corpus_prep"](spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src"
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    root = str(tmp_path / "stages")
+    q = stage_store_sink(
+        corpus_prep_stream(stream),
+        root,
+        "ingest",
+        "p1",
+        "corpus",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = stage_store.read_stage(spark, root, "ingest", "p1", "corpus")
+    got = {r.doc_id: (r.lang_pred, r.quality, r.n_tokens) for r in out.collect()}
+    assert got == batch
+
+    # simulate an at-least-once replay of batch 0: rewriting the same
+    # batch directory must leave the logical dataset unchanged
+    base = stage_store.stage_path(root, "ingest", "p1", "corpus")
+    replay = spark.read.parquet(os.path.join(base, "batch=0"))
+    rows, schema = replay.collect(), replay.schema  # materialize before self-overwrite
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(base, "batch=0")
+    )
+    again = stage_store.read_stage(spark, root, "ingest", "p1", "corpus")
+    assert again.count() == len(got)
