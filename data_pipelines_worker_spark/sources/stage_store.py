@@ -112,3 +112,36 @@ def sniff_mime(payload: Column) -> Column:
         F.regexp_like(F.ltrim(as_text), F.lit(r'^[\[{"]')), "application/json"
     )
     return expr.otherwise(F.lit("text/plain"))
+
+
+def compact_stage(
+    spark: SparkSession,
+    root: str,
+    pipeline_slug: str,
+    processing_id: str,
+    block_slug: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite a stage into right-sized files and return the new file count.
+
+    Streaming sinks and wide-parallelism writes leave stages as many small
+    Parquet files (one per task / micro-batch partition); at scale the
+    file-listing and footer overhead dominates resume reads. Compaction
+    rewrites the stage through a staging directory and an atomic rename
+    swap, so a concurrent reader sees either the old or the new layout,
+    never a partial one.
+    """
+    import shutil
+    import uuid as _uuid
+
+    path = stage_path(root, pipeline_slug, processing_id, block_slug)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil div
+    tmp = f"{path}.compact-{_uuid.uuid4().hex[:8]}"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{_uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

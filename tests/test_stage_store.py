@@ -68,3 +68,25 @@ def test_local_df_edge_cases(spark):
     # and it really is a LocalTableScan (no parallelized Python RDD)
     plan = local_df(spark, [(1, "a")], "i long, s string")._jdf.queryExecution()
     assert "LocalTableScan" in plan.executedPlan().toString()
+
+
+def test_compact_stage_reduces_files_and_preserves_rows(spark, tmp_path):
+    from data_pipelines_worker_spark.sources import stage_store
+    import os
+
+    df = spark.range(0, 10_000, 1, 32).selectExpr(
+        "id AS input_index",
+        "CAST(0 AS LONG) AS output_index",
+        "CAST(id AS STRING) AS payload_str",
+    )
+    stage_store.write_stage(df, str(tmp_path), "p", "x", "b")
+    path = stage_store.stage_path(str(tmp_path), "p", "x", "b")
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before > 1  # 32 partitions → many small files
+
+    n = stage_store.compact_stage(spark, str(tmp_path), "p", "x", "b")
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert after == n == 1
+    got = stage_store.read_stage(spark, str(tmp_path), "p", "x", "b")
+    assert got.count() == 10_000
+    assert got.agg({"input_index": "sum"}).first()[0] == sum(range(10_000))
