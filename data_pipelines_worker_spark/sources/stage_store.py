@@ -129,7 +129,9 @@ def compact_stage(
     file-listing and footer overhead dominates resume reads. Compaction
     rewrites the stage through a staging directory and an atomic rename
     swap, so a concurrent reader sees either the old or the new layout,
-    never a partial one.
+    never a partial one. The rename swap assumes rename-atomic storage
+    (local FS / HDFS); on object stores, compact into a *new* stage path
+    and flip a pointer instead — rename there is copy+delete.
     """
     import shutil
     import uuid as _uuid
