@@ -113,13 +113,21 @@ class PipelineService:
                 ]
                 self._pending.clear()
             for pid, slug, req, start_slug, target_index in parked:
-                self.start(
-                    slug,
-                    request_input=req,
-                    processing_id=pid,
-                    start_slug=start_slug,
-                    target_index=target_index,
-                )
+                try:
+                    self.start(
+                        slug,
+                        request_input=req,
+                        processing_id=pid,
+                        start_slug=start_slug,
+                        target_index=target_index,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    # a failed restart (slug dropped, thread pressure) must
+                    # not lose the run or kill the decision stream: re-park
+                    # it for the next decision batch and surface the error
+                    with self._lock:
+                        self._pending[pid] = (slug, req, start_slug, target_index)
+                    self._errors[pid] = f"restart failed: {type(e).__name__}: {e}"
 
         self._decision_stream = (
             spark.readStream.schema(DECISION_SCHEMA)

@@ -829,7 +829,12 @@ def audio_chunk(
                     row = {k: r[k] for k in passthrough}
                     row["output_index"] = i
                     row[payload_col] = c
-                    row["mime"] = "audio/wav" if c[:4] == b"RIFF" else MEDIA_MIME["mp3"]
+                    if c[:4] == b"RIFF":
+                        row["mime"] = "audio/wav"
+                    elif c[4:8] == b"ftyp":  # m4a segments from mp4 input
+                        row["mime"] = "audio/mp4"
+                    else:
+                        row["mime"] = MEDIA_MIME["mp3"]
                     rows.append(row)
             yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
                 columns=names

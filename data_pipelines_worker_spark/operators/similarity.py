@@ -479,6 +479,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_target: int = 64,
+    n_items: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     coarse-cluster with the trainless IVF quantizer, then mark any vector
@@ -504,8 +505,11 @@ def semantic_dedup(
         # adaptive quantizer: a FIXED cell count makes cell sizes grow
         # linearly with the corpus and within-cell pair work grow
         # quadratically (measured x8.5 wall at 10x data) — bound the
-        # expected cell size instead; one control-plane count()
-        n_cells = max(16, base.count() // cell_target)
+        # expected cell size instead. One control-plane count() (cheap on
+        # parquet: row-group-metadata aggregate), eager like the seed
+        # collect below; callers that know the corpus size pass n_items
+        # to skip it
+        n_cells = max(16, (n_items if n_items is not None else base.count()) // cell_target)
     cids, C, cn = _ivf_quantizer(base, n_cells)
     cell_of, _probes = _ivf_cell_udfs(cids, C, cn, n_probe=1)
     pd_dot = dot_strict_udf()

@@ -57,8 +57,18 @@ def write_stage(
 def read_stage(
     spark: SparkSession, root: str, pipeline_slug: str, processing_id: str, block_slug: str
 ) -> DataFrame:
-    """Rehydrate a stage (resume substrate, pipeline.go:195-201)."""
-    return spark.read.parquet(stage_path(root, pipeline_slug, processing_id, block_slug))
+    """Rehydrate a stage (resume substrate, pipeline.go:195-201).
+
+    Stages written by the streaming sink (streaming/sink.py) land in
+    ``batch=<id>`` subdirectories; Spark's partition discovery surfaces
+    that as a synthetic ``batch`` column, which is sink bookkeeping, not
+    part of the canonical stage schema — drop it so batch pipelines
+    resuming from a streamed stage see the same shape as any other stage.
+    """
+    df = spark.read.parquet(stage_path(root, pipeline_slug, processing_id, block_slug))
+    if "batch" in df.columns:
+        df = df.drop("batch")
+    return df
 
 
 # --- mime sniffing ----------------------------------------------------------
@@ -127,23 +137,35 @@ def compact_stage(
     Streaming sinks and wide-parallelism writes leave stages as many small
     Parquet files (one per task / micro-batch partition); at scale the
     file-listing and footer overhead dominates resume reads. Compaction
-    rewrites the stage through a staging directory and an atomic rename
-    swap, so a concurrent reader sees either the old or the new layout,
-    never a partial one. The rename swap assumes rename-atomic storage
-    (local FS / HDFS); on object stores, compact into a *new* stage path
-    and flip a pointer instead — rename there is copy+delete.
+    rewrites the stage through a staging directory and a rename swap done
+    through the Hadoop FileSystem API, so it works on every URI the stage
+    store accepts (local, HDFS, viewfs, s3a — rename on object stores is
+    copy+delete, slower but correct).
+
+    Run it while the stage is quiescent (between pipeline runs): the swap
+    is two renames, so a reader racing it can observe a brief
+    stage-missing window or list files the cleanup is deleting — no
+    *partial data* is ever visible, but racing reads may need a retry.
     """
-    import shutil
     import uuid as _uuid
 
     path = stage_path(root, pipeline_slug, processing_id, block_slug)
-    df = spark.read.parquet(path)
+    df = read_stage(spark, root, pipeline_slug, processing_id, block_slug)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil div
     tmp = f"{path}.compact-{_uuid.uuid4().hex[:8]}"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = f"{path}.old-{_uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+
+    # Hadoop FS rename/delete (NOT os.rename): correct on every supported
+    # stage-store URI, not just the local filesystem
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}.old-{_uuid.uuid4().hex[:8]}")
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact_stage: rename {path} -> {old} failed")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compact_stage: rename {tmp} -> {path} failed")
+    fs.delete(old, True)
     return n_files

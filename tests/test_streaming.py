@@ -372,6 +372,8 @@ def test_stage_store_sink_idempotent_and_batch_parity(spark, tmp_path, sf_dir):
         q.stop()
 
     out = stage_store.read_stage(spark, root, "ingest", "p1", "corpus")
+    # the sink's batch=<id> bookkeeping must not leak into the stage schema
+    assert out.columns == ["doc_id", "lang_pred", "quality", "n_tokens"]
     got = {r.doc_id: (r.lang_pred, r.quality, r.n_tokens) for r in out.collect()}
     assert got == batch
 
