@@ -30,58 +30,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver records at most ~50 rows, taking them in dict
-# order (CORRECTNESS_r02 silently dropped the registration-order tail).
-# Rotate coverage: queries the driver has not yet hash-verified go first
-# (window_functions leads — red in r02, reworked integer-exact since),
-# r02-green queries fill the rest; the committed tools/check_oracle.py run
-# (ORACLE_LOCAL_r*.txt) remains the auditable backstop for any dropped
-# tail.
+# order. Round-4 rotation (VERDICT r3 #8): the three divergence probes
+# lead (they must appear in CORRECTNESS_r04), then the two driver-red
+# rows whose fix they gate, then every query whose most recent driver
+# hash-check is r02 (oldest verification first) — 3+2+41 = 46 of the 50
+# slots — with the r03-green family cycling in behind. The committed
+# tools/check_oracle.py run (ORACLE_LOCAL_r04.txt) remains the auditable
+# backstop for the dropped tail.
 _DRIVER_PRIORITY = (
+    # divergence-localization probes (VERDICT r3 #1) — must be driver-checked
+    "probe_events_ts",
+    "probe_orders_dates",
+    "probe_money_cents",
+    # the two driver-red rows, now timestamp-normalized by construction
     "window_functions",
-    # round-3 additions, never driver-checked
-    "pii_redact",
-    "repetition_signals",
-    "decontaminate_ngram",
-    "sequence_packing",
-    "doc_chunking",
-    "length_histogram",
-    "q4_order_priority",
-    "q7_volume_shipping",
     "q8_market_share",
+    # staleness rotation: last driver hash-check r02 (oldest first, a-z)
+    "agg_distinct",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "asof_join",
+    "ass_time_format",
+    "coalesce_priority",
+    "corpus_prep",
+    "date_functions",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_stats",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "embedding_stats",
+    "gather_join_strings",
+    "index_targeting",
+    "json_auto_detect",
+    "lang_id",
+    "normalize_text",
+    "outer_join_agg",
+    "pivot_event_counts",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "quality_score",
+    "rollup_lineitem",
+    "schema_cast",
+    "semi_anti_join",
+    "sessionization",
+    "set_ops",
+    "stratified_sample",
+    "token_count",
+    "top_k_per_group",
+    "windowed_agg",
+    "word_frequencies",
+    "zip_merge_positional",
+    # verified r03 — cycle behind the stale tail (ORACLE_LOCAL_r04.txt is the backstop)
+    "ann_cosine_topk_ivfpq",
+    "bucketed_join_agg",
+    "cohort_retention",
+    "corpus_final_manifest",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "doc_chunking",
+    "embedding_pq_codes",
+    "format_string",
+    "funnel_analysis",
+    "grouping_sets",
+    "interval_join_attribution",
+    "join_strings",
+    "jsonpath_scalar",
+    "jsonpath_wildcard_fanout",
+    "length_histogram",
+    "lm_bigram_score",
+    "media_audio_chunk",
+    "media_frame_sample",
+    "media_image_resize",
+    "media_image_stats",
+    "media_video_pipeline",
+    "mixture_sample",
+    "pack_manifest",
+    "percentile_by_group",
+    "pii_redact",
+    "pipeline_e2e",
     "q10_returned_items",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q19_disjunctive_pred",
     "q22_idle_customers",
-    "interval_join_attribution",
-    "semantic_dedup",
-    "mixture_sample",
-    "lm_bigram_score",
-    "embedding_pq_codes",
-    "ann_cosine_topk_ivfpq",
-    "sequence_packing_greedy",
-    "sketch_error_bounds",
-    "pack_manifest",
-    "corpus_final_manifest",
-    "cohort_retention",
-    "funnel_analysis",
-    # round-2 additions dropped by the r02 50-row cap
-    "token_count_bpe",
-    "pipeline_e2e",
-    "subtitles_from_transcription",
-    "media_audio_chunk",
-    "media_image_resize",
-    "media_video_pipeline",
-    "media_frame_sample",
-    "media_image_stats",
-    "dedup_clusters",
-    "grouping_sets",
+    "q4_order_priority",
+    "q7_volume_shipping",
     "range_join_binned",
-    "percentile_by_group",
+    "repetition_signals",
+    "semantic_dedup",
+    "sequence_packing",
+    "sequence_packing_greedy",
     "sketch_aggregates",
+    "sketch_error_bounds",
     "skew_salted_agg",
-    "bucketed_join_agg",
+    "stop_pipeline_comparators",
+    "subtitles_from_transcription",
+    "text_replace",
+    "token_count_bpe",
+    "wrap_text",
 )
 
 

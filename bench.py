@@ -1,7 +1,13 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The stdout line must stay well under the driver's 2,000-char capture tail
+(BENCH_r03.json came back `parsed: null` because the full 92-query warm +
+cold maps grew it to 5.1 KB — VERDICT r3 #4): "queries" on stdout carries
+only the slowest 10 warm timings. The complete warm + cold per-query maps
+are written to BENCH_LOCAL_{round}.json (committed) for the audit trail.
 
 Each query is forced end-to-end with a noop write (full materialization,
 nothing collected to the driver).
@@ -82,19 +88,53 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_runtime_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_value": cold_total,
-                "cold_queries": cold,
-                "sf": sf_val,
-            }
-        )
+
+    # Full per-query maps go to a committed local artifact, not stdout.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r04")
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_{rnd}.json"
     )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "total_runtime_all_queries",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "n_queries": len(timings),
+                    "queries": timings,
+                    "cold_value": cold_total,
+                    "cold_queries": cold,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError as ex:
+        print(f"bench: could not write {local_path}: {ex}", file=sys.stderr)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    line = {
+        "metric": "total_runtime_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    if failed:
+        line["failed"] = failed
+    out = json.dumps(line)
+    # Hard guard: the driver keeps only a ~2,000-char stdout tail.
+    if len(out) > 1500:
+        line["queries"] = dict(list(slowest.items())[:5])
+        out = json.dumps(line)
+    print(out)
 
 
 if __name__ == "__main__":

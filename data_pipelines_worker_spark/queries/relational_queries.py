@@ -584,12 +584,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_functions",
     """
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+    SELECT CAST(date_trunc('month', make_timestamp(epoch_us(o_orderdate))) AS DATE)
+             AS order_month,
+           CAST(EXTRACT(year FROM make_timestamp(epoch_us(o_orderdate))) AS BIGINT)
+             AS order_year,
+           CAST(EXTRACT(quarter FROM make_timestamp(epoch_us(o_orderdate))) AS BIGINT)
+             AS order_quarter,
            count(*) AS n_orders,
            CAST(max(datediff('day', DATE '1992-01-01',
-                             CAST(o_orderdate AS DATE))) AS BIGINT) AS max_days_since_epoch
+                             CAST(make_timestamp(epoch_us(o_orderdate)) AS DATE)))
+                AS BIGINT) AS max_days_since_epoch
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -622,10 +626,12 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(row_number() OVER w AS BIGINT) AS cd_num,
            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cd_den,
            sum(CAST(round(value * 100) AS BIGINT))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
     """,
 )
 def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,8 +639,17 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist-as-integer-pair, and a running sum share the same
     (user_id, ts) window, so Catalyst plans a single exchange + sort for
     all six — the multi-window consolidation that matters when analysts
-    stack window columns at 100 TB. Ordering key is integer-tie-broken
-    (ts, event_id): no float ties, deterministic everywhere.
+    stack window columns at 100 TB. Ordering key is the *integer epoch
+    microsecond* (Spark ``unix_micros(ts)``, oracle
+    ``epoch_us(CAST(ts AS TIMESTAMP))``) tie-broken by ``event_id`` — not
+    the raw timestamp. Spark's parquet reader surfaces nano-generation
+    ``ts`` truncated to microseconds while DuckDB reads TIMESTAMP_NS at
+    full precision, so ordering by the raw column lets two events that
+    differ only below 1 µs be a tie in Spark but strictly ordered in
+    DuckDB, silently flipping lag/lead/ntile/row_number (VERDICT r3 #1).
+    Normalizing the key to micros *by construction* makes both engines
+    sort identically on every data generation; ``probe_events_ts``
+    localizes any residual sub-µs divergence.
 
     Driver-canonicalization discipline (VERDICT r2 #1): every column is a
     non-NULL BIGINT. lag/lead coalesce to a -1 sentinel (event_id is
@@ -644,7 +659,7 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a rounded double — the driver's pandas sort+hash cannot
     then diverge on NULL-int dtype promotion or last-digit rounding."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
     wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     wp = W.partitionBy("user_id")
     return ev.select(

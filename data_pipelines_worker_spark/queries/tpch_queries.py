@@ -29,12 +29,12 @@ from .relational_queries import cents
     """
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    WHERE make_timestamp(epoch_us(o_orderdate)) >= TIMESTAMP '1996-01-01 00:00:00'
+      AND make_timestamp(epoch_us(o_orderdate)) <  TIMESTAMP '1997-01-01 00:00:00'
       AND EXISTS (
         SELECT 1 FROM lineitem l
         WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND make_timestamp(epoch_us(l.l_shipdate)) > make_timestamp(epoch_us(o.o_orderdate)) + INTERVAL 60 DAY
       )
     GROUP BY o_orderpriority
     """,
@@ -67,7 +67,7 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(vol_c) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(year(make_timestamp(epoch_us(l.l_shipdate))) AS BIGINT) AS l_year,
              CAST(round(l.l_extendedprice * 100) AS BIGINT)
                * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS vol_c
       FROM lineitem l
@@ -76,8 +76,8 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
       JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      WHERE make_timestamp(epoch_us(l.l_shipdate)) >= TIMESTAMP '1996-01-01 00:00:00'
+        AND make_timestamp(epoch_us(l.l_shipdate)) <  TIMESTAMP '1998-01-01 00:00:00'
         AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
     )
@@ -137,7 +137,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS DOUBLE)
              / sum(vol_c) AS mkt_share
     FROM (
-      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      SELECT CAST(year(make_timestamp(epoch_us(o.o_orderdate))) AS BIGINT) AS o_year,
              n1.n_name AS supp_nation,
              CAST(round(l.l_extendedprice * 100) AS BIGINT)
                * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS vol_c
@@ -150,8 +150,8 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
       WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
-        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND make_timestamp(epoch_us(o.o_orderdate)) >= TIMESTAMP '1996-01-01 00:00:00'
+        AND make_timestamp(epoch_us(o.o_orderdate)) <  TIMESTAMP '1998-01-01 00:00:00'
     )
     GROUP BY o_year
     """,
@@ -212,8 +212,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n   ON n.n_nationkey = c.c_nationkey
     WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND make_timestamp(epoch_us(o.o_orderdate)) >= TIMESTAMP '1996-01-01 00:00:00'
+      AND make_timestamp(epoch_us(o.o_orderdate)) <  TIMESTAMP '1996-04-01 00:00:00'
     GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
     ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) DESC,
@@ -294,8 +294,8 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                  * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_c
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      WHERE make_timestamp(epoch_us(l_shipdate)) >= TIMESTAMP '1996-01-01 00:00:00'
+        AND make_timestamp(epoch_us(l_shipdate)) <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name, r.total_c / 10000.0 AS total_revenue
@@ -438,8 +438,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
-          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND make_timestamp(epoch_us(o.o_orderdate)) >= TIMESTAMP '1996-01-01 00:00:00'
+          AND make_timestamp(epoch_us(o.o_orderdate)) <  TIMESTAMP '1997-01-01 00:00:00'
       )
     GROUP BY c.c_nationkey
     """,
