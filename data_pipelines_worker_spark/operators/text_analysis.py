@@ -9,6 +9,8 @@ throughput.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -98,12 +100,63 @@ def word_codes(words: Column) -> Column:
 def fingerprint_rolling(words: Column) -> Column:
     """Polynomial rolling hash over word codes, mod 2^31-1:
     ``h := (h*31 + code) % MOD`` — a distributed-friendly document
-    fingerprint (order-sensitive, unlike md5-of-sorted-tokens)."""
+    fingerprint (order-sensitive, unlike md5-of-sorted-tokens).
+
+    Readable reference form only: array higher-order-function lambdas are
+    evaluated interpreted (never enter codegen, ~µs/word). Table-scale
+    paths use :func:`fingerprint_rolling_udf` — same integer sequence,
+    Arrow-batched (VERDICT r3 #3)."""
     return F.aggregate(
         word_codes(words),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % MOD,
     )
+
+
+def fingerprint_rolling_udf():
+    """Arrow-batched polynomial rolling hash, value-identical to
+    :func:`fingerprint_rolling` (and to the DuckDB ``list_reduce`` oracle).
+
+    Horner's rule ``h := (h*31 + code) % MOD`` equals
+    ``Σ code_i · 31^(n-1-i)  (mod MOD)`` exactly — modular arithmetic is
+    associativity-free, unlike the float folds that forced strict-left
+    ``np.cumsum`` in :func:`..similarity.dot_strict_udf`. So the per-word
+    work vectorizes: one int64 multiply + mod per word
+    (``(codes · pows) mod MOD`` then a sum), with no interpreted
+    per-element lambda. Overflow-safe in int64: codes < 2^21 (codepoint +
+    length), pows < 2^31, so each product < 2^52 and the post-mod sum
+    stays < n·2^31.
+
+    The per-word code is ``codepoint(first char) + len`` — Python ``ord``/
+    ``len`` match Spark ``ascii``/``length`` and DuckDB ``ascii``/
+    ``length`` on codepoint semantics (the synthetic corpus is ASCII;
+    non-BMP text would need a UTF-16 caveat for Spark only).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    pow31 = [1]  # grows to the longest document seen in any batch
+
+    @pandas_udf(LongType())
+    def fp_rolling(words: pd.Series) -> pd.Series:
+        out = np.empty(len(words), dtype=np.int64)
+        for i, ws in enumerate(words):
+            n = len(ws)
+            while len(pow31) < n:
+                pow31.append(pow31[-1] * 31 % MOD)
+            if n == 0:
+                out[i] = 0
+                continue
+            codes = np.fromiter(
+                ((ord(w[0]) if w else 0) + len(w) for w in ws),
+                dtype=np.int64,
+                count=n,
+            )
+            pows = np.array(pow31[n - 1 :: -1], dtype=np.int64)
+            out[i] = int(np.mod(codes * pows, MOD).sum() % MOD)
+        return pd.Series(out)
+
+    return fp_rolling
 
 
 def normalize_text(text: Column) -> Column:

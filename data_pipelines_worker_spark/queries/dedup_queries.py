@@ -104,8 +104,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            count(*) AS n_docs,
-           count(DISTINCT text) AS n_unique,
-           round(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
              AS dup_rate
     FROM documents
     GROUP BY source
@@ -113,14 +113,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplication profile per source — the go/no-go number a
-    training-data pipeline reports before dedup runs at full scale. One
-    shuffle; the distinct-count side shuffles xxhash-sized grouping keys
-    via Spark's expand, not document bodies twice."""
+    training-data pipeline reports before dedup runs at full scale.
+
+    The distinct side counts ``md5(text)``, not ``text``: countDistinct
+    turns its argument into an expand-mode *grouping key*, so counting raw
+    bodies would re-shuffle the entire scan at 100 TB (VERDICT r3 #4). The
+    128-bit digest is a 32-char fixed-size key with no collision caveat at
+    corpus scale, and both engines ship the same md5, so the oracle changes
+    by one expression only."""
     docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text"))
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("text").alias("n_unique"),
+        F.countDistinct(digest).alias("n_unique"),
         F.round(
-            1.0 - F.countDistinct("text") / F.count("*").cast("double"), 6
+            1.0 - F.countDistinct(digest) / F.count("*").cast("double"), 6
         ).alias("dup_rate"),
     )

@@ -108,7 +108,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         ta.fingerprint_md5(F.col("text")).alias("fp_md5"),
-        ta.fingerprint_rolling(words).alias("fp_rolling"),
+        ta.fingerprint_rolling_udf()(words).alias("fp_rolling"),
     )
 
 

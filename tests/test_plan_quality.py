@@ -316,6 +316,27 @@ class TestRound3Plans:
             if name in ("pii_redact", "doc_chunking"):
                 assert "*(1)" in plan, name  # whole-stage codegen span
 
+    def test_doc_fingerprint_no_interpreted_fold(self, spark, registry):
+        # VERDICT r3 #3: the rolling hash must be the Arrow-batched Horner
+        # (ArrowEvalPython), never the interpreted F.aggregate HOF — array
+        # lambdas evaluate outside codegen at ~µs/word, table-scale poison.
+        plan = plan_of(q(registry, "doc_fingerprint", spark))
+        assert "ArrowEvalPython" in plan
+        assert "aggregate(" not in plan
+        assert "BatchEvalPython" not in plan  # row-at-a-time would be worse
+
+    def test_dedup_stats_shuffles_digests_not_bodies(self, spark, registry):
+        # VERDICT r3 #4: countDistinct's grouping key must be the 128-bit
+        # md5 digest; keying on raw `text` re-shuffles the entire scan.
+        # (Single-distinct aggs plan as partial-group-by, not Expand — the
+        # property is that every Exchange keys on the digest, never the
+        # bare body column.)
+        plan = plan_of(q(registry, "dedup_stats", spark))
+        assert "md5(" in plan
+        for line in plan.splitlines():
+            if "Exchange" in line and "text#" in line:
+                assert "md5(" in line, line
+
     def test_sequence_packing_reuses_source_partitioning(self, spark, registry):
         # window on (source) then groupBy (source, pack_id): two exchanges
         # max (window hash + final agg); the agg must partial-aggregate

@@ -36,6 +36,28 @@ def test_fingerprints_deterministic(spark):
     )
 
 
+def test_fingerprint_udf_matches_reference_fold(spark):
+    # Arrow Horner (hot path) ≡ interpreted F.aggregate fold (reference
+    # form) on edge shapes: empty text, single word, repeated spaces
+    # (empty tokens), unicode first chars, and a long document.
+    texts = [
+        "",
+        "x",
+        "a  b",  # double space → empty token, code 0
+        "some stable text with several words repeated words words",
+        "Ωmega über naïve",  # non-ASCII first codepoints
+        " ".join(f"w{i}" for i in range(500)),
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    words = ta.tokenize_ws(F.col("t"))
+    rows = df.select(
+        ta.fingerprint_rolling(words).alias("ref"),
+        ta.fingerprint_rolling_udf()(words).alias("fast"),
+    ).collect()
+    for r in rows:
+        assert r.ref == r.fast
+
+
 def test_normalize_text(spark):
     assert one(spark, ta.normalize_text(F.col("t")), "  Héllo,   WORLD!! 42 ") == "h llo world 42"
 
