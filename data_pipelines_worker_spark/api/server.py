@@ -74,6 +74,10 @@ class PipelineService:
         self._decision_version = 0
         #: parked moderation-pending runs: pid -> full restart context
         self._pending: dict[str, tuple[str, dict | None, str | None, int | None]] = {}
+        #: consecutive failed restarts per parked run (ADVICE r3: a
+        #: permanently-failing restart must reach a terminal error state
+        #: instead of retrying on every decision batch forever)
+        self._restart_failures: dict[str, int] = {}
         self._decision_stream = None
         if decisions_dir:
             self.start_decision_stream(decisions_dir)
@@ -112,22 +116,8 @@ class PipelineService:
                     for pid, (slug, req, start_slug, target_index) in self._pending.items()
                 ]
                 self._pending.clear()
-            for pid, slug, req, start_slug, target_index in parked:
-                try:
-                    self.start(
-                        slug,
-                        request_input=req,
-                        processing_id=pid,
-                        start_slug=start_slug,
-                        target_index=target_index,
-                    )
-                except Exception as e:  # noqa: BLE001
-                    # a failed restart (slug dropped, thread pressure) must
-                    # not lose the run or kill the decision stream: re-park
-                    # it for the next decision batch and surface the error
-                    with self._lock:
-                        self._pending[pid] = (slug, req, start_slug, target_index)
-                    self._errors[pid] = f"restart failed: {type(e).__name__}: {e}"
+            for parked_run in parked:
+                self._try_restart(parked_run)
 
         self._decision_stream = (
             spark.readStream.schema(DECISION_SCHEMA)
@@ -138,6 +128,58 @@ class PipelineService:
             .start()
         )
         return self._decision_stream
+
+    #: restart-failure policy (ADVICE r3): after MAX_RESTART_FAILURES
+    #: consecutive failures the run reaches a terminal error state; before
+    #: that, every failure also schedules its own deferred retry with
+    #: exponential backoff, so a run whose resolving decision was the
+    #: *last* event isn't stranded waiting for another decision batch.
+    MAX_RESTART_FAILURES = 3
+    RESTART_BACKOFF_BASE_S = 2.0
+
+    def _try_restart(self, parked_run: tuple) -> None:
+        pid, slug, req, start_slug, target_index = parked_run
+        try:
+            self.start(
+                slug,
+                request_input=req,
+                processing_id=pid,
+                start_slug=start_slug,
+                target_index=target_index,
+            )
+            self._restart_failures.pop(pid, None)
+        except Exception as e:  # noqa: BLE001
+            # a failed restart (slug dropped, thread pressure) must not
+            # lose the run or kill the decision stream
+            n = self._restart_failures.get(pid, 0) + 1
+            self._restart_failures[pid] = n
+            if n >= self.MAX_RESTART_FAILURES:
+                # terminal: stop re-parking; the error string is the
+                # processing's final status
+                self._errors[pid] = (
+                    f"restart failed permanently after {n} attempts: "
+                    f"{type(e).__name__}: {e}"
+                )
+                return
+            with self._lock:
+                self._pending[pid] = (slug, req, start_slug, target_index)
+            self._errors[pid] = f"restart failed (attempt {n}): {type(e).__name__}: {e}"
+            timer = threading.Timer(
+                self.RESTART_BACKOFF_BASE_S * (2 ** (n - 1)),
+                self._retry_parked,
+                args=(pid,),
+            )
+            timer.daemon = True
+            timer.start()
+
+    def _retry_parked(self, pid: str) -> None:
+        """Deferred-retry path: re-attempt one parked run independently of
+        future decision batches (it may have been claimed by a batch in
+        the meantime — popping under the lock makes that race benign)."""
+        with self._lock:
+            ctx = self._pending.pop(pid, None)
+        if ctx is not None:
+            self._try_restart((pid, *ctx))
 
     def stop_decision_stream(self):
         if self._decision_stream is not None:

@@ -288,13 +288,19 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_users/n stay hash-exact.
 
     Scale discipline: the percentile check is a *rank* verification —
-    count how many values fall at or below the sketch's answer and assert
-    the rank lands in a ±0.02-quantile window (cross-multiplied integers,
-    no floats). That is one extra streaming pass with O(1) memory per
-    group, unlike exact ``percentile()``, whose aggregate buffers every
-    value of the group and cannot run at 100 TB. HLL gets 3σ of its
-    rsd=0.02 (6 %); percentile_approx accuracy 10000 has rank error 1e-4,
-    far inside the window.
+    count the values strictly below and at-or-below the sketch's answer
+    and assert the window [0.48n, 0.52n] (resp. [0.93n, 0.97n]) intersects
+    the tie interval [count(<), count(<=)] (cross-multiplied integers, no
+    floats). Bracketing the ties matters (ADVICE r3): percentile_approx
+    returns an actual data value, so a heavy tie mass at the p50/p95
+    boundary makes the single-sided count(<=) overshoot the window even
+    when the sketch is within contract — the tie-interval form stays TRUE
+    exactly when some rank of that value lies in the window. One extra
+    streaming pass with O(1) memory per group, unlike exact
+    ``percentile()``, whose aggregate buffers every value of the group and
+    cannot run at 100 TB. HLL gets 3σ of its rsd=0.02 (6 %);
+    percentile_approx accuracy 10000 has rank error 1e-4, far inside the
+    window.
     """
     ev = load_table(spark, sf_dir, "events")
     pcts = F.percentile_approx("value", F.lit([0.5, 0.95]), F.lit(10000))
@@ -310,19 +316,24 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(sketch.select("event_type", "p50", "p95")), "event_type")
         .groupBy("event_type")
         .agg(
+            F.sum(F.when(F.col("value") < F.col("p50"), 1).otherwise(0)).alias("lt50"),
             F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("value") < F.col("p95"), 1).otherwise(0)).alias("lt95"),
             F.sum(F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)).alias("le95"),
         )
     )
     hll_ok = (
         F.abs(F.col("au") - F.col("exact_users")) / F.col("exact_users") <= 0.06
     )
-    # rank windows as integer cross-multiplication: 0.48n ≤ le50 ≤ 0.52n etc.
-    p50_ok = (F.col("le50") * 100 >= F.col("n") * 48) & (
-        F.col("le50") * 100 <= F.col("n") * 52
+    # tie-bracketed rank windows, integer cross-multiplication: the window
+    # [0.48n, 0.52n] must intersect [count(<p50), count(<=p50)] — i.e. the
+    # strict rank may not exceed the upper edge and the inclusive rank may
+    # not fall short of the lower edge
+    p50_ok = (F.col("lt50") * 100 <= F.col("n") * 52) & (
+        F.col("le50") * 100 >= F.col("n") * 48
     )
-    p95_ok = (F.col("le95") * 100 >= F.col("n") * 93) & (
-        F.col("le95") * 100 <= F.col("n") * 97
+    p95_ok = (F.col("lt95") * 100 <= F.col("n") * 97) & (
+        F.col("le95") * 100 >= F.col("n") * 93
     )
     return (
         sketch.join(ranks, "event_type")

@@ -54,6 +54,21 @@ def write_stage(
     return path
 
 
+def _has_batch_partition_dirs(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` contains ``batch=<id>`` partition subdirectories
+    (the streaming sink's layout, streaming/sink.py) — checked through the
+    Hadoop FileSystem API so it works on every stage-store URI."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        if st.isDirectory() and st.getPath().getName().startswith("batch="):
+            return True
+    return False
+
+
 def read_stage(
     spark: SparkSession, root: str, pipeline_slug: str, processing_id: str, block_slug: str
 ) -> DataFrame:
@@ -64,9 +79,13 @@ def read_stage(
     that as a synthetic ``batch`` column, which is sink bookkeeping, not
     part of the canonical stage schema — drop it so batch pipelines
     resuming from a streamed stage see the same shape as any other stage.
+    The drop is conditional on the ``batch=`` directory layout actually
+    being present (ADVICE r3): a stage whose *data* legitimately contains
+    a ``batch`` column keeps it.
     """
-    df = spark.read.parquet(stage_path(root, pipeline_slug, processing_id, block_slug))
-    if "batch" in df.columns:
+    path = stage_path(root, pipeline_slug, processing_id, block_slug)
+    df = spark.read.parquet(path)
+    if "batch" in df.columns and _has_batch_partition_dirs(spark, path):
         df = df.drop("batch")
     return df
 
@@ -146,15 +165,45 @@ def compact_stage(
     is two renames, so a reader racing it can observe a brief
     stage-missing window or list files the cleanup is deleting — no
     *partial data* is ever visible, but racing reads may need a retry.
+
+    Streamed stages (``batch=<id>`` subdirectories from streaming/sink.py)
+    keep their partitioned layout (ADVICE r3): committed batches merge
+    into a single ``batch=-1`` directory (-1 is outside the epoch-id space,
+    which starts at 0) while the *highest* batch directory is carried over
+    under its own id — Structured Streaming's foreachBatch may replay only
+    the last, possibly-uncommitted epoch on restart, and that replay
+    overwrites its own ``batch=<id>`` directory. Flattening (or folding the
+    last batch into the merged directory) would either break partition
+    discovery when the resumed sink writes the next ``batch=<id>`` subdir
+    or duplicate the replayed batch; this layout survives both.
     """
     import uuid as _uuid
 
     path = stage_path(root, pipeline_slug, processing_id, block_slug)
-    df = read_stage(spark, root, pipeline_slug, processing_id, block_slug)
-    n_rows = df.count()
-    n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil div
+    streamed = _has_batch_partition_dirs(spark, path)
+    n_rows = None
     tmp = f"{path}.compact-{_uuid.uuid4().hex[:8]}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    if streamed:
+        raw = spark.read.parquet(path)  # keep the discovered `batch` column
+        max_batch = raw.agg(F.max(F.col("batch").cast("long"))).first()[0]
+        b = F.col("batch").cast("long")
+        # non-numeric batch values (never produced by our sink) count as
+        # committed rather than being silently dropped
+        committed = raw.where(b.isNull() | (b < max_batch)).drop("batch")
+        n_rows = committed.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil div
+        committed.coalesce(n_files).write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch=-1")
+        )
+        last = raw.where(F.col("batch").cast("long") == max_batch).drop("batch")
+        last.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, f"batch={max_batch}")
+        )
+    else:
+        df = read_stage(spark, root, pipeline_slug, processing_id, block_slug)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil div
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
 
     # Hadoop FS rename/delete (NOT os.rename): correct on every supported
     # stage-store URI, not just the local filesystem

@@ -408,3 +408,45 @@ def test_parked_resume_preserves_start_slug(spark, tmp_path):
         assert after == before, "restart replayed blocks before start_slug"
     finally:
         service.stop_decision_stream()
+
+
+def test_restart_failure_cap_and_deferred_retry(spark, tmp_path):
+    # ADVICE r3: a permanently-failing restart must reach a terminal error
+    # after MAX_RESTART_FAILURES instead of re-parking forever, and a
+    # transiently-failing one must retry on its own timer rather than
+    # waiting for another decision batch.
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    service = PipelineService(runner, {})  # no pipelines: start() KeyErrors
+    service.RESTART_BACKOFF_BASE_S = 0.05
+
+    parked = ("pid1", "ghost-slug", None, None, None)
+    service._try_restart(parked)  # attempt 1: re-parked + timer scheduled
+    assert "pid1" in service._pending
+    assert "attempt 1" in service._errors["pid1"]
+
+    # let the deferred retries run: attempts 2 and 3 fire from timers;
+    # attempt 3 hits the cap and goes terminal
+    deadline = time.time() + 10
+    while time.time() < deadline and "pid1" in service._pending:
+        time.sleep(0.05)
+    # drain: the final timer may still be about to run _try_restart
+    deadline = time.time() + 10
+    while time.time() < deadline and "permanently" not in service._errors["pid1"]:
+        time.sleep(0.05)
+    assert "pid1" not in service._pending
+    assert "permanently" in service._errors["pid1"]
+    assert service._restart_failures["pid1"] == service.MAX_RESTART_FAILURES
+
+    # transient failure: register the pipeline after the first failure —
+    # the deferred timer retry must restart the run with no decision batch
+    service2 = PipelineService(runner, {})
+    service2.RESTART_BACKOFF_BASE_S = 0.2
+    service2._try_restart(("pid2", "wrap-join", {"src": {"file": ["x"]}}, None, None))
+    assert "pid2" in service2._pending
+    service2.pipelines["wrap-join"] = _spec()
+    deadline = time.time() + 15
+    while time.time() < deadline and "pid2" in service2._pending:
+        time.sleep(0.05)
+    assert "pid2" not in service2._pending
+    assert service2.wait("pid2", 60.0)
+    assert service2._restart_failures.get("pid2") is None

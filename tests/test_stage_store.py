@@ -90,3 +90,65 @@ def test_compact_stage_reduces_files_and_preserves_rows(spark, tmp_path):
     got = stage_store.read_stage(spark, str(tmp_path), "p", "x", "b")
     assert got.count() == 10_000
     assert got.agg({"input_index": "sum"}).first()[0] == sum(range(10_000))
+
+
+def _sink_batch(df, path, batch_id):
+    # what streaming/sink.py's foreachBatch writer does per micro-batch
+    df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+
+def test_compact_streamed_stage_preserves_partition_layout(spark, tmp_path):
+    # ADVICE r3 (medium): compaction of a streamed stage must keep the
+    # batch=<id> partitioned layout so a resuming sink's next micro-batch
+    # doesn't create "Conflicting directory structures".
+    import os
+
+    path = stage_store.stage_path(str(tmp_path), "p", "x", "s")
+    for b in range(3):
+        df = spark.range(b * 100, (b + 1) * 100, 1, 4).selectExpr(
+            "id AS input_index",
+            "CAST(0 AS LONG) AS output_index",
+            "CAST(id AS STRING) AS payload_str",
+        )
+        _sink_batch(df, path, b)
+
+    stage_store.compact_stage(spark, str(tmp_path), "p", "x", "s")
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("batch="))
+    # committed epochs 0,1 merged into batch=-1; last epoch kept under its id
+    assert dirs == ["batch=-1", "batch=2"]
+
+    got = stage_store.read_stage(spark, str(tmp_path), "p", "x", "s")
+    assert got.count() == 300
+    assert "batch" not in got.columns
+
+    # replay of the last (possibly-uncommitted) epoch overwrites its own
+    # directory — no duplication against the merged data
+    df2 = spark.range(200, 300).selectExpr(
+        "id AS input_index",
+        "CAST(0 AS LONG) AS output_index",
+        "CAST(id AS STRING) AS payload_str",
+    )
+    _sink_batch(df2, path, 2)
+    # and the resumed sink keeps appending new epochs next to the layout
+    df3 = spark.range(300, 350).selectExpr(
+        "id AS input_index",
+        "CAST(0 AS LONG) AS output_index",
+        "CAST(id AS STRING) AS payload_str",
+    )
+    _sink_batch(df3, path, 3)
+    got = stage_store.read_stage(spark, str(tmp_path), "p", "x", "s")
+    assert got.count() == 350
+    assert got.agg({"input_index": "sum"}).first()[0] == sum(range(350))
+
+
+def test_read_stage_keeps_legit_batch_data_column(spark, tmp_path):
+    # ADVICE r3 (low): only a *discovered partition* column named `batch`
+    # is sink bookkeeping; a data column with that name must survive.
+    df = spark.createDataFrame(
+        [(0, 0, "a", 7), (1, 0, "b", 8)],
+        "input_index long, output_index long, payload_str string, batch long",
+    )
+    stage_store.write_stage(df, str(tmp_path), "p", "x", "d")
+    got = stage_store.read_stage(spark, str(tmp_path), "p", "x", "d")
+    assert "batch" in got.columns
+    assert sorted(r.batch for r in got.collect()) == [7, 8]
