@@ -63,9 +63,15 @@ class PipelineService:
         runner: PipelineRunner,
         pipelines: dict[str, PipelineSpec],
         decisions_dir: str | None = None,
+        transport=None,
     ):
         self.runner = runner
         self.pipelines = dict(pipelines)
+        #: optional TelegramTransport (operators/telegram.py): when set,
+        #: each run's send_message_tg / send_moderation_tg sink records are
+        #: delivered over HTTP after the run completes or parks — the
+        #: reference's client.Send calls, moved behind the sink substrate
+        self.transport = transport
         self.decisions = None  # optional moderation decision DataFrame
         self._threads: dict[str, threading.Thread] = {}
         self._errors: dict[str, str] = {}
@@ -216,9 +222,14 @@ class PipelineService:
                     with self._lock:
                         self._pending.pop(processing_id, None)
                     self._errors.pop(processing_id, None)
+                    self._deliver_sinks(spec, processing_id)
                     return
                 except ModerationPending as e:  # recorded status: waiting
                     self._errors[processing_id] = str(e)
+                    # the review block completed before the gate pended —
+                    # its sink records must reach the chat now, or the
+                    # human never sees the buttons that unpark the run
+                    self._deliver_sinks(spec, processing_id)
                     with self._lock:
                         # decisions advanced mid-run → replay immediately;
                         # else park for the stream's on_batch to resume
@@ -238,6 +249,20 @@ class PipelineService:
         self._threads[processing_id] = t
         t.start()
         return processing_id
+
+    def _deliver_sinks(self, spec: PipelineSpec, processing_id: str) -> None:
+        """Push this run's Telegram sink records through the transport
+        (no-op without one). Delivery failures surface via the status API
+        but never fail or re-run the pipeline itself — the sink stage is
+        durable, so delivery can be retried on the next park/complete."""
+        if self.transport is None:
+            return
+        try:
+            self.transport.deliver_processing(self.runner, spec, processing_id)
+        except Exception as e:  # noqa: BLE001
+            self._errors.setdefault(
+                processing_id, f"transport delivery failed: {type(e).__name__}: {e}"
+            )
 
     def wait(self, processing_id: str, timeout: float | None = None) -> bool:
         t = self._threads.get(processing_id)

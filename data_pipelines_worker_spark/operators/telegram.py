@@ -1,0 +1,469 @@
+"""Telegram transport adapter (VERDICT r3 #5): the real HTTP boundary
+behind the ``send_message_tg`` / ``send_moderation_tg`` sink records and
+the ``fetch_moderation_tg`` decision log.
+
+The engine's compiler emits *structured sink records* for Telegram blocks
+(plans/compiler.py:205-246) and the moderation gate consumes *decision
+events* (streaming/moderation.py, api/server.py's decision stream). This
+module closes the loop with a deployment-grade transport:
+
+- :class:`TelegramClient` — Bot-API HTTP client on the engine's shared
+  retry envelope (operators/external.py:fetch — 30 s timeout, exponential
+  backoff on 500/502/503/504), pluggable ``base_url`` so tests run
+  against a mock server exactly like the reference functional suite's
+  httptest impersonation (test/functional/pipeline_test.go:371-417).
+- :class:`TelegramTransport` — delivers a processing's sink-record stages:
+  media-first fallback photo → video → text for plain messages
+  (block_send_message_telegram.go:80-116) and photo → text with an
+  a/d(/r) inline keyboard for moderation requests
+  (block_send_moderation_telegram.go:174-243).
+- :class:`ModerationPoller` — the reference's GetUpdates long-poll
+  (batch 100 / 5 s, block_fetch_moderation_telegram.go:129-133) as a
+  daemon thread: callback queries parse back through the review-message
+  format and land as decision-event JSON files in ``decisions_dir`` — the
+  directory the service's Structured Streaming decision source tails — so
+  a human button press resumes a parked run with no static injection.
+
+Message formats mirror the reference byte-for-byte
+(``GenerateTelegramMessage`` block_send_message_telegram.go:28-35,
+``GenerateTelegramReviewMessage``/``ParseTelegramReviewMessage``
+block_send_moderation_telegram.go:33-97) so decisions round-trip through
+the actual message text, as they do against the real Bot API.
+
+Scale note: Telegram traffic is control-plane by construction — messages
+a human will read and moderate. Delivery collects only sink-record rows
+(one per fan-out index of a moderated block), never data-plane tables.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from .external import DEFAULT_TIMEOUT, RetryPolicy, fetch
+
+#: callback-data action codes (block_fetch_moderation_telegram.go:57-66)
+ACTION_CODES = {"a": "approve", "d": "decline", "r": "regenerate"}
+
+
+def generate_message(text: str, processing_id: str, block_slug: str, index: int) -> str:
+    """block_send_message_telegram.go:28-35 template."""
+    return f"{text}\nProcessingId: {processing_id}\nBlockSlug: {block_slug}\nIndex: {index}"
+
+
+def generate_review_message(
+    text: str,
+    processing_id: str,
+    block_slug: str,
+    index: int,
+    regenerate_block_slug: str | None = None,
+) -> str:
+    """block_send_moderation_telegram.go:33-45 template."""
+    msg = (
+        f"Please review: {text}\nProcessingId: {processing_id}"
+        f"\nBlockSlug: {block_slug}\nIndex: {index}"
+    )
+    if regenerate_block_slug:
+        msg += f"\nRegenerateBlockSlug: {regenerate_block_slug}"
+    return msg
+
+
+_RE_TEXT = re.compile(r"Please review: (.+?)\nProcessingId:", re.S)
+_RE_PID = re.compile(r"ProcessingId: ([^\n]+)")
+_RE_SLUG = re.compile(r"BlockSlug: ([^\n]+)")
+_RE_INDEX = re.compile(r"Index: (\d+)")
+_RE_REGEN = re.compile(r"RegenerateBlockSlug: (.+)")
+
+
+def parse_review_message(message: str) -> dict:
+    """block_send_moderation_telegram.go:56-97 — raises ValueError on any
+    missing mandatory field, like the reference parser."""
+    out = {}
+    for key, rx in (("text", _RE_TEXT), ("processing_id", _RE_PID),
+                    ("block_slug", _RE_SLUG), ("index", _RE_INDEX)):
+        m = rx.search(message)
+        if not m:
+            raise ValueError(f"missing or malformed {key}")
+        out[key] = m.group(1)
+    out["index"] = int(out["index"])
+    m = _RE_REGEN.search(message)
+    out["regenerate_block_slug"] = m.group(1) if m else None
+    return out
+
+
+@dataclass
+class TelegramClient:
+    """Minimal Bot-API client over the engine's retry envelope.
+
+    ``base_url`` defaults to the public API; tests point it at a local
+    mock. All methods return the decoded ``result`` object and raise on
+    ``ok: false`` (the tgbotapi client's Send/Request contract).
+    """
+
+    token: str
+    base_url: str = "https://api.telegram.org"
+    timeout: float = DEFAULT_TIMEOUT
+    policy: RetryPolicy = field(default_factory=RetryPolicy)
+
+    def _url(self, method: str) -> str:
+        return f"{self.base_url.rstrip('/')}/bot{self.token}/{method}"
+
+    def _call(self, method: str, payload: dict) -> dict:
+        _, body, _ = fetch(
+            self._url(method),
+            "POST",
+            {"Content-Type": "application/json"},
+            json.dumps(payload).encode(),
+            self.timeout,
+            self.policy,
+        )
+        doc = json.loads(body)
+        if not doc.get("ok"):
+            raise RuntimeError(f"telegram {method} failed: {doc}")
+        return doc.get("result")
+
+    def _call_multipart(
+        self, method: str, fields: dict[str, str], file_field: str,
+        filename: str, file_bytes: bytes,
+    ) -> dict:
+        boundary = uuid.uuid4().hex
+        parts = []
+        for k, v in fields.items():
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+                f"\r\n\r\n{v}\r\n".encode()
+            )
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{file_field}"; '
+            f'filename="{filename}"\r\nContent-Type: application/octet-stream'
+            "\r\n\r\n".encode() + file_bytes + b"\r\n"
+        )
+        parts.append(f"--{boundary}--\r\n".encode())
+        _, body, _ = fetch(
+            self._url(method),
+            "POST",
+            {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+            b"".join(parts),
+            self.timeout,
+            self.policy,
+        )
+        doc = json.loads(body)
+        if not doc.get("ok"):
+            raise RuntimeError(f"telegram {method} failed: {doc}")
+        return doc.get("result")
+
+    # -- Bot API methods used by the two send blocks + the poll loop -------
+
+    def send_message(self, chat_id, text: str, reply_markup: dict | None = None) -> dict:
+        payload = {"chat_id": chat_id, "text": text}
+        if reply_markup:
+            payload["reply_markup"] = reply_markup
+        return self._call("sendMessage", payload)
+
+    def send_photo(self, chat_id, photo: bytes, caption: str,
+                   filename: str = "image.png",
+                   reply_markup: dict | None = None) -> dict:
+        fields = {"chat_id": str(chat_id), "caption": caption}
+        if reply_markup:
+            fields["reply_markup"] = json.dumps(reply_markup)
+        return self._call_multipart("sendPhoto", fields, "photo", filename, photo)
+
+    def send_video(self, chat_id, video: bytes, caption: str,
+                   filename: str = "video.mp4") -> dict:
+        fields = {"chat_id": str(chat_id), "caption": caption}
+        return self._call_multipart("sendVideo", fields, "video", filename, video)
+
+    def get_updates(self, offset: int = 0, limit: int = 100, timeout: int = 5) -> list[dict]:
+        """GetUpdates long-poll (block_fetch_moderation_telegram.go:129-133)."""
+        return self._call(
+            "getUpdates", {"offset": offset, "limit": limit, "timeout": timeout}
+        ) or []
+
+    def edit_message_reply_markup(self, chat_id, message_id: int,
+                                  reply_markup: dict | None = None) -> dict:
+        return self._call(
+            "editMessageReplyMarkup",
+            {
+                "chat_id": chat_id,
+                "message_id": message_id,
+                "reply_markup": reply_markup or {"inline_keyboard": []},
+            },
+        )
+
+    def answer_callback_query(self, callback_query_id: str, text: str = "Processing...") -> dict:
+        return self._call(
+            "answerCallbackQuery", {"callback_query_id": callback_query_id, "text": text}
+        )
+
+
+def _review_keyboard(index: int, with_regenerate: bool) -> dict:
+    """Inline keyboard (block_send_moderation_telegram.go:174-204):
+    callback data is ``<action-code>:<input-index>``."""
+    row = [
+        {"text": "Approve", "callback_data": f"a:{index}"},
+        {"text": "Decline", "callback_data": f"d:{index}"},
+    ]
+    if with_regenerate:
+        row.append({"text": "Regenerate", "callback_data": f"r:{index}"})
+    return {"inline_keyboard": [row]}
+
+
+class TelegramTransport:
+    """Delivers a processing's Telegram sink-record stages over HTTP.
+
+    ``deliver_processing(runner, spec, processing_id)`` scans the spec for
+    ``send_message_tg`` / ``send_moderation_tg`` blocks whose stage has
+    been written, resolves bound media bytes from the *origin* stage (the
+    sink record flags the media kind; the bytes travel by stage
+    reference), and sends each not-yet-delivered (processing, block,
+    input_index) exactly once per process lifetime. Idempotent across
+    repeated calls — a parked run re-driven by several decision batches
+    does not re-send its review messages.
+    """
+
+    def __init__(self, client: TelegramClient, group_id: int | str = 0):
+        self.client = client
+        self.group_id = group_id
+        self._delivered: set[tuple[str, str, int]] = set()
+        self._lock = threading.Lock()
+        self.sent: list[dict] = []  # delivery log (message ids, for status)
+
+    # -- stage scanning ----------------------------------------------------
+
+    def deliver_processing(self, runner, spec, processing_id: str) -> int:
+        """Deliver all undelivered Telegram sink rows for one processing.
+        Returns the number of messages sent."""
+        from ..sources.stage_store import read_stage
+
+        n_sent = 0
+        for pos, block in enumerate(spec.blocks):
+            if block.id not in ("send_message_tg", "send_moderation_tg"):
+                continue
+            try:
+                df = read_stage(
+                    runner.spark, runner.store_root, spec.slug,
+                    processing_id, block.slug,
+                )
+            except Exception:  # noqa: BLE001 — stage not yet written
+                continue
+            rows = sorted(
+                df.select("input_index", "payload_str").collect(),
+                key=lambda r: r.input_index,
+            )
+            media = self._bound_media(runner, spec, processing_id, block)
+            for r in rows:
+                key = (processing_id, block.slug, r.input_index)
+                with self._lock:
+                    if key in self._delivered:
+                        continue
+                    self._delivered.add(key)
+                try:
+                    record = json.loads(r.payload_str) if r.payload_str else {}
+                    if block.id == "send_message_tg":
+                        sent = self._send_plain(
+                            record, processing_id, block.slug, r.input_index, media
+                        )
+                    else:
+                        sent = self._send_moderation(
+                            record, spec, pos, processing_id, block,
+                            r.input_index, media,
+                        )
+                    self.sent.append(
+                        {"block_slug": block.slug, "input_index": r.input_index,
+                         "message_id": sent.get("message_id")}
+                    )
+                    n_sent += 1
+                except Exception:
+                    # roll back the claim so a later delivery retries
+                    with self._lock:
+                        self._delivered.discard(key)
+                    raise
+        return n_sent
+
+    def _bound_media(self, runner, spec, processing_id: str, block) -> dict[int, dict[str, bytes]]:
+        """input_index -> {param: payload_bin} for image/video bindings —
+        the bytes the sink record references by stage."""
+        from ..sources.stage_store import read_stage
+
+        out: dict[int, dict[str, bytes]] = {}
+        for b in block.bindings:
+            if b.param not in ("image", "video"):
+                continue
+            try:
+                df = read_stage(
+                    runner.spark, runner.store_root, spec.slug,
+                    processing_id, b.origin,
+                )
+            except Exception:  # noqa: BLE001
+                continue
+            for r in df.select("input_index", "payload_bin").collect():
+                if r.payload_bin is not None:
+                    out.setdefault(r.input_index, {})[b.param] = bytes(r.payload_bin)
+        return out
+
+    # -- the two send shapes ----------------------------------------------
+
+    def _send_plain(self, record: dict, processing_id: str, block_slug: str,
+                    index: int, media: dict) -> dict:
+        """Media-first fallback photo → video → text
+        (block_send_message_telegram.go:92-128)."""
+        caption = generate_message(
+            record.get("text") or "", processing_id, block_slug, index
+        )
+        chat = record.get("group_id") or self.group_id
+        m = media.get(index, {})
+        if record.get("kind") == "photo" and "image" in m:
+            try:
+                return self.client.send_photo(chat, m["image"], caption)
+            except Exception:  # noqa: BLE001 — fall through like the reference
+                pass
+        if record.get("kind") in ("photo", "video") and "video" in m:
+            try:
+                return self.client.send_video(chat, m["video"], caption)
+            except Exception:  # noqa: BLE001
+                pass
+        return self.client.send_message(chat, caption)
+
+    def _send_moderation(self, record: dict, spec, pos: int, processing_id: str,
+                         block, index: int, media: dict) -> dict:
+        """Review message with inline keyboard; photo-first fallback
+        (block_send_moderation_telegram.go:206-243). The BlockSlug line
+        carries the *gate* slug (the fetch block the decision log keys
+        on — the reference matches the two through the fetch block's
+        BlockSlug config, block_fetch_moderation_telegram.go:193-197)."""
+        gate = next(
+            (b for b in spec.blocks[pos + 1:] if b.id == "fetch_moderation_tg"),
+            None,
+        )
+        gate_slug = gate.slug if gate is not None else block.slug
+        regen = (gate.input.get("regenerate_block_slug") if gate is not None else None)
+        caption = generate_review_message(
+            record.get("data") or "", processing_id, gate_slug, index, regen
+        )
+        keyboard = _review_keyboard(index, with_regenerate=regen is not None)
+        chat = record.get("group_id") or self.group_id
+        m = media.get(index, {})
+        if record.get("media") == "image" and "image" in m:
+            try:
+                return self.client.send_photo(
+                    chat, m["image"], caption, reply_markup=keyboard
+                )
+            except Exception:  # noqa: BLE001
+                pass
+        return self.client.send_message(chat, caption, reply_markup=keyboard)
+
+
+class ModerationPoller:
+    """GetUpdates → decision-event files, as a daemon thread.
+
+    The reference's fetch block long-polls inside the pipeline run
+    (block_fetch_moderation_telegram.go:140-215). On Spark the gate is a
+    replayable decision *log*, so the poll loop lives beside the service:
+    each callback query is parsed back through the review-message format,
+    acknowledged (keyboard stripped + callback answered, :219-236), and
+    appended atomically to ``decisions_dir`` where the service's streaming
+    JSON source picks it up and resumes the parked run.
+    """
+
+    def __init__(self, client: TelegramClient, decisions_dir: str,
+                 limit: int = 100, long_poll_timeout: int = 5,
+                 idle_sleep: float = 0.2):
+        self.client = client
+        self.decisions_dir = decisions_dir
+        self.limit = limit
+        self.long_poll_timeout = long_poll_timeout
+        self.idle_sleep = idle_sleep
+        self._offset = 0
+        self._acked: set[str] = set()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._seq = 0
+
+    # one GetUpdates sweep; returns number of decisions written
+    def poll_once(self) -> int:
+        import os
+
+        n = 0
+        while True:
+            updates = self.client.get_updates(
+                self._offset, self.limit, self.long_poll_timeout
+            )
+            events = []
+            for upd in updates:
+                self._offset = max(self._offset, int(upd.get("update_id", 0)) + 1)
+                cq = upd.get("callback_query")
+                if not cq or cq.get("id") in self._acked:
+                    continue
+                parts = str(cq.get("data", "")).split(":")
+                if len(parts) != 2 or parts[0] not in ACTION_CODES:
+                    continue
+                msg = cq.get("message") or {}
+                text = msg.get("text") or msg.get("caption") or ""
+                try:
+                    review = parse_review_message(text)
+                except ValueError:
+                    continue
+                try:
+                    idx = int(parts[1])
+                except ValueError:
+                    continue
+                if idx != review["index"]:
+                    continue
+                self._acked.add(cq.get("id"))
+                action = ACTION_CODES[parts[0]]
+                self._seq += 1
+                events.append(
+                    {
+                        "block_slug": review["block_slug"],
+                        "input_index": idx,
+                        "action": action,
+                        "event_time": int(time.time()),
+                        "event_id": int(upd.get("update_id", self._seq)),
+                        "regenerate_block_slug": (
+                            review["regenerate_block_slug"]
+                            if action == "regenerate" else None
+                        ),
+                    }
+                )
+                # acknowledge like the reference: strip the keyboard, then
+                # answer the callback (:219-236); best-effort
+                try:
+                    chat_id = (msg.get("chat") or {}).get("id")
+                    if chat_id is not None and msg.get("message_id") is not None:
+                        self.client.edit_message_reply_markup(
+                            chat_id, msg["message_id"]
+                        )
+                    self.client.answer_callback_query(cq.get("id"))
+                except Exception:  # noqa: BLE001
+                    pass
+            if events:
+                fname = f"decisions-{uuid.uuid4().hex}.json"
+                tmp = os.path.join(self.decisions_dir, f".{fname}.tmp")
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(json.dumps(e) for e in events))
+                os.rename(tmp, os.path.join(self.decisions_dir, fname))
+                n += len(events)
+            if len(updates) < self.limit:
+                return n
+
+    def start(self) -> "ModerationPoller":
+        def loop():
+            while not self._stop.is_set():
+                try:
+                    self.poll_once()
+                except Exception:  # noqa: BLE001 — transport blips must not
+                    pass             # kill the poll loop
+                self._stop.wait(self.idle_sleep)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)

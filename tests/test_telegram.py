@@ -1,0 +1,293 @@
+"""Telegram transport tests (VERDICT r3 #5): a mock Bot-API server (the
+reference functional suite's httptest impersonation shape,
+test/functional/pipeline_test.go:371-417) behind TelegramClient /
+TelegramTransport / ModerationPoller — including the full moderation e2e
+where the ONLY decision path is a button press on the mock server."""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from data_pipelines_worker_spark.operators.telegram import (
+    ModerationPoller,
+    TelegramClient,
+    TelegramTransport,
+    generate_message,
+    generate_review_message,
+    parse_review_message,
+)
+
+TOKEN = "test-token"
+
+
+class MockTelegram:
+    """In-memory Bot API: sendMessage/sendPhoto/sendVideo/getUpdates/
+    editMessageReplyMarkup/answerCallbackQuery."""
+
+    def __init__(self):
+        self.messages: list[dict] = []  # everything sent to the chat
+        self.updates: list[dict] = []  # queued updates for getUpdates
+        self.acks: list[dict] = []  # edit/answer calls
+        self.fail_methods: set[str] = set()  # force ok:false per method
+        self._lock = threading.Lock()
+        self._next_message_id = 1
+        self._next_update_id = 1
+
+        mock = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_POST(self):
+                m = re.match(rf"^/bot{TOKEN}/(\w+)$", self.path)
+                if not m:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                method = m.group(1)
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("multipart/form-data"):
+                    fields = mock._parse_multipart(raw, ctype)
+                else:
+                    fields = json.loads(raw) if raw else {}
+                body = mock.handle(method, fields)
+                payload = json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.base_url = f"http://127.0.0.1:{self.server.server_port}"
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _parse_multipart(raw: bytes, ctype: str) -> dict:
+        boundary = ctype.split("boundary=")[1].encode()
+        fields = {}
+        for part in raw.split(b"--" + boundary):
+            part = part.strip(b"\r\n")
+            if not part or part == b"--":
+                continue
+            header, _, body = part.partition(b"\r\n\r\n")
+            nm = re.search(rb'name="([^"]+)"', header)
+            if not nm:
+                continue
+            name = nm.group(1).decode()
+            if b"filename=" in header:
+                fields[name] = body  # raw file bytes
+            else:
+                fields[name] = body.decode()
+        return fields
+
+    def handle(self, method: str, fields: dict) -> dict:
+        with self._lock:
+            if method in self.fail_methods:
+                return {"ok": False, "description": f"{method} forced failure"}
+            if method == "getUpdates":
+                offset = int(fields.get("offset", 0))
+                limit = int(fields.get("limit", 100))
+                pending = [u for u in self.updates if u["update_id"] >= offset]
+                return {"ok": True, "result": pending[:limit]}
+            if method in ("sendMessage", "sendPhoto", "sendVideo"):
+                mid = self._next_message_id
+                self._next_message_id += 1
+                text = fields.get("text") or fields.get("caption") or ""
+                markup = fields.get("reply_markup")
+                if isinstance(markup, str):
+                    markup = json.loads(markup)
+                msg = {
+                    "method": method,
+                    "message_id": mid,
+                    "chat": {"id": int(fields.get("chat_id", 0))},
+                    "text": text,
+                    "reply_markup": markup,
+                    "has_file": any(isinstance(v, bytes) for v in fields.values()),
+                }
+                self.messages.append(msg)
+                return {"ok": True, "result": msg}
+            if method in ("editMessageReplyMarkup", "answerCallbackQuery"):
+                self.acks.append({"method": method, **fields})
+                return {"ok": True, "result": True}
+            return {"ok": False, "description": f"unknown method {method}"}
+
+    def press_button(self, message: dict, action_code: str, index: int) -> None:
+        """A human presses an inline button on a delivered message."""
+        with self._lock:
+            uid = self._next_update_id
+            self._next_update_id += 1
+            self.updates.append(
+                {
+                    "update_id": uid,
+                    "callback_query": {
+                        "id": f"cb{uid}",
+                        "data": f"{action_code}:{index}",
+                        "message": message,
+                    },
+                }
+            )
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+@pytest.fixture()
+def mock_tg():
+    m = MockTelegram()
+    yield m
+    m.close()
+
+
+def _client(mock):
+    from data_pipelines_worker_spark.operators.external import RetryPolicy
+
+    return TelegramClient(
+        TOKEN, base_url=mock.base_url, timeout=5.0,
+        policy=RetryPolicy(max_retries=1, retry_delay=0.05),
+    )
+
+
+def test_message_formats_roundtrip():
+    msg = generate_message("hello", "pid123", "notify", 2)
+    assert msg.endswith("ProcessingId: pid123\nBlockSlug: notify\nIndex: 2")
+    review = generate_review_message("clip 3", "pid9", "gate", 3, "wrap")
+    parsed = parse_review_message(review)
+    assert parsed == {
+        "text": "clip 3",
+        "processing_id": "pid9",
+        "block_slug": "gate",
+        "index": 3,
+        "regenerate_block_slug": "wrap",
+    }
+    # mandatory fields enforced like the reference parser
+    with pytest.raises(ValueError):
+        parse_review_message("Please review: x\nProcessingId: p")
+
+
+def test_client_media_first_fallback(mock_tg):
+    # photo send fails (invalid image on the API side) → the transport
+    # falls back to video, then to plain text — the reference's exact
+    # chain (block_send_message_telegram.go:92-128)
+    client = _client(mock_tg)
+    r = client.send_photo(7, b"\x89PNGbytes", "cap")
+    assert r["method"] == "sendPhoto" and mock_tg.messages[-1]["has_file"]
+    mock_tg.fail_methods.add("sendPhoto")
+    with pytest.raises(RuntimeError):
+        client.send_photo(7, b"bad", "cap")
+    r = client.send_message(7, "plain")
+    assert r["method"] == "sendMessage"
+
+
+def test_poller_writes_decision_and_acks(mock_tg, tmp_path):
+    client = _client(mock_tg)
+    poller = ModerationPoller(client, str(tmp_path))
+    review_text = generate_review_message("item 0", "pidX", "gate", 0, "wrap")
+    message = {"message_id": 5, "chat": {"id": 7}, "text": review_text}
+    mock_tg.press_button(message, "r", 0)
+    n = poller.poll_once()
+    assert n == 1
+    files = [p for p in tmp_path.iterdir() if p.suffix == ".json"]
+    assert len(files) == 1
+    event = json.loads(files[0].read_text())
+    assert event["block_slug"] == "gate"
+    assert event["input_index"] == 0
+    assert event["action"] == "regenerate"
+    assert event["regenerate_block_slug"] == "wrap"
+    # keyboard stripped + callback answered (reference :219-236)
+    assert {a["method"] for a in mock_tg.acks} == {
+        "editMessageReplyMarkup", "answerCallbackQuery"
+    }
+    # replayed update is deduped by callback id and offset
+    assert poller.poll_once() == 0
+
+
+def test_poller_ignores_malformed_callbacks(mock_tg, tmp_path):
+    client = _client(mock_tg)
+    poller = ModerationPoller(client, str(tmp_path))
+    mock_tg.press_button({"message_id": 1, "chat": {"id": 7}, "text": "junk"}, "a", 0)
+    mock_tg.press_button(
+        {"message_id": 2, "chat": {"id": 7},
+         "text": generate_review_message("t", "p", "g", 1)},
+        "z", 1,  # unknown action code
+    )
+    assert poller.poll_once() == 0
+    assert not list(tmp_path.glob("*.json"))
+
+
+def test_moderation_e2e_through_transport(spark, tmp_path, mock_tg):
+    # The full loop with NO static decision injection: run parks →
+    # transport delivers the review messages (HTTP, mock Bot API) → a
+    # "human" presses Approve on each delivered message → the poller
+    # turns the callbacks into decision events → the service's decision
+    # stream resumes the run → pipeline completes.
+    from data_pipelines_worker_spark.api.server import PipelineService
+    from data_pipelines_worker_spark.plans.compiler import PipelineRunner
+    from data_pipelines_worker_spark.sources import stage_store
+    from tests.test_moderation_flow import _spec as moderated_spec
+
+    decisions_dir = tmp_path / "decisions"
+    decisions_dir.mkdir()
+    client = _client(mock_tg)
+    transport = TelegramTransport(client, group_id=42)
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    service = PipelineService(
+        runner,
+        {"moderated": moderated_spec()},
+        decisions_dir=str(decisions_dir),
+        transport=transport,
+    )
+    poller = ModerationPoller(client, str(decisions_dir), idle_sleep=0.1).start()
+    try:
+        pid = service.start("moderated", request_input={"src": {"file": ["a", "b"]}})
+        assert service.wait(pid, 120.0)
+        assert "pending" in (service._errors.get(pid) or "")
+
+        # the review messages reached the chat over HTTP, with keyboards
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            reviews = [m for m in mock_tg.messages if m.get("reply_markup")]
+            if len(reviews) == 2:
+                break
+            time.sleep(0.2)
+        assert len(reviews) == 2
+        for m in reviews:
+            parsed = parse_review_message(m["text"])
+            assert parsed["processing_id"] == pid
+            assert parsed["block_slug"] == "gate"
+            buttons = m["reply_markup"]["inline_keyboard"][0]
+            assert [b["callback_data"].split(":")[0] for b in buttons] == [
+                "a", "d", "r"
+            ]  # gate configures regenerate_block_slug → 3 buttons
+
+        # human approves both indices on the actual delivered messages
+        for m in reviews:
+            mock_tg.press_button(m, "a", parse_review_message(m["text"])["index"])
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if service.wait(pid, 1.0) and pid not in service._pending:
+                if service._errors.get(pid) is None:
+                    break
+            time.sleep(0.5)
+        assert service._errors.get(pid) is None
+        assert pid not in service._pending
+
+        out = stage_store.read_stage(spark, runner.store_root, "moderated", pid, "join")
+        assert out.first().payload_str == "<a> <b>"
+        # review messages were delivered exactly once despite the re-drive
+        assert len([m for m in mock_tg.messages if m.get("reply_markup")]) == 2
+    finally:
+        poller.stop()
+        service.stop_decision_stream()
