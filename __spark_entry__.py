@@ -45,6 +45,14 @@ _DRIVER_PRIORITY = (
     # the two driver-red rows, now timestamp-normalized by construction
     "window_functions",
     "q8_market_share",
+    # round-4 additions (never driver-checked: staleness = infinity)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)
     "agg_distinct",
     "ann_cosine_topk",

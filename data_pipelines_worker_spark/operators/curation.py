@@ -261,3 +261,22 @@ def sequence_packing_greedy(docs, budget: int = PACK_BUDGET,
     return toks.groupBy("stream").applyInPandas(
         pack, schema="stream string, doc_id long, n_tokens long, pack_id long"
     )
+
+
+BLOCK_WORDS = 20
+
+
+def explode_word_blocks(df, id_col: str, text_col: str, size: int = BLOCK_WORDS):
+    """Aligned fixed-size word blocks, one row per block: (id, blk_idx,
+    blk). The C4/CCNet-style granularity for sub-document exact dedup —
+    blocks are aligned (no overlap), the last block keeps the tail.
+    ``sequence`` + ``slice`` + ``concat_ws`` stay inside codegen."""
+    ws = F.split(F.col(text_col), " ", -1)
+    n_blk = F.ceil(F.size(ws) / F.lit(size)).cast("int")
+    ex = df.select(
+        id_col,
+        ws.alias("_ws"),
+        F.explode(F.sequence(F.lit(0), n_blk - 1)).alias("blk_idx"),
+    )
+    blk = F.concat_ws(" ", F.slice(F.col("_ws"), F.col("blk_idx") * size + 1, size))
+    return ex.select(id_col, F.col("blk_idx").cast("long").alias("blk_idx"), blk.alias("blk"))
