@@ -53,6 +53,10 @@ _DRIVER_PRIORITY = (
     "q16_supplier_part_count",
     "q20_dominant_supplier",
     "q21_waiting_supplier",
+    "chunk_dedup",
+    "dup_ngram_coverage",
+    "tfidf_top_terms",
+    "embedding_kmeans",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)
     "agg_distinct",
     "ann_cosine_topk",

@@ -312,3 +312,84 @@ def simhash16_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(*votes)
         .select(id_col, _fingerprint_from_votes().alias("simhash"))
     )
+
+
+def block_dedup_stats(df: DataFrame, id_col: str, text_col: str, size: int = 20) -> DataFrame:
+    """Sub-document exact dedup at aligned word-block granularity (the
+    C4/CCNet move: drop repeated boilerplate blocks corpus-wide, keep the
+    first occurrence) — per-document survival stats plus a fingerprint of
+    the deduplicated text.
+
+    A block survives iff it is the lexicographically first occurrence of
+    its content across the corpus (min (doc_id, blk_idx)) — deterministic,
+    engine-portable, and what "keep one copy" means when the corpus has a
+    stable document order.
+
+    Scale shape: one shuffle partitions block rows by the 128-bit content
+    digest (the window key is the digest, never the body — the body rides
+    along exactly once, which any reassembling dedup must pay); the
+    second shuffle regroups survivors by document for reassembly. Both
+    keys are fixed-width. A stats-only variant (no reassembly) would drop
+    the body after hashing and shuffle digests alone.
+
+    Returns (id, n_blocks, n_kept, kept_fp) where kept_fp = md5 of the
+    surviving blocks re-joined in block order ('' when nothing survives).
+    """
+    from pyspark.sql import Window as W
+
+    from .curation import explode_word_blocks
+
+    b = explode_word_blocks(df, id_col, text_col, size)
+    w = W.partitionBy(F.md5(F.col("blk"))).orderBy(id_col, "blk_idx")
+    r = b.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("blk_idx"), F.col("blk"))
+    )
+    return r.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["blk"]
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+    )
+
+
+def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Duplicate-text coverage à la Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"): per document, how many
+    of its word n-gram positions carry a gram that occurs more than once
+    in the corpus — the signal exact-substring dedup cuts on.
+
+    Scale shape: grams explode inside codegen (:func:`..operators
+    .curation.explode_ngrams`), are digested to 128 bits immediately, and
+    the corpus-wide occurrence count is a single window over the digest —
+    one shuffle of (doc_id, digest) pairs, ~40 bytes per position, never
+    the gram text. At 100 TB the exact count can be swapped for a
+    broadcast CountMin/Bloom side table without changing this query's
+    output contract for grams above the threshold.
+
+    Returns (id, n_grams, n_dup_pos, dup_frac) for documents with at
+    least one n-gram; dup_frac is the single IEEE division of the two
+    exact counts."""
+    from pyspark.sql import Window as W
+
+    from .curation import explode_ngrams
+
+    g = explode_ngrams(df, id_col, text_col, n)
+    gd = g.select(id_col, F.md5(F.col("gram")).alias("gd"))
+    c = F.count("*").over(W.partitionBy("gd"))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return (
+        gd.withColumn("c", c)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.alias("n_dup_pos"),
+            (dup.cast("double") / F.count("*")).alias("dup_frac"),
+        )
+    )

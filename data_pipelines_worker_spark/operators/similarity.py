@@ -751,3 +751,96 @@ def ann_topk_ivfpq(
         .where(F.col("rank") <= k)
         .select("query_id", "item_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# --- deterministic k-means (round 4) ---------------------------------------
+
+KMEANS_SCALE = 1_000_000
+
+
+def kmeans_int_assignments(
+    items: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Lloyd k-means over embeddings, made hash-verifiable by running
+    entirely in integer space: components quantize once via
+    ``floor(x · scale)`` (exact IEEE product + floor — no rounding-mode
+    divergence between engines), distances are exact int64 squared-L2,
+    and centroid updates are ``floor(sum / count)`` where the int64 sum is
+    association-order-independent — the one float op per update is a
+    single IEEE division of two exact integers. Every tie (equidistant
+    vector, equal-coordinate argmin) breaks to the lowest cluster index,
+    so ``n_iter`` full Lloyd rounds produce identical assignments on any
+    engine and any partitioning.
+
+    Seeds are the first ``k`` vectors by id (documented simplification —
+    production would use k-means‖ sampling; determinism is the contract
+    here). A cluster that loses all members simply drops out of the next
+    round on both engines.
+
+    Scale shape: centroids are control-plane (k·d ints collected per
+    round, same footprint as the IVF quantizer); assignment is one
+    Arrow-batched map stage per round (numpy int64 block matmul, no
+    shuffle); the update is posexplode → (cluster, dim) hash aggregation —
+    partial map-side combine reduces the shuffle to k·d rows per
+    partition. Returns (id, cluster) with cluster ∈ [0, k).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def to_int(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        V = np.stack(col.to_numpy()).astype(np.float64)
+        return pd.Series(list(np.floor(V * float(scale)).astype(np.int64)))
+
+    base = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("v"))
+    ib = base.withColumn("vi", to_int(F.col("v"))).select("item_id", "vi").persist()
+
+    seed_rows = ib.orderBy("item_id").limit(k).collect()
+    C = np.array([r["vi"] for r in seed_rows], dtype=np.int64)
+    cl_ids = np.arange(len(C), dtype=np.int64)
+
+    def make_assign(Cm: np.ndarray, ids: np.ndarray):
+        @pandas_udf(LongType())
+        def assign(col: pd.Series) -> pd.Series:
+            if not len(col):
+                return pd.Series([], dtype="int64")
+            V = np.stack(col.to_numpy()).astype(np.int64)
+            # exact int64 squared-L2 to every centroid; argmin takes the
+            # first minimum = lowest cluster index (ids are ascending)
+            d = ((V[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(ids[np.argmin(d, axis=1)])
+
+        return assign
+
+    assigned = None
+    for it in range(n_iter):
+        assign = make_assign(C, cl_ids)
+        assigned = ib.withColumn("cluster", assign(F.col("vi")))
+        if it == n_iter - 1:
+            break
+        stats = (
+            assigned.select("cluster", F.posexplode("vi").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        import math
+
+        by_cl: dict[int, dict[int, int]] = {}
+        for r in stats:
+            by_cl.setdefault(r["cluster"], {})[r["pos"]] = math.floor(r["s"] / r["c"])
+        cl_ids = np.array(sorted(by_cl), dtype=np.int64)
+        C = np.array(
+            [[by_cl[cl][p] for p in range(len(by_cl[cl]))] for cl in cl_ids],
+            dtype=np.int64,
+        )
+    return assigned.select(
+        F.col("item_id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
+    )

@@ -130,3 +130,80 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct(digest) / F.count("*").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+# --- sub-document dedup (round 4) ------------------------------------------
+
+_BLOCK_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(len(ws) / 20.0) AS BIGINT) - 1))
+           AS blk_idx,
+         ws
+  FROM t
+),
+b2 AS (
+  SELECT doc_id, blk_idx,
+         array_to_string(
+           list_slice(ws, blk_idx * 20 + 1, least((blk_idx + 1) * 20, len(ws))),
+           ' ') AS blk
+  FROM b
+),
+r AS (
+  SELECT doc_id, blk_idx, blk,
+         row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, blk_idx) AS rn
+  FROM b2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(
+         string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY blk_idx), ''))
+         AS kept_fp
+FROM r GROUP BY doc_id
+"""
+
+
+@register("chunk_dedup", _BLOCK_ORACLE)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document exact dedup at aligned 20-word blocks: a
+    block survives only at its first corpus-wide occurrence (min (doc_id,
+    blk_idx)); output is per-doc survival stats + an md5 fingerprint of
+    the reassembled deduplicated text (the oracle checks reconstruction
+    bytes without hauling text through the hash gate). See
+    :func:`..operators.dedup.block_dedup_stats` for the shuffle story."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.block_dedup_stats(docs, "doc_id", "text", size=20)
+
+
+_COVER_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+  FROM t WHERE len(ws) >= 8
+),
+gd AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, pos, pos + 7), ' ')) AS gdg
+  FROM g
+),
+m AS (SELECT doc_id, count(*) OVER (PARTITION BY gdg) AS c FROM gd)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_frac
+FROM m GROUP BY doc_id
+"""
+
+
+@register("dup_ngram_coverage", _COVER_ORACLE)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-text coverage (Lee et al. 2021): per document, the count
+    and fraction of word 8-gram positions whose gram occurs more than once
+    in the corpus — the exact-substring-dedup cut signal. Shuffle carries
+    (doc_id, digest) pairs only; see
+    :func:`..operators.dedup.dup_ngram_coverage`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_ngram_coverage(docs, "doc_id", "text", n=8)

@@ -448,3 +448,61 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=_PQ_K,
         rerank=_PQ_RERANK,
     )
+
+
+# --- deterministic k-means clustering (round 4) ----------------------------
+
+_KMEANS_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+d1 AS (
+  SELECT e.vec_id, c0.cl,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))) AS dist
+  FROM e CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d1) WHERE rn = 1
+),
+s1 AS (
+  SELECT a1.cl, g.i AS pos,
+         CAST(floor(CAST(sum(e.v[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM a1 JOIN e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY a1.cl, g.i
+),
+c1 AS (SELECT cl, list(cval ORDER BY pos) AS cv FROM s1 GROUP BY cl),
+d2 AS (
+  SELECT e.vec_id, c1.cl,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> (e.v[i] - c1.cv[i]) * (e.v[i] - c1.cv[i]))) AS dist
+  FROM e CROSS JOIN c1
+)
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cl,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+  FROM d2) WHERE rn = 1
+"""
+
+
+@register("embedding_kmeans", _KMEANS_ORACLE)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd rounds of k=8 k-means over the embedding table,
+    value-hash-verified — an *iterative* algorithm under the exact gate,
+    possible because every step is integer-exact
+    (:func:`..operators.similarity.kmeans_int_assignments`): floor-
+    quantized components, int64 squared-L2, order-independent integer
+    centroid sums. The oracle replays both rounds in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_int_assignments(emb, k=8, n_iter=2)

@@ -310,3 +310,53 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+# --- TF-IDF top terms (round 4) --------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+         ) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM s WHERE rank <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document, ranked by the
+    rational tf/df score (monotone in idf for a fixed doc; chosen over
+    tf·ln(N/df) because the single IEEE division of two exact integers is
+    engine-portable, while ln() is libm-local — the window_functions
+    lesson applied to scoring). Ties break on the term string.
+
+    Scale shape: term frequencies are one hash aggregation on (doc, term);
+    document frequencies reuse that aggregate (one more shuffle on term,
+    vocabulary-sized output, broadcast back); the top-3 cut is a
+    rank-window per doc. The emitted columns are exact integers + strings
+    — the float score exists only inside the sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+    )

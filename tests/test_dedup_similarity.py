@@ -206,3 +206,73 @@ def test_pq_codes_reconstruction_sanity(spark, sf_dir):
         by_vec.setdefault(r.vec_id, []).append(r.qdist)
     donors = [v for v, ds in by_vec.items() if all(d == 0.0 for d in ds)]
     assert len(donors) >= _PQ_K  # at least the codebook donors
+
+
+# --- round-4 sub-document dedup + k-means ----------------------------------
+
+
+def test_block_dedup_first_occurrence_survives(spark):
+    blk = " ".join(f"w{i}" for i in range(20))  # one exact 20-word block
+    df = spark.createDataFrame(
+        [
+            (1, blk + " " + "tail one"),     # block 0 = blk (first occurrence)
+            (2, blk + " " + "other tail"),   # block 0 duplicates doc 1's
+            (3, "completely different text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.block_dedup_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 1  # lost the dup block
+    assert out[3]["n_kept"] == 1
+
+
+def test_block_dedup_full_dup_doc_empty_fingerprint(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.block_dedup_stats(df, "doc_id", "text").collect()}
+    assert out[2]["n_kept"] == 0
+    assert out[2]["kept_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_dup_ngram_coverage_identical_docs_full(spark):
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, ("x " * 20).strip())], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup.dup_ngram_coverage(df, "doc_id", "text", 8).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["n_dup_pos"] == 5
+    assert out[1]["dup_frac"] == 1.0
+    # doc 3 is "x" repeated: every 8-gram equals every other -> all dup too
+    assert out[3]["n_dup_pos"] == out[3]["n_grams"]
+
+
+def test_dup_ngram_coverage_unique_doc_zero(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(10))), (2, " ".join(f"b{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.dup_ngram_coverage(df, "doc_id", "text", 8).collect()}
+    assert out[1]["n_dup_pos"] == 0 and out[2]["n_dup_pos"] == 0
+
+
+def test_kmeans_deterministic_across_partitioning(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_int_assignments(emb, k=8, n_iter=2)
+    b = similarity.kmeans_int_assignments(emb.repartition(7), k=8, n_iter=2)
+    ra = {r["vec_id"]: r["cluster"] for r in a.collect()}
+    rb = {r["vec_id"]: r["cluster"] for r in b.collect()}
+    assert ra == rb
+    assert set(ra.values()) <= set(range(8))
+    assert len(set(ra.values())) > 1  # actually partitions the space
+
+
+def test_kmeans_second_iteration_moves_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = similarity.kmeans_int_assignments(emb, k=8, n_iter=1)
+    two = similarity.kmeans_int_assignments(emb, k=8, n_iter=2)
+    r1 = {r["vec_id"]: r["cluster"] for r in one.collect()}
+    r2 = {r["vec_id"]: r["cluster"] for r in two.collect()}
+    # Lloyd refinement reassigns at least one vector after the update
+    assert r1 != r2
