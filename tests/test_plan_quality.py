@@ -352,3 +352,65 @@ class TestRound3Plans:
             plan = plan_of(q(registry, name, spark))
             assert "CartesianProduct" not in plan, name
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+class TestRound4Plans:
+    """Plan audits for the round-4 TPC-H completions and corpus operators."""
+
+    def test_new_tpch_dims_broadcast_no_cartesian(self, spark, registry):
+        for name, min_bhj in (("q2_min_cost_supplier", 2),
+                              ("q9_product_profit", 3),
+                              ("q16_supplier_part_count", 1),
+                              ("q20_dominant_supplier", 2)):
+            plan = plan_of(q(registry, name, spark))
+            assert plan.count("BroadcastHashJoin") >= min_bhj, name
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_q11_scalar_threshold_is_broadcast_1row(self, spark, registry):
+        # the global-total side is a 1-row aggregate: it must ride a
+        # broadcast (nested-loop against one row is the decorrelated
+        # scalar subquery, same shape q22 uses), never a shuffle
+        plan = plan_of(q(registry, "q11_important_stock", spark))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q21_exists_legs_are_semi_and_anti(self, spark, registry):
+        plan = plan_of(q(registry, "q21_waiting_supplier", spark))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q16_not_in_is_broadcast_anti(self, spark, registry):
+        plan = plan_of(q(registry, "q16_supplier_part_count", spark))
+        assert "LeftAnti" in plan
+        assert "BroadcastExchange" in plan
+
+    def test_chunk_dedup_windows_on_digest_no_python(self, spark, registry):
+        plan = plan_of(q(registry, "chunk_dedup", spark))
+        # the dedup window partitions by the md5 digest, not the block body
+        assert "md5" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_dup_ngram_coverage_udf_free(self, spark, registry):
+        plan = plan_of(q(registry, "dup_ngram_coverage", spark))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_tfidf_df_side_broadcasts(self, spark, registry):
+        plan = plan_of(q(registry, "tfidf_top_terms", spark))
+        # the vocabulary-sized df aggregate must broadcast back onto tf —
+        # a shuffle join here re-shuffles the corpus-scale tf side
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_kmeans_assignment_is_arrow_batched_no_join(self, spark, registry):
+        plan = plan_of(q(registry, "embedding_kmeans", spark))
+        # assignment is an Arrow-batched map stage (no per-row Python, no
+        # centroid join materialized into the row plan)
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
