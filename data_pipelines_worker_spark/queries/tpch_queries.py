@@ -843,13 +843,24 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers kept waiting): the only supplier who
-    shipped late on a multi-supplier finalized order — one EXISTS and one
-    NOT EXISTS against the same fact table. "Late" adapts the missing
-    receipt/commit dates to l_shipdate > o_orderdate + 90 days. Plan:
-    the late set is computed once and reused for both the probe side and
-    the NOT EXISTS side (semi/anti hash joins on the order key, all three
-    legs co-partitioned on l_orderkey so AQE coalesces into one exchange
-    lineage); supplier broadcasts; top-20 by count with s_name tie-break."""
+    shipped late on a multi-supplier finalized order — the reference's
+    EXISTS + NOT EXISTS against the same fact table. "Late" adapts the
+    missing receipt/commit dates to l_shipdate > o_orderdate + 90 days.
+
+    The two correlated existence tests decorrelate to per-order distinct-
+    supplier counts instead of literal semi/anti self-joins:
+    EXISTS(other supplier) ⇔ n_supp ≥ 2 and NOT EXISTS(other late
+    supplier) ⇔ n_late_supp = 1 — row multiplicities preserved exactly
+    (both rewrites condition each late row, as semi/anti would). The
+    naive semi/anti form puts a corpus-sized distinct (every (order,
+    supplier) pair) on the build side; at 10× data the optimizer still
+    chose to broadcast it — a driver-collected multi-million-row hash
+    table, 32.6 s wall (tools/scale_probe.py, SCALING.md round-4 table).
+    This form shuffles three aggregates on the same order key — AQE-
+    coalesced, nothing corpus-sized ever broadcast — re-measured 10.1 s
+    at 10× (3.2× better; the exact per-order distinct-supplier count over
+    the full fact table is the irreducible linear cost). Supplier dim
+    broadcasts; top-20 by count with s_name tie-break."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -861,22 +872,18 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    li2 = li.select("l_orderkey", "l_suppkey").distinct()
-    l1, l2, l3 = late.alias("l1"), li2.alias("l2"), late.alias("l3")
+    n_supp = li.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy(F.col("l_orderkey").alias("b_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     kept = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+        late.join(n_supp, F.col("l_orderkey") == F.col("a_orderkey"))
+        .where(F.col("n_supp") >= 2)
+        .join(n_late, F.col("l_orderkey") == F.col("b_orderkey"))
+        .where(F.col("n_late_supp") == 1)
     )
     return (
         kept.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

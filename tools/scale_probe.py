@@ -1,0 +1,112 @@
+"""Empirical scale probe: build an N× replica of an sf dir by unioning
+key-shifted copies (joins/groupings stay within a replica — independent
+shards, the realistic scale-up shape), then time queries warm at 1× and
+N× and print the growth ratios.
+
+This is the committed form of the round-3 inline probe that produced
+SCALING.md (and caught the semantic_dedup fixed-cell quadratic). Usage::
+
+    python tools/scale_probe.py [n_copies] [query ...]
+
+Replica caveat (same as round 3): text/embedding payloads repeat across
+copies, which raises duplicate density N× — dedup-family verify stages
+are stressed *harder* than organic data would stress them, so their
+superlinear ratios are a data artifact with a documented cost model, not
+a plan defect.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STRIDE = 10_000_000
+
+#: integer key columns shifted per replica so joins stay replica-local
+_SHIFT = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_replica(spark, src_dir: str, out_dir: str, n_copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    for table, keys in _SHIFT.items():
+        src = os.path.join(src_dir, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        base = spark.read.parquet(src)
+        parts = []
+        for r in range(n_copies):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(r * STRIDE))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+
+
+def time_warm(spark, fn, sf_dir: str) -> tuple[float, float]:
+    """(cold, warm) seconds via noop write — bench.py's protocol."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cold = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return cold, time.perf_counter() - t1
+
+
+def main() -> int:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:]
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = os.environ.get("SPARK_GRAFT_PROBE_DIR", f"/tmp/sf_probe_{n_copies}x")
+
+    from data_pipelines_worker_spark.queries import load_all
+    from data_pipelines_worker_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    registry = load_all()
+    if not names:
+        names = sorted(registry)
+
+    marker = os.path.join(out, ".complete")
+    if not os.path.exists(marker):
+        print(f"building {n_copies}x replica of {src} at {out} ...", flush=True)
+        build_replica(spark, src, out, n_copies)
+        open(marker, "w").close()
+
+    print(f"{'query':32s} {'1x s':>8s} {f'{n_copies}x s':>8s} {'ratio':>6s}", flush=True)
+    for name in names:
+        if name not in registry:
+            print(f"{name:32s} (unknown)", flush=True)
+            continue
+        fn, _ = registry[name]
+        try:
+            _, w1 = time_warm(spark, fn, src)
+            _, wN = time_warm(spark, fn, out)
+            print(
+                f"{name:32s} {w1:8.2f} {wN:8.2f} {wN / max(w1, 1e-9):5.1f}x",
+                flush=True,
+            )
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:32s} FAILED: {str(ex)[:120]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
