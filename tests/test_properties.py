@@ -240,3 +240,69 @@ class TestCurationProperties:
             run += t
             want[i] = pid
         assert got == want
+
+
+class TestRound4KernelProperties:
+    """Model-based checks for the round-4 sub-document dedup kernels:
+    the Spark results must equal an independent pure-Python model on
+    arbitrary word soups."""
+
+    WORDS = st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=45
+    )
+
+    @SPARK_FAST
+    @given(docs=st.lists(WORDS, min_size=1, max_size=8))
+    def test_block_dedup_matches_python_model(self, spark, docs):
+        from data_pipelines_worker_spark.operators import dedup
+        from data_pipelines_worker_spark.session import local_df
+
+        size = 4  # small blocks so multi-block docs are common
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = local_df(spark, rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_blocks"], r["n_kept"])
+            for r in dedup.block_dedup_stats(df, "doc_id", "text", size=size).collect()
+        }
+
+        seen: set[str] = set()
+        want: dict[int, tuple[int, int]] = {}
+        for i, ws in sorted(enumerate(docs)):
+            blocks = [
+                " ".join(ws[j : j + size]) for j in range(0, len(ws), size)
+            ]
+            kept = 0
+            for b in blocks:
+                if b not in seen:
+                    seen.add(b)
+                    kept += 1
+            want[i] = (len(blocks), kept)
+        assert got == want
+
+    @SPARK_FAST
+    @given(docs=st.lists(WORDS, min_size=1, max_size=8))
+    def test_dup_coverage_matches_python_model(self, spark, docs):
+        from collections import Counter
+
+        from data_pipelines_worker_spark.operators import dedup
+        from data_pipelines_worker_spark.session import local_df
+
+        n = 3
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = local_df(spark, rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_pos"])
+            for r in dedup.dup_ngram_coverage(df, "doc_id", "text", n=n).collect()
+        }
+
+        grams = {
+            i: [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            for i, ws in enumerate(docs)
+        }
+        counts = Counter(g for gs in grams.values() for g in gs)
+        want = {
+            i: (len(gs), sum(1 for g in gs if counts[g] > 1))
+            for i, gs in grams.items()
+            if gs
+        }
+        assert got == want
