@@ -75,3 +75,70 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- sub-document (block) streaming dedup — round 4 -------------------------
+
+_BLK_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("blk_idx", LongType()),
+        StructField("block_hash", LongType()),
+    ]
+)
+_BLK_STATE = StructType([StructField("seen", LongType())])
+
+
+def _first_block(
+    key: Tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        for _ in batches:
+            pass
+        return
+    best = None
+    for pdf in batches:
+        head = pdf[["doc_id", "blk_idx"]].sort_values(["doc_id", "blk_idx"]).iloc[0]
+        cand = (int(head["doc_id"]), int(head["blk_idx"]))
+        best = cand if best is None or cand < best else best
+    if best is None:
+        return
+    state.update((1,))
+    yield pd.DataFrame(
+        {"doc_id": [best[0]], "blk_idx": [best[1]], "block_hash": [int(key[0])]}
+    )
+
+
+def block_dedup_stream(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", size: int = 20
+) -> DataFrame:
+    """Streaming face of :func:`..operators.dedup.block_dedup_stats`'s
+    decision: per aligned word block, only the first corpus-wide
+    occurrence survives. Emits (doc_id, blk_idx, block_hash) for
+    surviving blocks; the survivor within one trigger is the
+    lexicographically least (doc_id, blk_idx) — the batch operator's
+    canonical choice — and across triggers the first trigger wins.
+
+    Same state discipline as :func:`dedup_stream`: the shuffle key and
+    state key are the 8-byte ``xxhash64`` of the block (bodies never
+    enter the state store; the 64-bit collision caveat and its offline
+    re-verification note apply unchanged). State is one entry per
+    distinct block — the streaming analogue of the batch digest window."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    from ..operators.curation import explode_word_blocks
+
+    b = explode_word_blocks(base, "doc_id", "text", size)
+    hashed = b.select(
+        "doc_id", "blk_idx", F.xxhash64(F.col("blk")).alias("block_hash")
+    )
+    return hashed.groupBy("block_hash").applyInPandasWithState(
+        _first_block,
+        outputStructType=_BLK_OUT,
+        stateStructType=_BLK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

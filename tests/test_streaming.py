@@ -387,3 +387,41 @@ def test_stage_store_sink_idempotent_and_batch_parity(spark, tmp_path, sf_dir):
     )
     again = stage_store.read_stage(spark, root, "ingest", "p1", "corpus")
     assert again.count() == len(got)
+
+
+def test_block_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
+    # streaming first-seen block dedup ≡ the batch digest-window decision
+    from pyspark.sql import Window as W
+    from data_pipelines_worker_spark.operators.curation import explode_word_blocks
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.dedup import block_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    blocks = explode_word_blocks(docs, "doc_id", "text", 20)
+    w = W.partitionBy(F.xxhash64(F.col("blk"))).orderBy("doc_id", "blk_idx")
+    batch_kept = {
+        (r["doc_id"], r["blk_idx"])
+        for r in blocks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+
+    src = tmp_path / "docs_blk_stream"
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        block_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("blk_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.blk_idx)
+            for r in spark.sql("SELECT doc_id, blk_idx FROM blk_dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch_kept
