@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = (
     "q21_waiting_supplier",
     "chunk_dedup",
     "dup_ngram_coverage",
+    "dup_span_removal",
     "tfidf_top_terms",
     "embedding_kmeans",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)

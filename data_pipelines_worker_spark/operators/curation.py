@@ -280,3 +280,19 @@ def explode_word_blocks(df, id_col: str, text_col: str, size: int = BLOCK_WORDS)
     )
     blk = F.concat_ws(" ", F.slice(F.col("_ws"), F.col("blk_idx") * size + 1, size))
     return ex.select(id_col, F.col("blk_idx").cast("long").alias("blk_idx"), blk.alias("blk"))
+
+
+def explode_ngrams_pos(df, id_col: str, text_col: str, n: int, out: str = "gram"):
+    """One row per word n-gram *with its 1-based word position* — the
+    positional variant of :func:`explode_ngrams` (same codegen shape:
+    shifted ``slice`` views zipped positionally, ``posexplode``, then
+    ``concat_ws`` — no interpreted lambdas). Returns (id, pos, gram) with
+    pos ∈ [1, len(words) − n + 1], matching DuckDB ``generate_series``.
+    Used by the duplicate-span removal accounting in
+    :func:`..operators.dedup.dup_span_removal`."""
+    ws = F.split(F.col(text_col), " ", -1)
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))  # 0 grams when len < n
+    parts = [F.slice(ws, i + 1, m).alias(f"w{i}") for i in range(n)]
+    ex = df.select(id_col, F.posexplode(F.arrays_zip(*parts)).alias("_p", "_g"))
+    gram = F.concat_ws(" ", *[F.col(f"_g.w{i}") for i in range(n)])
+    return ex.select(id_col, (F.col("_p") + 1).alias("pos"), gram.alias(out))

@@ -393,3 +393,55 @@ def dup_ngram_coverage(df: DataFrame, id_col: str, text_col: str, n: int = 8) ->
             (dup.cast("double") / F.count("*")).alias("dup_frac"),
         )
     )
+
+
+def dup_span_removal(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Exact-substring-dedup *removal accounting* (the second half of the
+    Lee et al. 2021 move): treating every corpus-duplicated word n-gram
+    as a span [pos, pos+n), how many of each document's tokens sit inside
+    the union of duplicated spans — i.e., what span-removal dedup would
+    actually delete.
+
+    The span union is the classic sorted-interval sweep as a window: with
+    spans ordered by start, each contributes
+    ``max(0, end − max(prev_max_end, start))`` tokens, where
+    ``prev_max_end`` is the running max of span ends over preceding rows
+    — one window per doc, exact integers, engine-portable.
+
+    Scale shape: same (doc_id, digest, pos) shuffle as
+    :func:`dup_ngram_coverage` (~44 bytes per position) plus one per-doc
+    window; the sweep state is a single running max. Returns (id,
+    n_tokens, n_dup_tokens, keep_frac) for docs with ≥1 n-gram."""
+    from pyspark.sql import Window as W
+
+    from .curation import explode_ngrams_pos
+
+    g = explode_ngrams_pos(df, id_col, text_col, n)
+    gd = g.select(id_col, "pos", F.md5(F.col("gram")).alias("gd"))
+    marked = gd.withColumn("c", F.count("*").over(W.partitionBy("gd"))).where(
+        F.col("c") > 1
+    )
+    wp = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + n).over(wp)
+    add = F.greatest(
+        F.lit(0),
+        (F.col("pos") + n) - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+    )
+    removed = marked.withColumn("add", add).groupBy(id_col).agg(
+        F.sum("add").alias("n_dup_tokens")
+    )
+    totals = df.select(
+        id_col, F.size(F.split(F.col(text_col), " ", -1)).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") >= n)
+    return (
+        totals.join(removed, id_col, "left")
+        .withColumn("n_dup_tokens", F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long"))
+        .withColumn(
+            "keep_frac",
+            (F.col("n_tokens") - F.col("n_dup_tokens")).cast("double") / F.col("n_tokens"),
+        )
+    )

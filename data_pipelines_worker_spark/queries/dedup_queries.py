@@ -207,3 +207,54 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..operators.dedup.dup_ngram_coverage`."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dup_ngram_coverage(docs, "doc_id", "text", n=8)
+
+
+_SPAN_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+  FROM t WHERE len(ws) >= 8
+),
+gd AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(ws, pos, pos + 7), ' ')) AS gdg
+  FROM g
+),
+m AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gdg) AS c FROM gd
+  ) WHERE c > 1
+),
+sw AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM m
+),
+rem AS (
+  SELECT doc_id,
+         sum(greatest(0, (pos + 8) - greatest(coalesce(prev_end, pos), pos)))
+           AS n_dup_tokens
+  FROM sw GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t WHERE len(ws) >= 8
+)
+SELECT tot.doc_id, tot.n_tokens,
+       CAST(coalesce(rem.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(tot.n_tokens - coalesce(rem.n_dup_tokens, 0) AS DOUBLE) / tot.n_tokens
+         AS keep_frac
+FROM tot LEFT JOIN rem USING (doc_id)
+"""
+
+
+@register("dup_span_removal", _SPAN_ORACLE)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup removal accounting (Lee et al. 2021, second
+    half): tokens inside the union of corpus-duplicated 8-gram spans —
+    what span-removal dedup would actually delete per document. The span
+    union is a sorted-interval sweep as one window per doc; see
+    :func:`..operators.dedup.dup_span_removal`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_removal(docs, "doc_id", "text", n=8)

@@ -306,3 +306,34 @@ class TestRound4KernelProperties:
             if gs
         }
         assert got == want
+
+    @SPARK_FAST
+    @given(docs=st.lists(WORDS, min_size=1, max_size=8))
+    def test_span_removal_matches_python_model(self, spark, docs):
+        from collections import Counter
+
+        from data_pipelines_worker_spark.operators import dedup
+        from data_pipelines_worker_spark.session import local_df
+
+        n = 3
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = local_df(spark, rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"])
+            for r in dedup.dup_span_removal(df, "doc_id", "text", n=n).collect()
+        }
+
+        grams = {
+            i: [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            for i, ws in enumerate(docs)
+            if len(ws) >= n
+        }
+        counts = Counter(g for gs in grams.values() for g in gs)
+        want = {}
+        for i, gs in grams.items():
+            covered: set[int] = set()
+            for pos0, g in enumerate(gs):
+                if counts[g] > 1:
+                    covered.update(range(pos0, pos0 + n))
+            want[i] = (len(docs[i]), len(covered))
+        assert got == want
