@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "dup_span_removal",
     "tfidf_top_terms",
     "embedding_kmeans",
+    "ppl_bucket_mixture",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)
     "agg_distinct",
     "ann_cosine_topk",

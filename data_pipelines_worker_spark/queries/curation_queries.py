@@ -571,3 +571,76 @@ def q_corpus_final_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ta.token_count_regex(F.col("text"))).alias("n_tokens"),
         )
     )
+
+
+# --- CCNet-style LM-score bucketing (round 4) ------------------------------
+
+_PPL_BUCKET_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+score AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         sum(c) AS familiarity
+  FROM g JOIN cnt USING (gram)
+  GROUP BY doc_id
+),
+s2 AS (
+  SELECT d.source, s.doc_id, s.n_bigrams, s.familiarity,
+         ntile(3) OVER (
+           PARTITION BY d.source
+           ORDER BY CAST(s.familiarity AS DOUBLE) / s.n_bigrams DESC, s.doc_id
+         ) AS bucket
+  FROM score s JOIN documents d USING (doc_id)
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(familiarity) AS BIGINT) AS sum_familiarity,
+       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams
+FROM s2 GROUP BY source, bucket
+"""
+
+
+@register("ppl_bucket_mixture", _PPL_BUCKET_ORACLE)
+def q_ppl_bucket_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: documents ranked per source by their
+    LM familiarity rate (the lm_bigram_score signal per bigram — the
+    integer-exact stand-in for perplexity) and split into head/middle/tail
+    thirds with ntile(3); output is the per-(source, bucket) mixture table
+    a pipeline uses to oversample the head. The rank order is the single
+    IEEE division familiarity/n_bigrams with doc_id tie-break, so the
+    ntile cut is deterministic on any engine.
+
+    Scale shape: the LM build+score reuses lm_bigram_score's two-pass
+    explode (map-side-combined count join); the source attachment is one
+    co-keyed equi join on doc_id; the ntile window shuffles (doc_id,
+    2 ints) per source — bytes-scale rows, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = cu.explode_ngrams(docs, "doc_id", "text", 2)
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    score = (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("c").alias("familiarity"))
+    )
+    s2 = score.join(docs.select("doc_id", "source"), "doc_id")
+    w = W.partitionBy("source").orderBy(
+        (F.col("familiarity").cast("double") / F.col("n_bigrams")).desc(),
+        F.asc("doc_id"),
+    )
+    return (
+        s2.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("familiarity").alias("sum_familiarity"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+        )
+    )
