@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = (
     "tfidf_top_terms",
     "embedding_kmeans",
     "ppl_bucket_mixture",
+    "bpe_train_merges",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)
     "agg_distinct",
     "ann_cosine_topk",

@@ -246,3 +246,73 @@ def bpe_count_udf():
         return pd.Series(out, dtype="int64")
 
     return _count
+
+
+def bpe_train_merges(docs, n_merges: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """BPE merge-rule *training* (Sennrich et al. 2016), the iterative
+    counterpart of :func:`bpe_tokenize_count`'s vocabulary application:
+    count adjacent symbol pairs over the frequency-weighted word vocabulary,
+    merge the most frequent pair (ties → lexicographically first), re-segment,
+    repeat. Returns one row per learned rule: (rank, pair, cnt).
+
+    Determinism contract (the kmeans pattern): pair counts are exact
+    integer sums; the argmax orders by (count desc, pair asc); merge
+    application is SQL ``replace`` on the space-delimited segmentation —
+    left-to-right non-overlapping, identical in the JVM and DuckDB, and
+    the boundary-space trick (`' '||seg||' '`) pins whole-symbol matches.
+    ``replace`` is applied twice per rule: a match consumes its trailing
+    delimiter space, so a run "a b a b" merges only alternate occurrences
+    in one pass; skipped occurrences are never adjacent to each other
+    (each sits right after a match), so the second identical pass merges
+    exactly the leftovers — equal to BPE's greedy left-to-right
+    application, engine-for-engine.
+
+    Scale shape: everything after the first aggregation is
+    vocabulary-bounded, not corpus-bounded — word counts partial-combine
+    map-side, segmentation updates are map stages over the vocab table,
+    and each iteration ships exactly one (pair, count) row to the control
+    plane. n_merges is a constant (real trainings run the same loop 30k
+    times on the same vocab-sized table)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..session import local_df
+
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("n"))
+    seg = F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    cur = vocab.select("word", "n", seg.alias("seg")).persist()
+
+    rules = []
+    for _ in range(n_merges):
+        sym = F.split(F.col("seg"), " ", -1)
+        m = F.greatest(F.size(sym) - 1, F.lit(0))
+        a = F.slice(sym, 1, m)
+        b = F.slice(sym, 2, m)
+        ex = cur.select("n", F.explode(F.arrays_zip(a.alias("a"), b.alias("b"))).alias("p"))
+        pair = F.concat_ws(" ", F.col("p.a"), F.col("p.b"))
+        best = (
+            ex.groupBy(pair.alias("pair"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        rules.append((len(rules) + 1, best["pair"], int(best["c"])))
+        merged = best["pair"].replace(" ", "")
+        pat, rep = F.lit(f" {best['pair']} "), F.lit(f" {merged} ")
+        once = F.replace(F.concat(F.lit(" "), F.col("seg"), F.lit(" ")), pat, rep)
+        nxt = cur.select(
+            "word",
+            "n",
+            F.trim(F.replace(once, pat, rep)).alias("seg"),
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return local_df(
+        docs.sparkSession,
+        rules,
+        "rank long, pair string, cnt long",
+    )

@@ -360,3 +360,54 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "df")
     )
+
+
+# --- BPE merge training (round 4) ------------------------------------------
+
+def _bpe_train_oracle(n_merges: int = 3) -> str:
+    stages = [
+        """
+w AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+s0 AS (SELECT word, n, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        stages.append(f"""
+p{i} AS (
+  SELECT sym[j] || ' ' || sym[j + 1] AS pair, sum(n) AS c
+  FROM (SELECT n, string_split(seg, ' ') AS sym FROM s{i - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS j) g
+  GROUP BY pair
+),
+b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+s{i} AS (
+  SELECT word, n,
+         trim(replace(
+           replace(' ' || seg || ' ',
+                   ' ' || (SELECT pair FROM b{i}) || ' ',
+                   ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '),
+           ' ' || (SELECT pair FROM b{i}) || ' ',
+           ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' '))
+           AS seg
+  FROM s{i - 1}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, pair, CAST(c AS BIGINT) AS cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(stages) + "\n" + unions
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of BPE merge-rule training over the corpus vocabulary,
+    value-hash-verified — like embedding_kmeans, an iterative algorithm
+    under the exact gate (integer pair counts, lexicographic tie-breaks,
+    engine-identical left-to-right replace). The DuckDB oracle unrolls the
+    three train steps as CTE stages. See
+    :func:`..operators.text_analysis.bpe_train_merges`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.bpe_train_merges(docs, n_merges=3)

@@ -83,3 +83,28 @@ def test_bpe_udf_matches_python_kernel(spark):
         for r in df.withColumn("n", ta.bpe_count_udf()(F.col("word"))).collect()
     }
     assert got == {w: ta.bpe_tokenize_count(w) for w in words}
+
+
+def test_bpe_train_merges_tiny_corpus(spark):
+    # corpus: "abab abab ab" -> vocab {abab:2, ab:1}
+    # chars pairs weighted: (a b): abab has 2 occurrences*2 + ab 1 = 5
+    #                       (b a): abab 1 pair * 2 = 2
+    # merge 1 = "a b" (5); re-seg: abab -> "ab ab", ab -> "ab"
+    # merge 2 pairs: (ab ab): 2 -> merge "ab ab" (2)
+    from data_pipelines_worker_spark.operators.text_analysis import bpe_train_merges
+    from data_pipelines_worker_spark.session import local_df
+
+    docs = local_df(spark, [(1, "abab abab ab")], "doc_id long, text string")
+    rules = {r["rank"]: (r["pair"], r["cnt"]) for r in bpe_train_merges(docs, 2).collect()}
+    assert rules[1] == ("a b", 5)
+    assert rules[2] == ("ab ab", 2)
+
+
+def test_bpe_train_merges_deterministic_across_partitioning(spark, sf_dir):
+    from data_pipelines_worker_spark.operators.text_analysis import bpe_train_merges
+    from data_pipelines_worker_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = [tuple(r) for r in bpe_train_merges(docs, 3).collect()]
+    b = [tuple(r) for r in bpe_train_merges(docs.repartition(7), 3).collect()]
+    assert a == b and len(a) == 3
