@@ -128,11 +128,16 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if failed:
-        line["failed"] = failed
+        # the failed list is unbounded (a broken session can fail ~all
+        # queries); keep a count + a sample so the line stays parseable
+        line["n_failed"] = len(failed)
+        line["failed"] = failed[:8]
     out = json.dumps(line)
     # Hard guard: the driver keeps only a ~2,000-char stdout tail.
     if len(out) > 1500:
         line["queries"] = dict(list(slowest.items())[:5])
+        if failed:
+            line["failed"] = failed[:3]
         out = json.dumps(line)
     print(out)
 

@@ -84,6 +84,8 @@ class PipelineService:
         #: permanently-failing restart must reach a terminal error state
         #: instead of retrying on every decision batch forever)
         self._restart_failures: dict[str, int] = {}
+        self._deliver_failures: dict[str, int] = {}
+        self._delivery_errors: dict[str, str] = {}
         self._decision_stream = None
         if decisions_dir:
             self.start_decision_stream(decisions_dir)
@@ -250,19 +252,47 @@ class PipelineService:
         t.start()
         return processing_id
 
+    #: delivery-failure policy (mirrors the restart policy): a pending
+    #: run's review message IS the only path to a decision, so a failed
+    #: delivery schedules its own backoff retries instead of waiting for
+    #: a decision batch that can never arrive
+    MAX_DELIVER_FAILURES = 5
+    DELIVER_BACKOFF_BASE_S = 2.0
+
     def _deliver_sinks(self, spec: PipelineSpec, processing_id: str) -> None:
         """Push this run's Telegram sink records through the transport
         (no-op without one). Delivery failures surface via the status API
-        but never fail or re-run the pipeline itself — the sink stage is
-        durable, so delivery can be retried on the next park/complete."""
+        and schedule their own deferred retries with exponential backoff —
+        the sink stage is durable and the transport is idempotent per
+        (processing, block, index), so retrying is always safe. Without a
+        retry path, one transient transport failure on a ModerationPending
+        run would strand it forever (the approve/decline buttons never
+        reach the chat, so the decision that re-drives delivery never
+        comes)."""
         if self.transport is None:
             return
         try:
             self.transport.deliver_processing(self.runner, spec, processing_id)
+            self._deliver_failures.pop(processing_id, None)
+            self._delivery_errors.pop(processing_id, None)
         except Exception as e:  # noqa: BLE001
-            self._errors.setdefault(
-                processing_id, f"transport delivery failed: {type(e).__name__}: {e}"
-            )
+            n = self._deliver_failures.get(processing_id, 0) + 1
+            self._deliver_failures[processing_id] = n
+            msg = f"transport delivery failed (attempt {n}): {type(e).__name__}: {e}"
+            # never clobber the ModerationPending status (it routes the
+            # decision stream); park the delivery error beside it instead
+            if processing_id in self._errors:
+                self._delivery_errors[processing_id] = msg
+            else:
+                self._errors[processing_id] = msg
+            if n < self.MAX_DELIVER_FAILURES:
+                timer = threading.Timer(
+                    self.DELIVER_BACKOFF_BASE_S * (2 ** (n - 1)),
+                    self._deliver_sinks,
+                    args=(spec, processing_id),
+                )
+                timer.daemon = True
+                timer.start()
 
     def wait(self, processing_id: str, timeout: float | None = None) -> bool:
         t = self._threads.get(processing_id)
@@ -297,6 +327,7 @@ class PipelineService:
                     "running": not self.wait(pid, timeout=0.0),
                     "stopped_at": rows[0]["stopped_at"] if rows else None,
                     "error": self._errors.get(pid),
+                    "delivery_error": self._delivery_errors.get(pid),
                     "blocks": blocks,
                 }
             )

@@ -68,6 +68,20 @@ def ngrams(words: Column, n: int) -> Column:
     )
 
 
+def _ngram_zip(text_col: str, n: int):
+    """The shared codegen n-gram construction: n shifted ``slice`` views
+    of the word array zipped positionally (``arrays_zip``). Both exploded
+    forms below build on this so a change to the gram construction can
+    never apply to one and silently miss the other."""
+    ws = F.split(F.col(text_col), " ", -1)
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))  # 0 grams when len < n
+    return F.arrays_zip(*[F.slice(ws, i + 1, m).alias(f"w{i}") for i in range(n)])
+
+
+def _gram_from_zip(n: int):
+    return F.concat_ws(" ", *[F.col(f"_g.w{i}") for i in range(n)])
+
+
 def explode_ngrams(df, id_col: str, text_col: str, n: int, out: str = "gram"):
     """One row per word n-gram of each document — the codegen n-gram path.
 
@@ -77,12 +91,8 @@ def explode_ngrams(df, id_col: str, text_col: str, n: int, out: str = "gram"):
     ``slice`` views zipped positionally (``arrays_zip``), exploded, then
     ``concat_ws`` over the struct fields. Same grams, JVM speed
     (2-gram construction over 5k docs: 2.4 s → 0.1 s)."""
-    ws = F.split(F.col(text_col), " ", -1)
-    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))  # 0 grams when len < n
-    parts = [F.slice(ws, i + 1, m).alias(f"w{i}") for i in range(n)]
-    ex = df.select(id_col, F.explode(F.arrays_zip(*parts)).alias("_g"))
-    gram = F.concat_ws(" ", *[F.col(f"_g.w{i}") for i in range(n)])
-    return ex.select(id_col, gram.alias(out))
+    ex = df.select(id_col, F.explode(_ngram_zip(text_col, n)).alias("_g"))
+    return ex.select(id_col, _gram_from_zip(n).alias(out))
 
 
 def top_count(items: Column) -> Column:
@@ -284,15 +294,10 @@ def explode_word_blocks(df, id_col: str, text_col: str, size: int = BLOCK_WORDS)
 
 def explode_ngrams_pos(df, id_col: str, text_col: str, n: int, out: str = "gram"):
     """One row per word n-gram *with its 1-based word position* — the
-    positional variant of :func:`explode_ngrams` (same codegen shape:
-    shifted ``slice`` views zipped positionally, ``posexplode``, then
-    ``concat_ws`` — no interpreted lambdas). Returns (id, pos, gram) with
-    pos ∈ [1, len(words) − n + 1], matching DuckDB ``generate_series``.
-    Used by the duplicate-span removal accounting in
-    :func:`..operators.dedup.dup_span_removal`."""
-    ws = F.split(F.col(text_col), " ", -1)
-    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))  # 0 grams when len < n
-    parts = [F.slice(ws, i + 1, m).alias(f"w{i}") for i in range(n)]
-    ex = df.select(id_col, F.posexplode(F.arrays_zip(*parts)).alias("_p", "_g"))
-    gram = F.concat_ws(" ", *[F.col(f"_g.w{i}") for i in range(n)])
-    return ex.select(id_col, (F.col("_p") + 1).alias("pos"), gram.alias(out))
+    positional variant of :func:`explode_ngrams` (same shared
+    :func:`_ngram_zip` construction, ``posexplode`` instead of
+    ``explode``). Returns (id, pos, gram) with pos ∈ [1, len(words) − n
+    + 1], matching DuckDB ``generate_series``. Used by the duplicate-span
+    removal accounting in :func:`..operators.dedup.dup_span_removal`."""
+    ex = df.select(id_col, F.posexplode(_ngram_zip(text_col, n)).alias("_p", "_g"))
+    return ex.select(id_col, (F.col("_p") + 1).alias("pos"), _gram_from_zip(n).alias(out))

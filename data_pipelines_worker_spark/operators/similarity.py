@@ -841,6 +841,11 @@ def kmeans_int_assignments(
             [[by_cl[cl][p] for p in range(len(by_cl[cl]))] for cl in cl_ids],
             dtype=np.int64,
         )
+    # the cache earned its keep across the iteration collects; release it
+    # rather than pin a full quantized copy of the table for the session
+    # lifetime (the final assignment re-runs the stateless to_int map once
+    # when the caller materializes — one Arrow stage, the cheaper trade)
+    ib.unpersist()
     return assigned.select(
         F.col("item_id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
     )

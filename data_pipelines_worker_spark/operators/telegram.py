@@ -47,7 +47,10 @@ from dataclasses import dataclass, field
 from .external import DEFAULT_TIMEOUT, RetryPolicy, fetch
 
 #: callback-data action codes (block_fetch_moderation_telegram.go:57-66)
-ACTION_CODES = {"a": "approve", "d": "decline", "r": "regenerate"}
+# callback short forms: the single source of truth lives beside the
+# decision gate (streaming/moderation.py) so the poller and the gate
+# can never disagree on which callbacks are valid
+from ..streaming.moderation import SHORT_FORMS as ACTION_CODES
 
 
 def generate_message(text: str, processing_id: str, block_slug: str, index: int) -> str:
@@ -232,6 +235,14 @@ class TelegramTransport:
         self._lock = threading.Lock()
         self.sent: list[dict] = []  # delivery log (message ids, for status)
 
+    def _chat_for(self, record: dict):
+        """Record-level group_id wins, but the validation layer's default
+        is the *string* "0" (plans/validation.py) — treat "0"/0/empty as
+        unset so the transport-configured chat is not shadowed by the
+        placeholder default."""
+        g = record.get("group_id")
+        return self.group_id if g in (None, "", 0, "0") else g
+
     # -- stage scanning ----------------------------------------------------
 
     def deliver_processing(self, runner, spec, processing_id: str) -> int:
@@ -254,13 +265,22 @@ class TelegramTransport:
                 df.select("input_index", "payload_str").collect(),
                 key=lambda r: r.input_index,
             )
+            # claim undelivered keys before hauling media bytes to the
+            # driver: a parked run is re-driven on every decision batch,
+            # and re-collecting megabytes of payload_bin for an
+            # already-delivered block is pure waste
+            undelivered = []
+            with self._lock:
+                for r in rows:
+                    key = (processing_id, block.slug, r.input_index)
+                    if key not in self._delivered:
+                        self._delivered.add(key)
+                        undelivered.append(r)
+            if not undelivered:
+                continue
             media = self._bound_media(runner, spec, processing_id, block)
-            for r in rows:
+            for r in undelivered:
                 key = (processing_id, block.slug, r.input_index)
-                with self._lock:
-                    if key in self._delivered:
-                        continue
-                    self._delivered.add(key)
                 try:
                     record = json.loads(r.payload_str) if r.payload_str else {}
                     if block.id == "send_message_tg":
@@ -314,7 +334,7 @@ class TelegramTransport:
         caption = generate_message(
             record.get("text") or "", processing_id, block_slug, index
         )
-        chat = record.get("group_id") or self.group_id
+        chat = self._chat_for(record)
         m = media.get(index, {})
         if record.get("kind") == "photo" and "image" in m:
             try:
@@ -345,7 +365,7 @@ class TelegramTransport:
             record.get("data") or "", processing_id, gate_slug, index, regen
         )
         keyboard = _review_keyboard(index, with_regenerate=regen is not None)
-        chat = record.get("group_id") or self.group_id
+        chat = self._chat_for(record)
         m = media.get(index, {})
         if record.get("media") == "image" and "image" in m:
             try:
@@ -392,9 +412,15 @@ class ModerationPoller:
             updates = self.client.get_updates(
                 self._offset, self.limit, self.long_poll_timeout
             )
-            events = []
+            # Phase 1 — parse only. No offset advance, no ack bookkeeping:
+            # a human decision must be durably on disk before anything
+            # tells Telegram (or our own dedup set) that it was consumed.
+            # If the write below fails, every bit of poller state is
+            # untouched and the next sweep re-fetches the same updates.
+            max_id = self._offset
+            events, acks = [], []
             for upd in updates:
-                self._offset = max(self._offset, int(upd.get("update_id", 0)) + 1)
+                max_id = max(max_id, int(upd.get("update_id", 0)) + 1)
                 cq = upd.get("callback_query")
                 if not cq or cq.get("id") in self._acked:
                     continue
@@ -413,7 +439,6 @@ class ModerationPoller:
                     continue
                 if idx != review["index"]:
                     continue
-                self._acked.add(cq.get("id"))
                 action = ACTION_CODES[parts[0]]
                 self._seq += 1
                 events.append(
@@ -429,8 +454,23 @@ class ModerationPoller:
                         ),
                     }
                 )
-                # acknowledge like the reference: strip the keyboard, then
-                # answer the callback (:219-236); best-effort
+                acks.append((cq, msg))
+            # Phase 2 — durable write (atomic rename). Raises before any
+            # state change on failure.
+            if events:
+                fname = f"decisions-{uuid.uuid4().hex}.json"
+                tmp = os.path.join(self.decisions_dir, f".{fname}.tmp")
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(json.dumps(e) for e in events))
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.rename(tmp, os.path.join(self.decisions_dir, fname))
+                n += len(events)
+            # Phase 3 — only now acknowledge: strip keyboards + answer
+            # callbacks like the reference (:219-236, best-effort), mark
+            # the callback ids consumed, and advance the offset.
+            for cq, msg in acks:
+                self._acked.add(cq.get("id"))
                 try:
                     chat_id = (msg.get("chat") or {}).get("id")
                     if chat_id is not None and msg.get("message_id") is not None:
@@ -440,13 +480,7 @@ class ModerationPoller:
                     self.client.answer_callback_query(cq.get("id"))
                 except Exception:  # noqa: BLE001
                     pass
-            if events:
-                fname = f"decisions-{uuid.uuid4().hex}.json"
-                tmp = os.path.join(self.decisions_dir, f".{fname}.tmp")
-                with open(tmp, "w") as fh:
-                    fh.write("\n".join(json.dumps(e) for e in events))
-                os.rename(tmp, os.path.join(self.decisions_dir, fname))
-                n += len(events)
+            self._offset = max_id
             if len(updates) < self.limit:
                 return n
 

@@ -139,8 +139,13 @@ def fingerprint_rolling_udf():
 
     @pandas_udf(LongType())
     def fp_rolling(words: pd.Series) -> pd.Series:
-        out = np.empty(len(words), dtype=np.int64)
+        out = np.empty(len(words), dtype=object)
         for i, ws in enumerate(words):
+            if ws is None:
+                # NULL text -> NULL fingerprint, matching the codegen
+                # F.aggregate form this UDF replaced (split(NULL) is NULL)
+                out[i] = None
+                continue
             n = len(ws)
             while len(pow31) < n:
                 pow31.append(pow31[-1] * 31 % MOD)

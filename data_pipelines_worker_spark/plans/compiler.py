@@ -236,7 +236,14 @@ def _op_send_moderation(params):
         if k in params:
             m = F.when(params[k].isNotNull(), F.lit(k))
             media = m if media is None else F.coalesce(media, m)
-    fields = [F.lit("moderation_request").alias("kind")]
+    gid = _p(params, "group_id")
+    fields = [
+        F.lit("moderation_request").alias("kind"),
+        # present only when the block actually configures a chat: to_json
+        # drops null fields, so unset/placeholder ("", "0") specs keep the
+        # historical record shape and the transport's default chat applies
+        F.when(~gid.cast("string").isin("", "0"), gid).alias("group_id"),
+    ]
     if data is not None:
         fields.append(data.cast("string").alias("data"))
     if media is not None:

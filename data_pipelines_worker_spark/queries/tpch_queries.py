@@ -568,14 +568,14 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     """
-    SELECT n_name AS nation, o_year, sum(profit_c) / 10000.0 AS sum_profit
+    SELECT n_name AS nation, o_year, sum(profit_c) / 100000.0 AS sum_profit
     FROM (
       SELECT n.n_name,
              CAST(year(make_timestamp(epoch_us(o.o_orderdate))) AS BIGINT) AS o_year,
              CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) * 10
              - CAST(round(l.l_quantity * 100) AS BIGINT)
-               * CAST(round(p.p_retailprice * 100) AS BIGINT) / 10 AS profit_c
+               * CAST(round(p.p_retailprice * 100) AS BIGINT) AS profit_c
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -589,8 +589,12 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation and year). The
     reference's cost term is ps_supplycost·l_quantity; without partsupp
-    the unit cost proxies as p_retailprice/10 (integer division of the
-    1e-4-unit product by 10 — exact, engine-portable). Plan: the part
+    the unit cost proxies as p_retailprice/10 — expressed entirely in
+    integer 1e-5 currency units (revenue term ×10, cost term as-is) so no
+    division ever happens before the output boundary: a /10 inside the
+    row expression is IEEE double division in both engines and a
+    truncating cast would diverge from the oracle's fractional double on
+    any data with non-integral quantities. Plan: the part
     name filter broadcasts (~250 rows of 2000), supplier+nation broadcast,
     and the one big-big shuffle is lineitem⋈orders on the order key; the
     profit expression is pure int64 codegen until the output divide."""
@@ -605,7 +609,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     profit_c = cents(F.col("l_extendedprice")) * cents(
         F.lit(1) - F.col("l_discount")
-    ) - (cents(F.col("l_quantity")) * cents(F.col("p_retailprice"))) / F.lit(10)
+    ) * 10 - cents(F.col("l_quantity")) * cents(F.col("p_retailprice"))
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -614,10 +618,10 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            profit_c.cast("long").alias("profit_c"),
+            profit_c.alias("profit_c"),
         )
         .groupBy("nation", "o_year")
-        .agg((F.sum("profit_c") / 10000.0).alias("sum_profit"))
+        .agg((F.sum("profit_c") / 100000.0).alias("sum_profit"))
     )
 
 

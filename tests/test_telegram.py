@@ -291,3 +291,85 @@ def test_moderation_e2e_through_transport(spark, tmp_path, mock_tg):
     finally:
         poller.stop()
         service.stop_decision_stream()
+
+
+def test_poller_write_failure_preserves_decisions(mock_tg, tmp_path):
+    # A decision must be durably on disk BEFORE the poller acks the
+    # callback or advances the GetUpdates offset — a failed write leaves
+    # every bit of poller state untouched, so the next sweep re-fetches
+    # and re-writes the same decision instead of losing it forever.
+    client = _client(mock_tg)
+    bad_dir = tmp_path / "not-there"  # missing: open() raises
+    poller = ModerationPoller(client, str(bad_dir))
+    review_text = generate_review_message("item 0", "pidY", "gate", 0)
+    mock_tg.press_button(
+        {"message_id": 9, "chat": {"id": 7}, "text": review_text}, "a", 0
+    )
+    offset_before = poller._offset
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        poller.poll_once()
+    # nothing acked, offset not advanced, no keyboard stripped
+    assert poller._offset == offset_before
+    assert not poller._acked
+    assert not mock_tg.acks
+    # once the directory exists the SAME update is re-fetched and lands
+    bad_dir.mkdir()
+    assert poller.poll_once() == 1
+    files = list(bad_dir.glob("*.json"))
+    assert len(files) == 1
+    assert json.loads(files[0].read_text())["action"] == "approve"
+
+
+def test_transport_chat_resolution_placeholder_default(mock_tg):
+    # the validation layer's group_id default is the string "0" — it must
+    # not shadow the transport-configured chat; a real record-level
+    # group_id must win over the transport default
+    client = _client(mock_tg)
+    transport = TelegramTransport(client, group_id=42)
+    assert transport._chat_for({"group_id": "0"}) == 42
+    assert transport._chat_for({}) == 42
+    assert transport._chat_for({"group_id": ""}) == 42
+    assert transport._chat_for({"group_id": "-100123"}) == "-100123"
+
+
+def test_delivery_failure_schedules_backoff_retry(mock_tg, tmp_path, spark):
+    # one transient transport failure on a pending run must not strand it:
+    # delivery retries on its own backoff timer and the review messages
+    # eventually reach the chat
+    from data_pipelines_worker_spark.api.server import PipelineService
+    from data_pipelines_worker_spark.plans.compiler import PipelineRunner
+    from tests.test_moderation_flow import _spec as moderated_spec
+
+    class FlakyTransport(TelegramTransport):
+        def __init__(self, client, fails):
+            super().__init__(client, group_id=42)
+            self.remaining_fails = fails
+
+        def deliver_processing(self, runner, spec, processing_id):
+            if self.remaining_fails > 0:
+                self.remaining_fails -= 1
+                raise ConnectionError("bot api down")
+            return super().deliver_processing(runner, spec, processing_id)
+
+    (tmp_path / "decisions").mkdir()
+    client = _client(mock_tg)
+    transport = FlakyTransport(client, fails=1)
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    service = PipelineService(
+        runner, {"moderated": moderated_spec()},
+        decisions_dir=str(tmp_path / "decisions"), transport=transport,
+    )
+    service.DELIVER_BACKOFF_BASE_S = 0.2
+    pid = service.start("moderated", request_input={"src": {"file": ["a", "b"]}})
+    assert service.wait(pid, 120.0)
+    # pending status survives the delivery failure (it routes decisions)
+    assert "pending" in (service._errors.get(pid) or "")
+    assert pid in service._delivery_errors
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if len([m for m in mock_tg.messages if m.get("reply_markup")]) == 2:
+            break
+        time.sleep(0.2)
+    assert len([m for m in mock_tg.messages if m.get("reply_markup")]) == 2

@@ -108,3 +108,20 @@ def test_bpe_train_merges_deterministic_across_partitioning(spark, sf_dir):
     a = [tuple(r) for r in bpe_train_merges(docs, 3).collect()]
     b = [tuple(r) for r in bpe_train_merges(docs.repartition(7), 3).collect()]
     assert a == b and len(a) == 3
+
+
+def test_fingerprint_rolling_udf_null_text(spark):
+    from pyspark.sql import functions as F
+    from data_pipelines_worker_spark.operators.text_analysis import fingerprint_rolling_udf
+    from data_pipelines_worker_spark.session import local_df
+
+    df = local_df(spark, [(1, "hello world"), (2, None)], "doc_id long, text string")
+    fp = fingerprint_rolling_udf()
+    rows = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", fp(F.split(F.col("text"), " ", -1)).alias("fp")
+        ).collect()
+    }
+    assert rows[1] is not None
+    assert rows[2] is None
