@@ -172,8 +172,11 @@ def test_flagship_approve_all(spark, tmp_path, server, client):
     text_mod = _stage(
         spark, runner, res, "send-event-text-moderation-to-telegram"
     ).first()
+    # the spec's configured chat rides the sink record so the transport
+    # can honor it (reference openai-yt-short-generation.json group_id)
     assert json.loads(text_mod.payload_str) == {
         "kind": "moderation_request",
+        "group_id": -4573786981,
         "data": STORY,
     }
     tts = _stage(spark, runner, res, "get-event-tts").first()
