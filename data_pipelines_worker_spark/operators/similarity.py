@@ -803,6 +803,12 @@ def kmeans_int_assignments(
     ib = base.withColumn("vi", to_int(F.col("v"))).select("item_id", "vi").persist()
 
     seed_rows = ib.orderBy("item_id").limit(k).collect()
+    if not seed_rows:
+        # empty input: empty assignment with the output schema intact
+        ib.unpersist()
+        from ..session import local_df
+
+        return local_df(items.sparkSession, [], f"{id_col} long, cluster long")
     C = np.array([r["vi"] for r in seed_rows], dtype=np.int64)
     cl_ids = np.arange(len(C), dtype=np.int64)
 

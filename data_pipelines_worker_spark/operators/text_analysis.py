@@ -297,13 +297,18 @@ def bpe_train_merges(docs, n_merges: int = 3, id_col: str = "doc_id", text_col: 
         b = F.slice(sym, 2, m)
         ex = cur.select("n", F.explode(F.arrays_zip(a.alias("a"), b.alias("b"))).alias("p"))
         pair = F.concat_ws(" ", F.col("p.a"), F.col("p.b"))
-        best = (
+        top = (
             ex.groupBy(pair.alias("pair"))
             .agg(F.sum("n").alias("c"))
             .orderBy(F.desc("c"), F.asc("pair"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # no adjacent pairs left (empty corpus, or every word already
+            # merged to a single symbol): stop early with fewer rules
+            break
+        best = top[0]
         rules.append((len(rules) + 1, best["pair"], int(best["c"])))
         merged = best["pair"].replace(" ", "")
         pat, rep = F.lit(f" {best['pair']} "), F.lit(f" {merged} ")

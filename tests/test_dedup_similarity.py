@@ -276,3 +276,12 @@ def test_kmeans_second_iteration_moves_centroids(spark, sf_dir):
     r2 = {r["vec_id"]: r["cluster"] for r in two.collect()}
     # Lloyd refinement reassigns at least one vector after the update
     assert r1 != r2
+
+
+def test_kmeans_empty_input_returns_empty(spark):
+    from data_pipelines_worker_spark.session import local_df
+
+    empty = local_df(spark, [], "vec_id long, embedding array<double>")
+    out = similarity.kmeans_int_assignments(empty, k=8, n_iter=2)
+    assert out.columns == ["vec_id", "cluster"]
+    assert out.count() == 0

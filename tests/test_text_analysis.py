@@ -125,3 +125,16 @@ def test_fingerprint_rolling_udf_null_text(spark):
     }
     assert rows[1] is not None
     assert rows[2] is None
+
+
+def test_bpe_train_stops_early_when_pairs_exhausted(spark):
+    # single-char words have no adjacent pairs: zero rules, no crash
+    from data_pipelines_worker_spark.operators.text_analysis import bpe_train_merges
+    from data_pipelines_worker_spark.session import local_df
+
+    docs = local_df(spark, [(1, "a b c")], "doc_id long, text string")
+    assert bpe_train_merges(docs, 3).count() == 0
+    # two-char words exhaust after one merge
+    docs2 = local_df(spark, [(1, "ab ab")], "doc_id long, text string")
+    rules = bpe_train_merges(docs2, 3).collect()
+    assert len(rules) == 1 and rules[0]["pair"] == "a b"
