@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = (
     "embedding_kmeans",
     "ppl_bucket_mixture",
     "bpe_train_merges",
+    "timeseries_resample",
+    "group_linreg",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)
     "agg_distinct",
     "ann_cosine_topk",

@@ -803,3 +803,168 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+# --- time-series resampling (round 4) --------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+bounds AS (
+  SELECT user_id, min(hour_idx) AS h0, max(hour_idx) AS h1 FROM e GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS hour_idx FROM bounds
+),
+hourly AS (
+  SELECT user_id, hour_idx,
+         count(*) AS n_events,
+         max({'ts_us': ts_us, 'event_id': event_id, 'value': value}) AS last_row
+  FROM e GROUP BY user_id, hour_idx
+)
+SELECT g.user_id, g.hour_idx,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       last_value(h.last_row.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ffill
+FROM grid g LEFT JOIN hourly h USING (user_id, hour_idx)
+"""
+
+
+@register("timeseries_resample", _RESAMPLE_ORACLE)
+def q_timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill — the upsample/gap-fill
+    move every time-series pipeline needs (metric dashboards, feature
+    grids for sequence models): per user, one row per hour between the
+    user's first and last event, carrying the hour's event count and the
+    last observed value at or before that hour.
+
+    Determinism: the grid key is the integer micro-epoch hour
+    (``unix_micros // 3.6e9`` — the window_functions lesson: never order
+    or join on raw engine-local timestamps); the per-hour "last" value
+    is the max of the (ts_us, event_id, value) struct (exact
+    lexicographic tie-break), and forward-fill copies raw doubles
+    without arithmetic, so the emitted floats are bit-identical on any
+    engine.
+
+    Scale shape: one (user, hour) partial-combined aggregate, a
+    per-user sequence explode (grid rows ≈ users × span-hours, generated
+    not stored), one co-keyed left join, one per-user ordered window for
+    the fill — state is a single running value per user."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long").alias("hour_idx"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_idx")
+    )
+    hourly = e.groupBy("user_id", "hour_idx").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.struct("ts_us", "event_id", "value")).alias("last_row"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour_idx"], "left")
+        .select(
+            "user_id",
+            "hour_idx",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.last(F.col("last_row.value"), ignorenulls=True)
+            .over(w)
+            .alias("value_ffill"),
+        )
+    )
+
+
+# --- grouped linear regression from exact integer moments (round 4) --------
+
+_LINREG_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM (
+    SELECT e.event_type,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) // 3600000000 - g.min_h AS x,
+           CAST(round(e.value * 100) AS BIGINT) AS y
+    FROM events e,
+         (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS min_h
+          FROM events) g
+  )
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n, sx, sy, sxx, syy, sxy,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+       (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n
+         AS intercept,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr
+FROM m
+"""
+
+
+@register("group_linreg", _LINREG_ORACLE)
+def q_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (value-cents against hours
+    since the corpus start) computed from *exact integer moments*: n, Σx,
+    Σy, Σx², Σy², Σxy are int64 sums (association-order-free), and slope/
+    intercept/Pearson-r derive from them with one fixed double expression
+    tree — every float op (convert, multiply, divide, sqrt) is IEEE
+    correctly-rounded on identical inputs, so even the derived doubles
+    hash-match across engines. The built-in ``regr_slope``/``corr``
+    aggregates stream float partial sums and are NOT portable — the
+    moment form is how distributed exact statistics are done.
+
+    x is re-based against the global min hour (broadcast 1-row aggregate)
+    so Σx² stays far inside int64 at any corpus size: span-bounded x,
+    not epoch-sized. One partial-combined aggregate over the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long")
+    gmin = ev.agg(F.min(hour).alias("min_h"))
+    base = ev.crossJoin(F.broadcast(gmin)).select(
+        "event_type",
+        (hour - F.col("min_h")).alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        slope.alias("slope"),
+        ((syd - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        (num / (F.sqrt(den) * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))))
+        .alias("corr"),
+    )
