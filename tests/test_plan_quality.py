@@ -423,3 +423,26 @@ class TestRound4Plans:
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_ppl_bucket_reuses_lm_aggregate_no_python(self, spark, registry):
+        plan = plan_of(q(registry, "ppl_bucket_mixture", spark))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_timeseries_resample_single_user_window(self, spark, registry):
+        # grid generation is a sequence explode, not a stored table; the
+        # fill is one window; no Python stage anywhere
+        plan = plan_of(q(registry, "timeseries_resample", spark))
+        assert "Generate explode" in plan or "Generate" in plan
+        assert plan.count("Window") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_group_linreg_single_aggregate_broadcast_min(self, spark, registry):
+        # one partial-combined aggregate over the scan; the global min
+        # hour rides a 1-row broadcast (decorrelated scalar), and the
+        # derived slope/corr are projection-level expressions
+        plan = plan_of(q(registry, "group_linreg", spark))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
