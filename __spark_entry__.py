@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = (
     "bpe_train_merges",
     "timeseries_resample",
     "group_linreg",
+    "dedup_graph_pagerank",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)
     "agg_distinct",
     "ann_cosine_topk",

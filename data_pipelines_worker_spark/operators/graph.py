@@ -97,3 +97,64 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+PR_SCALE = 1_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Integer-quantized PageRank over an undirected pair set — ranks
+    documents *within* near-dup clusters (the authority-based canonical
+    choice, vs connected_components' min-id choice). Hash-verifiable by
+    the same discipline as the k-means and BPE operators: ranks live in
+    integer ``scale`` units, per-edge contributions are
+    ``floor(rank / degree)`` (one IEEE division of exact integers +
+    floor), the damped update is
+    ``floor(0.15·scale) + floor(0.85 · Σ contrib)`` — every float op is a
+    correctly-rounded operation on exactly-representable integers, so
+    ``n_iter`` rounds produce identical ranks on any engine and any
+    partitioning.
+
+    Scale shape: each round is one join of the rank table onto the edge
+    list (both co-keyed on the node, AQE-coalesced) and one
+    partial-combined sum per destination; lineage is cut per round with
+    ``localCheckpoint`` (the connected_components hygiene). The symmetric
+    near-dup graph has no dangling nodes (every endpoint has degree ≥ 1),
+    so no dangling-mass term is needed.
+
+    Returns (node, deg, rank_int) for every node in ``edges``.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = deg.select(
+        F.col("s").alias("node"), "deg", F.lit(scale).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = F.floor(F.col("r").cast("double") / F.col("deg")).cast("long")
+        summed = (
+            sym.join(ranks, sym["s"] == ranks["node"])
+            .select(F.col("t"), contrib.alias("c"))
+            .groupBy("t")
+            .agg(F.sum("c").alias("sc"))
+        )
+        new_r = (
+            F.lit(base)
+            + F.floor(F.lit(damping_pct / 100.0) * F.col("sc")).cast("long")
+        ).cast("long")
+        ranks = (
+            deg.join(summed, deg["s"] == summed["t"])
+            .select(F.col("s").alias("node"), "deg", new_r.alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "deg", F.col("r").alias("rank_int"))

@@ -258,3 +258,47 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..operators.dedup.dup_span_removal`."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dup_span_removal(docs, "doc_id", "text", n=8)
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    scale, base = 1_000_000, 150_000
+    stages = [f"""
+e AS (
+  SELECT d1 AS s, d2 AS t FROM jp
+  UNION ALL
+  SELECT d2 AS s, d1 AS t FROM jp
+),
+dg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY s),
+r0 AS (SELECT node, deg, CAST({scale} AS BIGINT) AS r FROM dg)"""]
+    for i in range(1, n_iter + 1):
+        stages.append(f"""
+r{i} AS (
+  SELECT dg.node, dg.deg,
+         CAST({base} + floor(0.85 * sum(
+           CAST(floor(CAST(p.r AS DOUBLE) / p.deg) AS BIGINT)))
+           AS BIGINT) AS r
+  FROM e
+  JOIN r{i - 1} p ON p.node = e.s
+  JOIN dg ON dg.node = e.t
+  GROUP BY dg.node, dg.deg
+)""")
+    return (
+        "WITH " + JACCARD_CTES.rstrip() + "," + ",".join(stages)
+        + f"\nSELECT node, deg, r AS rank_int FROM r{n_iter}"
+    )
+
+
+@register("dedup_graph_pagerank", _pagerank_oracle())
+def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of integer-quantized PageRank over the exact near-dup
+    pair graph — authority-based canonical ranking within dup clusters,
+    hash-verified like the other iterative operators (kmeans, BPE): all
+    rank state in integer 1e-6 units, floor-quantized contributions and
+    damped updates, identical on any engine/partitioning. The oracle
+    unrolls the three rounds over the shared exact-Jaccard CTE prefix.
+    See :func:`..operators.graph.pagerank_int`."""
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+    return graph.pagerank_int(pairs, "d1", "d2", n_iter=3)

@@ -285,3 +285,26 @@ def test_kmeans_empty_input_returns_empty(spark):
     out = similarity.kmeans_int_assignments(empty, k=8, n_iter=2)
     assert out.columns == ["vec_id", "cluster"]
     assert out.count() == 0
+
+
+def test_pagerank_int_path_graph_hand_check(spark):
+    from data_pipelines_worker_spark.operators import graph
+    from data_pipelines_worker_spark.session import local_df
+
+    edges = local_df(spark, [(1, 2), (2, 3)], "d1 long, d2 long")
+    out = {r["node"]: (r["deg"], r["rank_int"]) for r in graph.pagerank_int(edges, n_iter=1).collect()}
+    # path 1-2-3: center receives both full end-ranks, ends receive half
+    # of the center's: 150000 + floor(.85 * 2_000_000) / … hand-computed
+    assert out[2] == (2, 150000 + 1_700_000)
+    assert out[1] == (1, 150000 + 425_000)
+    assert out[3] == (1, 150000 + 425_000)
+
+
+def test_pagerank_int_deterministic_across_partitioning(spark, sf_dir):
+    from data_pipelines_worker_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+    a = {tuple(r) for r in graph.pagerank_int(pairs, n_iter=3).collect()}
+    b = {tuple(r) for r in graph.pagerank_int(pairs.repartition(5), n_iter=3).collect()}
+    assert a == b and len(a) > 0
