@@ -131,10 +131,20 @@ def pagerank_int(
 
     Returns (node, deg, rank_int) for every node in ``edges``.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-    sym = e.unionByName(
-        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).localCheckpoint(eager=True)
+    # materialize the edge plan ONCE before the symmetric union (the
+    # connected_components lesson above: the union references the input
+    # twice, and for LSH/Jaccard-produced pair sets that re-runs the whole
+    # candidate pipeline); distinct() makes the operator safe for inputs
+    # that already carry both orientations or repeated pairs — the graph
+    # contract is unweighted, matching connected_components
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint(
+        eager=True
+    )
+    sym = (
+        e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
     base = (scale * (100 - damping_pct)) // 100
     ranks = deg.select(

@@ -804,11 +804,13 @@ def kmeans_int_assignments(
 
     seed_rows = ib.orderBy("item_id").limit(k).collect()
     if not seed_rows:
-        # empty input: empty assignment with the output schema intact
+        # empty input: empty assignment preserving the caller's id type
+        # (a hardcoded long id would give the empty edge case a different
+        # schema than non-empty output for string/int ids)
         ib.unpersist()
-        from ..session import local_df
-
-        return local_df(items.sparkSession, [], f"{id_col} long, cluster long")
+        return items.select(F.col(id_col)).limit(0).withColumn(
+            "cluster", F.lit(None).cast("long")
+        )
     C = np.array([r["vi"] for r in seed_rows], dtype=np.int64)
     cl_ids = np.arange(len(C), dtype=np.int64)
 

@@ -260,8 +260,13 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_removal(docs, "doc_id", "text", n=8)
 
 
-def _pagerank_oracle(n_iter: int = 3) -> str:
-    scale, base = 1_000_000, 150_000
+def _pagerank_oracle(n_iter: int = 3, damping_pct: int = 85) -> str:
+    from ..operators.graph import PR_SCALE as scale
+
+    # derived exactly as the operator derives them (graph.pagerank_int) —
+    # re-hardcoding here would silently desync oracle and implementation
+    base = (scale * (100 - damping_pct)) // 100
+    damping = damping_pct / 100.0
     stages = [f"""
 e AS (
   SELECT d1 AS s, d2 AS t FROM jp
@@ -274,7 +279,7 @@ r0 AS (SELECT node, deg, CAST({scale} AS BIGINT) AS r FROM dg)"""]
         stages.append(f"""
 r{i} AS (
   SELECT dg.node, dg.deg,
-         CAST({base} + floor(0.85 * sum(
+         CAST({base} + floor({damping} * sum(
            CAST(floor(CAST(p.r AS DOUBLE) / p.deg) AS BIGINT)))
            AS BIGINT) AS r
   FROM e

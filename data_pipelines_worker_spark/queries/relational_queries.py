@@ -913,13 +913,14 @@ WITH m AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n, sx, sy, sxx, syy, sxy,
        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+         / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0) AS slope,
        (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n
+         / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0) * sx) / n
          AS intercept,
        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr
+         / nullif(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0)
+         AS corr
 FROM m
 """
 
@@ -928,17 +929,23 @@ FROM m
 def q_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group least-squares regression (value-cents against hours
     since the corpus start) computed from *exact integer moments*: n, Σx,
-    Σy, Σx², Σy², Σxy are int64 sums (association-order-free), and slope/
-    intercept/Pearson-r derive from them with one fixed double expression
-    tree — every float op (convert, multiply, divide, sqrt) is IEEE
-    correctly-rounded on identical inputs, so even the derived doubles
-    hash-match across engines. The built-in ``regr_slope``/``corr``
-    aggregates stream float partial sums and are NOT portable — the
-    moment form is how distributed exact statistics are done.
+    Σy are int64 sums and Σx², Σy², Σxy are decimal(37,0) sums of
+    decimal(18,0) products (exact at any corpus size — a silent int64
+    wrap on Σy² would diverge from DuckDB's HUGEINT sum; Spark decimal
+    keeps the product precision p1+p2 ≤ 37 lossless). Slope/intercept/
+    Pearson-r derive from the exact moments with one fixed double
+    expression tree — every float op (convert, multiply, divide, sqrt)
+    is IEEE correctly-rounded on identical inputs, so even the derived
+    doubles hash-match across engines; degenerate groups (zero x- or
+    y-variance) emit NULL on both sides via the nullif/when guard
+    instead of an engine-dependent Inf/NaN. The built-in
+    ``regr_slope``/``corr`` aggregates stream float partial sums and are
+    NOT portable — the moment form is how distributed exact statistics
+    are done.
 
     x is re-based against the global min hour (broadcast 1-row aggregate)
-    so Σx² stays far inside int64 at any corpus size: span-bounded x,
-    not epoch-sized. One partial-combined aggregate over the scan."""
+    so the x moments stay span-bounded, not epoch-sized. One
+    partial-combined aggregate over the scan."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long")
     gmin = ev.agg(F.min(hour).alias("min_h"))
@@ -947,24 +954,25 @@ def q_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hour - F.col("min_h")).alias("x"),
         cents(F.col("value")).alias("y"),
     )
+    xd, yd = F.col("x").cast("decimal(18,0)"), F.col("y").cast("decimal(18,0)")
     m = base.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    num = nd * F.col("sxy") - sxd * F.col("sy")
-    den = nd * F.col("sxx") - sxd * F.col("sx")
-    slope = num / den
+    num = nd * F.col("sxy").cast("double") - sxd * F.col("sy")
+    den = nd * F.col("sxx").cast("double") - sxd * F.col("sx")
+    slope = F.when(den != 0, num / den)
+    cden = F.sqrt(den) * F.sqrt(nd * F.col("syy").cast("double") - syd * F.col("sy"))
     return m.select(
         "event_type",
         "n", "sx", "sy", "sxx", "syy", "sxy",
         slope.alias("slope"),
         ((syd - slope * F.col("sx")) / F.col("n")).alias("intercept"),
-        (num / (F.sqrt(den) * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))))
-        .alias("corr"),
+        F.when(cden != 0, num / cden).alias("corr"),
     )

@@ -308,3 +308,26 @@ def test_pagerank_int_deterministic_across_partitioning(spark, sf_dir):
     a = {tuple(r) for r in graph.pagerank_int(pairs, n_iter=3).collect()}
     b = {tuple(r) for r in graph.pagerank_int(pairs.repartition(5), n_iter=3).collect()}
     assert a == b and len(a) > 0
+
+
+def test_kmeans_empty_input_preserves_id_type(spark):
+    from data_pipelines_worker_spark.session import local_df
+
+    empty = local_df(spark, [], "vec_id string, embedding array<double>")
+    out = similarity.kmeans_int_assignments(empty, k=4, id_col="vec_id")
+    assert dict(out.dtypes) == {"vec_id": "string", "cluster": "bigint"}
+    assert out.count() == 0
+
+
+def test_pagerank_int_tolerates_both_orientations(spark):
+    # (a,b) and (b,a) in the input must not double-count degrees
+    from data_pipelines_worker_spark.operators import graph
+    from data_pipelines_worker_spark.session import local_df
+
+    canon = local_df(spark, [(1, 2), (2, 3)], "d1 long, d2 long")
+    noisy = local_df(
+        spark, [(1, 2), (2, 1), (2, 3), (2, 3)], "d1 long, d2 long"
+    )
+    a = {tuple(r) for r in graph.pagerank_int(canon, n_iter=2).collect()}
+    b = {tuple(r) for r in graph.pagerank_int(noisy, n_iter=2).collect()}
+    assert a == b
