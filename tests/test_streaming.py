@@ -425,3 +425,55 @@ def test_block_dedup_stream_matches_batch(spark, tmp_path, sf_dir):
     finally:
         q.stop()
     assert got == batch_kept
+
+
+def test_block_dedup_stream_state_across_triggers(spark, tmp_path):
+    # cross-trigger state: blocks seen in trigger 1 suppress duplicates
+    # arriving in trigger 2 (first trigger wins), while genuinely new
+    # blocks in trigger 2 still emit
+    import time as _time
+
+    from data_pipelines_worker_spark.session import local_df
+    from data_pipelines_worker_spark.streaming.dedup import block_dedup_stream
+
+    blk_a = " ".join(f"a{i}" for i in range(20))
+    blk_b = " ".join(f"b{i}" for i in range(20))
+    blk_c = " ".join(f"c{i}" for i in range(20))
+
+    src = tmp_path / "blk_trigger_stream"
+    src.mkdir()
+    # file 1: doc 5 carries blocks A+B
+    local_df(spark, [(5, f"{blk_a} {blk_b}")], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(str(src))
+    _time.sleep(1.1)  # distinct mod times -> deterministic file order
+    # file 2: doc 2 re-sends A plus new block C. Its doc_id is LOWER than
+    # doc 5's, so a single-trigger run would hand A to doc 2 — only true
+    # cross-trigger precedence (first trigger wins) keeps A with doc 5.
+    local_df(spark, [(2, f"{blk_a} {blk_c}")], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        block_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("blk_trigger_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.blk_idx)
+            for r in spark.sql("SELECT doc_id, blk_idx FROM blk_trigger_out").collect()
+        }
+    finally:
+        q.stop()
+    # doc 5 (trigger 1) keeps both blocks — including A, despite doc 2's
+    # lower id arriving later; doc 2 keeps only the new C block (idx 1)
+    assert got == {(5, 0), (5, 1), (2, 1)}
