@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = (
     "timeseries_resample",
     "group_linreg",
     "dedup_graph_pagerank",
+    "cms_heavy_hitters",
     # staleness rotation: last driver hash-check r02 (oldest first, a-z)
     "agg_distinct",
     "ann_cosine_topk",

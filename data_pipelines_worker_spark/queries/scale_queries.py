@@ -346,3 +346,84 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             p95_ok.alias("p95_within_bound"),
         )
     )
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM w),
+    top AS (
+      SELECT word, count(*) AS exact_n
+      FROM w GROUP BY word
+      ORDER BY count(*) DESC, word
+      LIMIT 10
+    )
+    SELECT word, CAST(exact_n AS BIGINT) AS exact_n,
+           (SELECT CAST(n_total AS BIGINT) FROM tot) AS n_total,
+           TRUE AS cms_ge_exact,
+           TRUE AS cms_within_eps
+    FROM top
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch, contract-verified (the
+    sketch_error_bounds pattern): the word stream aggregates into ONE
+    fixed-size mergeable CMS (``count_min_sketch(word, eps=0.001,
+    conf=0.99, seed=42)`` — ~11 KB regardless of corpus size, partial
+    merges map-side), the driver reads the sketch (control-plane KBs,
+    like the IVF centroids) and estimates counts for the exact top-10,
+    and the emitted booleans pin the CMS guarantees: estimates never
+    undercount, and overcount at most ceil(eps · N) with confidence 0.99
+    (deterministic here: fixed seed, fixed data). The oracle pins the
+    booleans TRUE next to the hash-exact top-10 counts — a sketch
+    regression outside its contract turns the row red.
+
+    Why CMS at 100 TB: the exact top-k needs a (word → count) shuffle
+    bounded by vocabulary size — fine for word-like keys, ruinous for
+    high-cardinality keys (URLs, n-grams). The sketch is the
+    constant-memory path; this query keeps the exact aggregate only as
+    its own verifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
+    eps = 0.001
+    sk_row, n_total = (
+        words.agg(
+            F.expr(f"count_min_sketch(word, {eps}d, 0.99d, 42)").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row)
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("word"))
+        .limit(10)
+        .collect()
+    )
+    import math
+
+    slack = math.ceil(eps * int(n_total))
+    rows = []
+    for r in top:
+        est = int(cms.estimateCount(r["word"]))
+        rows.append(
+            (
+                r["word"],
+                int(r["exact_n"]),
+                int(n_total),
+                est >= r["exact_n"],
+                est <= r["exact_n"] + slack,
+            )
+        )
+    from ..session import local_df
+
+    return local_df(
+        spark,
+        rows,
+        "word string, exact_n long, n_total long, cms_ge_exact boolean, "
+        "cms_within_eps boolean",
+    )
