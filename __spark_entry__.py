@@ -32,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness driver records at most ~50 rows, taking them in dict
 # order. Round-4 rotation (VERDICT r3 #8): the three divergence probes
 # lead (they must appear in CORRECTNESS_r04), then the two driver-red
-# rows whose fix they gate, then the seventeen round-4 additions (never
-# driver-checked: staleness = infinity) — 3+2+17 = 22 slots — and the
-# r02-stale family fills the remaining ~28 oldest-first. The committed
-# tools/check_oracle.py run (ORACLE_LOCAL_r04.txt: 111 queries, 0
+# rows whose fix they gate, then the eighteen round-4 additions (never
+# driver-checked: staleness = infinity) — 3+2+18 = 23 slots — and the
+# r02-stale family fills the remaining ~27 oldest-first. The committed
+# tools/check_oracle.py run (ORACLE_LOCAL_r04.txt: 113 queries, 0
 # failures) remains the auditable backstop for the dropped tail.
 _DRIVER_PRIORITY = (
     # divergence-localization probes (VERDICT r3 #1) — must be driver-checked
