@@ -30,84 +30,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver records at most ~50 rows, taking them in dict
-# order. Round-4 rotation (VERDICT r3 #8): the three divergence probes
-# lead (they must appear in CORRECTNESS_r04), then the two driver-red
-# rows whose fix they gate, then the eighteen round-4 additions (never
-# driver-checked: staleness = infinity) — 3+2+18 = 23 slots — and the
-# r02-stale family fills the remaining ~27 oldest-first. The committed
-# tools/check_oracle.py run (ORACLE_LOCAL_r04.txt: 113 queries, 0
+# order. Round-5 rotation (VERDICT r4 #3): the four divergence probes
+# lead (probe_lineitem_dates is new — the q12 class), then the five
+# r04-red rows whose floor-quantization / integer-micros fixes they
+# gate, then the r03-stale family (last driver hash-check r03) —
+# oldest-first. The r04-green family cycles behind; the committed
+# tools/check_oracle.py run (ORACLE_LOCAL_r05.txt: full registry, 0
 # failures) remains the auditable backstop for the dropped tail.
 _DRIVER_PRIORITY = (
-    # divergence-localization probes (VERDICT r3 #1) — must be driver-checked
+    # divergence-localization probes — must be driver-checked every round
     "probe_events_ts",
     "probe_orders_dates",
     "probe_money_cents",
-    # the two driver-red rows, now timestamp-normalized by construction
+    "probe_lineitem_dates",
+    # the five r04-red rows: 4× cents()→floor(x*100+0.5) (VERDICT r4 #1),
+    # q12 integer-micros boundary (VERDICT r4 #2)
     "window_functions",
     "q8_market_share",
-    # round-4 additions (never driver-checked: staleness = infinity)
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q16_supplier_part_count",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "chunk_dedup",
-    "dup_ngram_coverage",
-    "dup_span_removal",
-    "tfidf_top_terms",
-    "embedding_kmeans",
-    "ppl_bucket_mixture",
-    "bpe_train_merges",
-    "timeseries_resample",
     "group_linreg",
-    "dedup_graph_pagerank",
-    "cms_heavy_hitters",
-    # staleness rotation: last driver hash-check r02 (oldest first, a-z)
-    "agg_distinct",
-    "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
-    "asof_join",
-    "ass_time_format",
-    "coalesce_priority",
-    "corpus_prep",
-    "date_functions",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_stats",
-    "doc_fingerprint",
-    "embedding_near_dup",
-    "embedding_stats",
-    "gather_join_strings",
-    "index_targeting",
-    "json_auto_detect",
-    "lang_id",
-    "normalize_text",
-    "outer_join_agg",
-    "pivot_event_counts",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "quality_score",
-    "rollup_lineitem",
-    "schema_cast",
-    "semi_anti_join",
-    "sessionization",
-    "set_ops",
-    "stratified_sample",
-    "token_count",
-    "top_k_per_group",
-    "windowed_agg",
-    "word_frequencies",
-    "zip_merge_positional",
-    # verified r03 — cycle behind the stale tail (ORACLE_LOCAL_r04.txt is the backstop)
+    "q12_ship_delay_priority",
+    # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",
     "cohort_retention",
@@ -156,6 +98,65 @@ _DRIVER_PRIORITY = (
     "text_replace",
     "token_count_bpe",
     "wrap_text",
+    # verified r04 — cycle behind (ORACLE_LOCAL_r05.txt is the backstop)
+    "agg_distinct",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "asof_join",
+    "ass_time_format",
+    "bpe_train_merges",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "coalesce_priority",
+    "corpus_prep",
+    "date_functions",
+    "dedup_exact",
+    "dedup_graph_pagerank",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_stats",
+    "doc_fingerprint",
+    "dup_ngram_coverage",
+    "dup_span_removal",
+    "embedding_kmeans",
+    "embedding_near_dup",
+    "embedding_stats",
+    "gather_join_strings",
+    "index_targeting",
+    "json_auto_detect",
+    "lang_id",
+    "normalize_text",
+    "outer_join_agg",
+    "pivot_event_counts",
+    "ppl_bucket_mixture",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "quality_score",
+    "rollup_lineitem",
+    "schema_cast",
+    "semi_anti_join",
+    "sessionization",
+    "set_ops",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "timeseries_resample",
+    "token_count",
+    "top_k_per_group",
+    "windowed_agg",
+    "word_frequencies",
+    "zip_merge_positional",
 )
 
 

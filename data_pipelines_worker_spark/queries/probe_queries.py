@@ -83,25 +83,71 @@ def probe_orders_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probe_money_cents",
     """
     SELECT l_returnflag,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
-           sum(CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_vol_c
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+           sum(CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_c,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_vol_c
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def probe_money_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cents() quantization (round(x*100)→int64) that every money
-    query builds on, summed per returnflag — including q8's two-factor
-    vol_c product. Red here ⟺ Spark's HALF_UP BigDecimal round and
-    DuckDB's round disagree on some value in the driver's generation
-    (they agree on every local generation)."""
+    """The cents() quantization that every money query builds on, summed
+    per returnflag — including q8's two-factor vol_c product. r04 proved
+    the round(x*100) form divergent (Spark HALF_UP on the shortest decimal
+    repr vs DuckDB rounding the binary value; the timestamp probes were
+    green). The probe now carries the production ``floor(x*100 + 0.5)``
+    form, whose multiply/add/floor steps are each IEEE correctly-rounded
+    and therefore bit-identical across engines. Red here would mean even
+    IEEE-exact quantization diverges — i.e. the engines read *different
+    doubles* from the same parquet."""
     li = load_table(spark, sf_dir, "lineitem")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_c = F.floor((F.lit(1) - F.col("l_discount")) * 100 + 0.5).cast("long")
     return li.groupBy("l_returnflag").agg(
         F.sum(price_c).alias("sum_price_c"),
         F.sum(disc_c).alias("sum_disc_c"),
         F.sum(price_c * disc_c).alias("sum_vol_c"),
+    )
+
+
+@register(
+    "probe_lineitem_dates",
+    """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) AS ship_us,
+           CAST(epoch_ns(l.l_shipdate) % 1000 AS BIGINT) AS sub_us_residue,
+           epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS order_us,
+           CASE WHEN epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+                     <= epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) + 2592000000000
+                THEN 1 ELSE 0 END AS fast_flag
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def probe_lineitem_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q12 divergence class, isolated (VERDICT r4 "missing" #1): the
+    r04 probes covered events.ts and orders.o_orderdate but not
+    lineitem.l_shipdate, and q12's red row hinges on the 30-day
+    FAST/SLOW boundary. Emits per (l_orderkey, l_linenumber): epoch
+    micros of both dates, the nanosecond residue Spark cannot see
+    (asserted 0 on the Spark side, actual ``epoch_ns % 1000`` on the
+    DuckDB side), and the integer-micros boundary flag q12 now uses. A
+    red row names exactly which ingredient the driver's generation
+    diverges on; green certifies the q12 rewrite's arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ship_us = F.unix_micros(F.col("l_shipdate"))
+    order_us = F.unix_micros(F.col("o_orderdate"))
+    return li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        ship_us.alias("ship_us"),
+        F.lit(0).cast("long").alias("sub_us_residue"),
+        order_us.alias("order_us"),
+        F.when(ship_us <= order_us + F.lit(2_592_000_000_000), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("fast_flag"),
     )

@@ -35,26 +35,36 @@ def cents(col):
     aggregation vs DuckDB's sequential sum differ in the last ulp, which
     flips round()ed output). Summing exact int64 cents is order-independent
     and engine-independent; divide back to currency at the output boundary.
+
+    Quantized as ``floor(x*100 + 0.5)`` rather than ``round(x*100)``:
+    Spark's round() routes a double through its *shortest decimal repr*
+    (java BigDecimal.valueOf, HALF_UP) while DuckDB rounds the actual
+    binary value, so inputs whose shortest repr lands exactly on a half
+    diverge by 1 (proved by probe_money_cents r04: red under round(),
+    while the timestamp probes were green). multiply/add/floor are each
+    IEEE correctly-rounded, so this expression is bit-identical across
+    engines by construction. Matching oracle form:
+    ``CAST(floor(x * 100 + 0.5) AS BIGINT)``.
     """
-    return F.round(col * 100).cast("long")
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
 
 
 @register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0        AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0   AS sum_base_price,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS sum_disc_price,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)
-               * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1000000.0 AS sum_charge,
-           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0        AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0   AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 + l_tax) * 100 + 0.5) AS BIGINT)) / 1000000.0 AS sum_charge,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
                                                                        AS avg_qty,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
                                                                        AS avg_price,
-           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+           CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
                                                                        AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
@@ -91,8 +101,8 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+    SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -130,8 +140,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue,
+           sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
            CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -167,8 +177,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue
+           sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0 AS revenue
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -274,7 +284,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
            event_type, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -304,7 +314,7 @@ def q_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey) AS n_customers,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
              AS avg_price
     FROM orders GROUP BY o_orderstatus
     """,
@@ -372,7 +382,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS qty,
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS qty,
            CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
            CAST(grouping(l_linestatus) AS BIGINT) AS g_status
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -470,7 +480,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "outer_join_agg",
     """
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE)
+           CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0) AS DOUBLE)
              / 100.0 AS total_spend
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -502,11 +512,11 @@ def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT round(
              100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-                        THEN CAST(round(l_extendedprice * 100) AS BIGINT)
-                             * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                        THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                             * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
                         ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE),
+             / CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE),
              6) AS promo_revenue_pct
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
@@ -543,14 +553,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     SELECT o.o_orderkey,
-           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS total_qty,
            max(o.o_totalprice) AS o_totalprice
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
+        HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 20000
     )
     GROUP BY o.o_orderkey
     """,
@@ -625,7 +635,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
            CAST(row_number() OVER w AS BIGINT) AS cd_num,
            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cd_den,
-           sum(CAST(round(value * 100) AS BIGINT))
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
              OVER (PARTITION BY user_id
                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
@@ -903,7 +913,7 @@ WITH m AS (
   FROM (
     SELECT e.event_type,
            epoch_us(CAST(e.ts AS TIMESTAMP)) // 3600000000 - g.min_h AS x,
-           CAST(round(e.value * 100) AS BIGINT) AS y
+           CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS y
     FROM events e,
          (SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS min_h
           FROM events) g

@@ -48,7 +48,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -63,7 +63,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                  / 100.0 AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -90,7 +90,7 @@ _BIN = 50.0
       VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BUCKETS)}
     )
     SELECT b.name AS bucket, count(*) AS n_events,
-           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS sum_value
     FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.name
@@ -179,7 +179,7 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS sum_value
     FROM events GROUP BY event_type
     """,
@@ -213,7 +213,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderpriority,
            count(*) AS n_lines,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
              / 100.0 AS sum_price
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority

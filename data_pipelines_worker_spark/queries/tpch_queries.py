@@ -68,8 +68,8 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(make_timestamp(epoch_us(l.l_shipdate))) AS BIGINT) AS l_year,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS vol_c
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS vol_c
       FROM lineitem l
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -139,8 +139,8 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT CAST(year(make_timestamp(epoch_us(o.o_orderdate))) AS BIGINT) AS o_year,
              n1.n_name AS supp_nation,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS vol_c
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS vol_c
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -203,8 +203,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0
+           sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0
              AS revenue,
            c.c_acctbal
     FROM lineitem l
@@ -215,8 +215,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND make_timestamp(epoch_us(o.o_orderdate)) >= TIMESTAMP '1996-01-01 00:00:00'
       AND make_timestamp(epoch_us(o.o_orderdate)) <  TIMESTAMP '1996-04-01 00:00:00'
     GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
-    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) DESC,
+    ORDER BY sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT)) DESC,
              c.c_custkey
     LIMIT 20
     """,
@@ -291,8 +291,8 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS total_c
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS total_c
       FROM lineitem
       WHERE make_timestamp(epoch_us(l_shipdate)) >= TIMESTAMP '1996-01-01 00:00:00'
         AND make_timestamp(epoch_us(l_shipdate)) <  TIMESTAMP '1996-04-01 00:00:00'
@@ -332,17 +332,17 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT l_partkey,
              count(*) AS n_li,
-             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+             sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE p_brand = 'Brand#11'
       GROUP BY l_partkey
     )
-    SELECT sum(CAST(round(l.l_quantity * 100) AS BIGINT)) / 100.0 AS small_qty,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 700.0 AS avg_yearly,
+    SELECT sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS small_qty,
+           sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 700.0 AS avg_yearly,
            count(*) AS n
     FROM lineitem l
     JOIN agg a ON a.l_partkey = l.l_partkey
-    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * a.n_li < a.sum_qty_c
+    WHERE CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * 5 * a.n_li < a.sum_qty_c
     """,
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,8 +377,8 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_pred",
     """
-    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+    SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0
              AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -427,14 +427,14 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pos AS (
       SELECT count(*) AS n_pos,
-             sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_pos_c
+             sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS sum_pos_c
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_nationkey,
            count(*) AS numcust,
-           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+           sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer c, pos
-    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.sum_pos_c
+    WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n_pos > pos.sum_pos_c
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
@@ -493,7 +493,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+             min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_c
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     eu AS (
@@ -513,7 +513,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, cost_c / 100.0 AS supply_cost
     FROM cand WHERE cost_c = min_c
-    ORDER BY CAST(round(s_acctbal * 100) AS BIGINT) DESC, p_partkey, s_name
+    ORDER BY CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) DESC, p_partkey, s_name
     LIMIT 10
     """,
 )
@@ -572,10 +572,10 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n.n_name,
              CAST(year(make_timestamp(epoch_us(o.o_orderdate))) AS BIGINT) AS o_year,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) * 10
-             - CAST(round(l.l_quantity * 100) AS BIGINT)
-               * CAST(round(p.p_retailprice * 100) AS BIGINT) AS profit_c
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l.l_discount) * 100 + 0.5) AS BIGINT) * 10
+             - CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+               * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS profit_c
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -630,7 +630,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH nat AS (
       SELECT l.l_partkey,
-             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS value_c
+             sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_c
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -678,13 +678,13 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS low_line_count
     FROM (
       SELECT o.o_orderpriority,
-             CASE WHEN make_timestamp(epoch_us(l.l_shipdate))
-                       <= make_timestamp(epoch_us(o.o_orderdate)) + INTERVAL 30 DAY
+             CASE WHEN epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+                       <= epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) + 2592000000000
                   THEN 'FAST' ELSE 'SLOW' END AS delay_bucket
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE make_timestamp(epoch_us(l.l_shipdate)) >= TIMESTAMP '1996-01-01 00:00:00'
-        AND make_timestamp(epoch_us(l.l_shipdate)) <  TIMESTAMP '1997-01-01 00:00:00'
+      WHERE epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) >= 820454400000000
+        AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) <  852076800000000
     )
     GROUP BY delay_bucket
     """,
@@ -695,7 +695,14 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_shipmode or commit/receipt dates, so the grouping key is a derived
     ship-delay bucket (shipped within 30 days of ordering = FAST) — same
     plan: one shuffle join on the order key, the CASE sums fold map-side
-    into a 2-row result."""
+    into a 2-row result.
+
+    The 30-day boundary is integer-micros arithmetic on BOTH sides
+    (VERDICT r4 #2): Spark timestamps *are* µs internally, so the raw
+    literal filter below stays pushdown-friendly and is bit-identical to
+    the oracle's ``epoch_us(CAST(..)) >= 820454400000000``; the FAST/SLOW
+    comparison itself goes through ``unix_micros`` + the literal
+    2_592_000_000_000 so no engine's interval arithmetic is involved."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -705,7 +712,8 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     bucket = F.when(
-        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        F.unix_micros(F.col("l_shipdate"))
+        <= F.unix_micros(F.col("o_orderdate")) + F.lit(2_592_000_000_000),
         F.lit("FAST"),
     ).otherwise(F.lit("SLOW"))
     return (
@@ -762,7 +770,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sh AS (
       SELECT l.l_partkey, l.l_suppkey,
-             sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_c
+             sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
       FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_name LIKE '%red%'

@@ -23,7 +23,7 @@ def windowed_counts(
     batch); in streaming, append mode emits a window once the watermark
     passes its end.
     """
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
