@@ -36,6 +36,61 @@ JACCARD_CTES = """
 
 _JACCARD_ORACLE = f"WITH {JACCARD_CTES} SELECT d1, d2, jaccard FROM jp"
 
+#: Scale variant (VERDICT r4 #4) — mirrors dedup.jaccard_pairs(df_cap="auto")
+#: clause by clause: exact-collapse byte-identical texts to a min-id
+#: representative; drop shingles in > max(50, ceil(1% · n_uniq)) unique
+#: texts from candidate generation; verify DISTINCT rep pairs against the
+#: FULL shingle sets (list_intersect — J values stay exact); expand rep
+#: pairs to member pairs (within-group pairs are identical texts, J = 1.0).
+JACCARD_CTES_CAPPED = """
+    grp AS (SELECT doc_id AS doc, md5(text) AS gid FROM documents),
+    rep AS (SELECT gid, min(doc) AS rep FROM grp GROUP BY gid),
+    d AS (
+      SELECT doc_id,
+             list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                            for i in generate_series(1, len(words) - 2)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3
+        AND doc_id IN (SELECT rep FROM rep)
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    cap AS (
+      SELECT greatest(50, CAST(ceil(0.01 * count(*)) AS BIGINT)) AS v FROM d
+    ),
+    hot AS (
+      SELECT s FROM inv GROUP BY s HAVING count(*) > (SELECT v FROM cap)
+    ),
+    invc AS (SELECT doc_id, s FROM inv WHERE s NOT IN (SELECT s FROM hot)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    rp AS (
+      SELECT d1 AS r1, d2 AS r2, round(j, 6) AS jaccard FROM (
+        SELECT d1, d2,
+               len(list_intersect(da.sh, db.sh))
+                 / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS j
+        FROM cand JOIN d da ON da.doc_id = d1 JOIN d db ON db.doc_id = d2
+      ) WHERE j >= 0.6
+    ),
+    members AS (SELECT g.doc, r.rep FROM grp g JOIN rep r ON r.gid = g.gid),
+    jp AS (
+      SELECT least(ma.doc, mb.doc) AS d1, greatest(ma.doc, mb.doc) AS d2,
+             rp.jaccard
+      FROM rp JOIN members ma ON ma.rep = rp.r1
+              JOIN members mb ON mb.rep = rp.r2
+      UNION ALL
+      SELECT wa.doc AS d1, wb.doc AS d2, 1.0 AS jaccard
+      FROM members wa JOIN members wb
+        ON wa.rep = wb.rep AND wa.doc < wb.doc
+      WHERE wa.rep IN (SELECT doc_id FROM d)
+    )
+"""
+
+_JACCARD_ORACLE_CAPPED = (
+    f"WITH {JACCARD_CTES_CAPPED} SELECT d1, d2, jaccard FROM jp"
+)
+
 
 @register(
     "dedup_exact",
@@ -57,10 +112,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "canonical_id", "is_duplicate")
 
 
-@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE_CAPPED)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs with the hot-shingle df-cap (VERDICT r4
+    #4): candidate generation drops shingles in > max(50, 1% of docs)
+    documents; verification still uses full shingle sets so reported
+    Jaccard values are exact. Oracle mirrors the cap clause by clause."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+    return dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3, df_cap="auto")
 
 
 @register("dedup_minhash_lsh", _JACCARD_ORACLE)
@@ -288,7 +347,7 @@ r{i} AS (
   GROUP BY dg.node, dg.deg
 )""")
     return (
-        "WITH " + JACCARD_CTES.rstrip() + "," + ",".join(stages)
+        "WITH " + JACCARD_CTES_CAPPED.rstrip() + "," + ",".join(stages)
         + f"\nSELECT node, deg, r AS rank_int FROM r{n_iter}"
     )
 
@@ -305,5 +364,5 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3, df_cap="auto")
     return graph.pagerank_int(pairs, "d1", "d2", n_iter=3)

@@ -48,8 +48,13 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written parquet is a directory of parts
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
