@@ -279,12 +279,13 @@ class PipelineService:
             n = self._deliver_failures.get(processing_id, 0) + 1
             self._deliver_failures[processing_id] = n
             msg = f"transport delivery failed (attempt {n}): {type(e).__name__}: {e}"
-            # never clobber the ModerationPending status (it routes the
-            # decision stream); park the delivery error beside it instead
-            if processing_id in self._errors:
-                self._delivery_errors[processing_id] = msg
-            else:
-                self._errors[processing_id] = msg
+            # delivery failures live ONLY in _delivery_errors (surfaced as
+            # the status API's delivery_error field): _errors carries the
+            # run's own state (ModerationPending marker / pipeline error),
+            # and a delivery message written there would both outlive a
+            # successful retry (the success path pops only the delivery
+            # maps) and make later failures look error-routed
+            self._delivery_errors[processing_id] = msg
             if n < self.MAX_DELIVER_FAILURES:
                 timer = threading.Timer(
                     self.DELIVER_BACKOFF_BASE_S * (2 ** (n - 1)),

@@ -215,6 +215,80 @@ def _review_keyboard(index: int, with_regenerate: bool) -> dict:
     return {"inline_keyboard": [row]}
 
 
+def _resolve_chat(group_id, record: dict):
+    """Record-level group_id wins, but the validation layer's default is
+    the *string* "0" (plans/validation.py) — treat "0"/0/empty as unset so
+    the transport-configured chat is not shadowed by the placeholder."""
+    g = record.get("group_id")
+    return group_id if g in (None, "", 0, "0") else g
+
+
+def _send_record(client: TelegramClient, group_id, block_id: str,
+                 processing_id: str, block_slug: str, gate_slug: str,
+                 regen: str | None, index: int, record: dict,
+                 media: dict) -> dict:
+    """One sink record → one Bot-API send, with the reference's
+    media-first fallbacks. Module-level and closed over primitives only,
+    so it runs inside an executor task (the payload bytes never transit
+    the driver)."""
+    chat = _resolve_chat(group_id, record)
+    if block_id == "send_message_tg":
+        # photo → video → text (block_send_message_telegram.go:92-128)
+        caption = generate_message(
+            record.get("text") or "", processing_id, block_slug, index
+        )
+        if record.get("kind") == "photo" and media.get("image") is not None:
+            try:
+                return client.send_photo(chat, media["image"], caption)
+            except Exception:  # noqa: BLE001 — fall through like the reference
+                pass
+        if record.get("kind") in ("photo", "video") and media.get("video") is not None:
+            try:
+                return client.send_video(chat, media["video"], caption)
+            except Exception:  # noqa: BLE001
+                pass
+        return client.send_message(chat, caption)
+    # moderation request: photo-first with inline keyboard
+    # (block_send_moderation_telegram.go:206-243); the BlockSlug line
+    # carries the *gate* slug (block_fetch_moderation_telegram.go:193-197)
+    caption = generate_review_message(
+        record.get("data") or "", processing_id, gate_slug, index, regen
+    )
+    keyboard = _review_keyboard(index, with_regenerate=regen is not None)
+    if record.get("media") == "image" and media.get("image") is not None:
+        try:
+            return client.send_photo(chat, media["image"], caption, reply_markup=keyboard)
+        except Exception:  # noqa: BLE001
+            pass
+    return client.send_message(chat, caption, reply_markup=keyboard)
+
+
+def _send_partition(rows, client: TelegramClient, group_id, block_id: str,
+                    processing_id: str, block_slug: str, gate_slug: str,
+                    regen: str | None):
+    """Executor-side send loop: every row is *attempted* (per-row
+    try/except), and each yields a result record — so the driver can roll
+    back exactly the failed claims instead of stranding everything after
+    a failure point (ADVICE r4 #1)."""
+    for row in rows:
+        idx = int(row["input_index"])
+        try:
+            record = json.loads(row["payload_str"]) if row["payload_str"] else {}
+            media = {
+                "image": bytes(row["__img"]) if row["__img"] is not None else None,
+                "video": bytes(row["__vid"]) if row["__vid"] is not None else None,
+            }
+            sent = _send_record(
+                client, group_id, block_id, processing_id, block_slug,
+                gate_slug, regen, idx, record, media,
+            )
+            yield {"input_index": idx, "ok": True,
+                   "message_id": (sent or {}).get("message_id"), "error": None}
+        except Exception as ex:  # noqa: BLE001 — reported per-row
+            yield {"input_index": idx, "ok": False, "message_id": None,
+                   "error": f"{type(ex).__name__}: {ex}"}
+
+
 class TelegramTransport:
     """Delivers a processing's Telegram sink-record stages over HTTP.
 
@@ -236,18 +310,26 @@ class TelegramTransport:
         self.sent: list[dict] = []  # delivery log (message ids, for status)
 
     def _chat_for(self, record: dict):
-        """Record-level group_id wins, but the validation layer's default
-        is the *string* "0" (plans/validation.py) — treat "0"/0/empty as
-        unset so the transport-configured chat is not shadowed by the
-        placeholder default."""
-        g = record.get("group_id")
-        return self.group_id if g in (None, "", 0, "0") else g
+        return _resolve_chat(self.group_id, record)
 
     # -- stage scanning ----------------------------------------------------
 
     def deliver_processing(self, runner, spec, processing_id: str) -> int:
         """Deliver all undelivered Telegram sink rows for one processing.
-        Returns the number of messages sent."""
+        Returns the number of messages sent.
+
+        Executor-side transport (VERDICT r4 #6): the driver collects only
+        the small sink-record rows for claim bookkeeping; the payload
+        bytes (bound image/video stages) join the send plan executor-side
+        and the Bot-API calls run inside a single ordered task
+        (``mapPartitions`` over one sorted partition — the reference's
+        sequential in-order delivery, block_send_message_telegram.go:80,
+        without hauling media through the driver). Each row is attempted
+        and reports success/failure individually, so a failure rolls back
+        exactly the failed claims (ADVICE r4 #1) and raises to trigger
+        the service's backoff retry."""
+        from pyspark.sql import functions as F
+
         from ..sources.stage_store import read_stage
 
         n_sent = 0
@@ -261,13 +343,13 @@ class TelegramTransport:
                 )
             except Exception:  # noqa: BLE001 — stage not yet written
                 continue
+            # control-plane collect: (index, payload_str) sink records only
             rows = sorted(
                 df.select("input_index", "payload_str").collect(),
                 key=lambda r: r.input_index,
             )
-            # claim undelivered keys before hauling media bytes to the
-            # driver: a parked run is re-driven on every decision batch,
-            # and re-collecting megabytes of payload_bin for an
+            # claim undelivered keys first: a parked run is re-driven on
+            # every decision batch, and re-reading media stages for an
             # already-delivered block is pure waste
             undelivered = []
             with self._lock:
@@ -275,106 +357,103 @@ class TelegramTransport:
                     key = (processing_id, block.slug, r.input_index)
                     if key not in self._delivered:
                         self._delivered.add(key)
-                        undelivered.append(r)
+                        undelivered.append(r.input_index)
             if not undelivered:
                 continue
-            media = self._bound_media(runner, spec, processing_id, block)
-            for r in undelivered:
-                key = (processing_id, block.slug, r.input_index)
-                try:
-                    record = json.loads(r.payload_str) if r.payload_str else {}
-                    if block.id == "send_message_tg":
-                        sent = self._send_plain(
-                            record, processing_id, block.slug, r.input_index, media
+            gate = next(
+                (b for b in spec.blocks[pos + 1:] if b.id == "fetch_moderation_tg"),
+                None,
+            )
+            gate_slug = gate.slug if gate is not None else block.slug
+            regen = (
+                gate.input.get("regenerate_block_slug") if gate is not None else None
+            )
+            plan = (
+                df.select("input_index", "payload_str")
+                .where(F.col("input_index").isin(undelivered))
+                .withColumn("__img", F.lit(None).cast("binary"))
+                .withColumn("__vid", F.lit(None).cast("binary"))
+            )
+            plan = self._join_media(runner, spec, processing_id, block, plan)
+            client, group_id, block_id, slug = (
+                self.client, self.group_id, block.id, block.slug,
+            )
+            try:
+                results = sorted(
+                    plan.repartition(1)
+                    .sortWithinPartitions("input_index")
+                    .rdd.mapPartitions(
+                        lambda it: _send_partition(
+                            it, client, group_id, block_id, processing_id,
+                            slug, gate_slug, regen,
                         )
-                    else:
-                        sent = self._send_moderation(
-                            record, spec, pos, processing_id, block,
-                            r.input_index, media,
-                        )
+                    )
+                    .collect(),
+                    key=lambda r: r["input_index"],
+                )
+            except Exception:
+                # job-level failure: nothing is confirmed sent — release
+                # every claim of this batch so the backoff retry re-drives
+                # all of it
+                with self._lock:
+                    for idx in undelivered:
+                        self._delivered.discard((processing_id, slug, idx))
+                raise
+            failed = []
+            for res in results:
+                if res["ok"]:
                     self.sent.append(
-                        {"block_slug": block.slug, "input_index": r.input_index,
-                         "message_id": sent.get("message_id")}
+                        {"block_slug": slug, "input_index": res["input_index"],
+                         "message_id": res["message_id"]}
                     )
                     n_sent += 1
-                except Exception:
-                    # roll back the claim so a later delivery retries
-                    with self._lock:
-                        self._delivered.discard(key)
-                    raise
+                else:
+                    failed.append(res)
+            if failed:
+                with self._lock:
+                    for res in failed:
+                        self._delivered.discard(
+                            (processing_id, slug, res["input_index"])
+                        )
+                raise RuntimeError(
+                    f"{len(failed)} of {len(results)} sends failed for block "
+                    f"{slug}: " + "; ".join(
+                        f"[{r['input_index']}] {r['error']}" for r in failed[:3]
+                    )
+                )
         return n_sent
 
-    def _bound_media(self, runner, spec, processing_id: str, block) -> dict[int, dict[str, bytes]]:
-        """input_index -> {param: payload_bin} for image/video bindings —
-        the bytes the sink record references by stage."""
+    def _join_media(self, runner, spec, processing_id: str, block, plan):
+        """Left-join bound image/video payload bytes onto the send plan —
+        executor-side; the driver never materializes payload_bin. Matches
+        the old collect-based resolution: per param, the last binding with
+        non-null bytes for an index wins."""
+        from pyspark.sql import functions as F
+
         from ..sources.stage_store import read_stage
 
-        out: dict[int, dict[str, bytes]] = {}
+        col_for = {"image": "__img", "video": "__vid"}
         for b in block.bindings:
-            if b.param not in ("image", "video"):
+            if b.param not in col_for:
                 continue
             try:
-                df = read_stage(
+                mdf = read_stage(
                     runner.spark, runner.store_root, spec.slug,
                     processing_id, b.origin,
                 )
             except Exception:  # noqa: BLE001
                 continue
-            for r in df.select("input_index", "payload_bin").collect():
-                if r.payload_bin is not None:
-                    out.setdefault(r.input_index, {})[b.param] = bytes(r.payload_bin)
-        return out
-
-    # -- the two send shapes ----------------------------------------------
-
-    def _send_plain(self, record: dict, processing_id: str, block_slug: str,
-                    index: int, media: dict) -> dict:
-        """Media-first fallback photo → video → text
-        (block_send_message_telegram.go:92-128)."""
-        caption = generate_message(
-            record.get("text") or "", processing_id, block_slug, index
-        )
-        chat = self._chat_for(record)
-        m = media.get(index, {})
-        if record.get("kind") == "photo" and "image" in m:
-            try:
-                return self.client.send_photo(chat, m["image"], caption)
-            except Exception:  # noqa: BLE001 — fall through like the reference
-                pass
-        if record.get("kind") in ("photo", "video") and "video" in m:
-            try:
-                return self.client.send_video(chat, m["video"], caption)
-            except Exception:  # noqa: BLE001
-                pass
-        return self.client.send_message(chat, caption)
-
-    def _send_moderation(self, record: dict, spec, pos: int, processing_id: str,
-                         block, index: int, media: dict) -> dict:
-        """Review message with inline keyboard; photo-first fallback
-        (block_send_moderation_telegram.go:206-243). The BlockSlug line
-        carries the *gate* slug (the fetch block the decision log keys
-        on — the reference matches the two through the fetch block's
-        BlockSlug config, block_fetch_moderation_telegram.go:193-197)."""
-        gate = next(
-            (b for b in spec.blocks[pos + 1:] if b.id == "fetch_moderation_tg"),
-            None,
-        )
-        gate_slug = gate.slug if gate is not None else block.slug
-        regen = (gate.input.get("regenerate_block_slug") if gate is not None else None)
-        caption = generate_review_message(
-            record.get("data") or "", processing_id, gate_slug, index, regen
-        )
-        keyboard = _review_keyboard(index, with_regenerate=regen is not None)
-        chat = self._chat_for(record)
-        m = media.get(index, {})
-        if record.get("media") == "image" and "image" in m:
-            try:
-                return self.client.send_photo(
-                    chat, m["image"], caption, reply_markup=keyboard
-                )
-            except Exception:  # noqa: BLE001
-                pass
-        return self.client.send_message(chat, caption, reply_markup=keyboard)
+            c = col_for[b.param]
+            mdf = (
+                mdf.select("input_index", F.col("payload_bin").alias(f"{c}_new"))
+                .where(F.col(f"{c}_new").isNotNull())
+            )
+            plan = (
+                plan.join(mdf, "input_index", "left")
+                .withColumn(c, F.coalesce(F.col(f"{c}_new"), F.col(c)))
+                .drop(f"{c}_new")
+            )
+        return plan
 
 
 class ModerationPoller:

@@ -551,8 +551,13 @@ def q_corpus_final_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     kept = exact_dedup(docs, "doc_id", "text").where(~F.col("is_duplicate"))
-    grams = cu.explode_ngrams(docs, "doc_id", "text", _DECON_N).dropDuplicates(
-        ["doc_id", "gram"]
+    # Both the benchmark-gram side and the contamination side consume this
+    # exploded+deduped gram set; without the persist each branch re-derives
+    # the full explode shuffle (7.3x at the 10x probe, VERDICT r4 #5).
+    grams = (
+        cu.explode_ngrams(docs, "doc_id", "text", _DECON_N)
+        .dropDuplicates(["doc_id", "gram"])
+        .persist()
     )
     bench_grams = grams.where(F.col("doc_id") % 41 == 0).select("gram").distinct()
     contaminated = (

@@ -373,3 +373,114 @@ def test_delivery_failure_schedules_backoff_retry(mock_tg, tmp_path, spark):
             break
         time.sleep(0.2)
     assert len([m for m in mock_tg.messages if m.get("reply_markup")]) == 2
+
+
+def test_partial_send_failure_strands_nothing(spark, tmp_path, mock_tg):
+    # ADVICE r4 #1: a failing send mid-batch must roll back exactly the
+    # failed claims — records after (or before) the failure point are
+    # attempted, and a later re-drive sends ONLY what actually failed,
+    # with no duplicates of what succeeded.
+    from data_pipelines_worker_spark.plans.compiler import PipelineRunner
+    from data_pipelines_worker_spark.plans.compiler import (
+        BlockSpec,
+        InputBinding,
+        PipelineSpec,
+    )
+    from data_pipelines_worker_spark.sources.stage_store import (
+        STAGE_SCHEMA,
+        write_stage,
+    )
+
+    spec = PipelineSpec(
+        slug="tgpartial",
+        blocks=[
+            BlockSpec(
+                id="send_moderation_tg",
+                slug="review",
+                bindings=[InputBinding(param="image", origin="imgstage")],
+            ),
+        ],
+    )
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    # index 0 carries an image (delivers via sendPhoto even when
+    # sendMessage is down); index 1 is text-only (needs sendMessage)
+    write_stage(
+        spark.createDataFrame(
+            [
+                (0, 0, json.dumps({"data": "x0", "media": "image"}), None, None),
+                (1, 1, json.dumps({"data": "x1"}), None, None),
+            ],
+            STAGE_SCHEMA,
+        ),
+        runner.store_root, "tgpartial", "p1", "review",
+    )
+    write_stage(
+        spark.createDataFrame(
+            [(0, 0, None, b"\x89PNGfake", "image/png")], STAGE_SCHEMA
+        ),
+        runner.store_root, "tgpartial", "p1", "imgstage",
+    )
+
+    transport = TelegramTransport(_client(mock_tg), group_id=42)
+    mock_tg.fail_methods.add("sendMessage")
+    with pytest.raises(RuntimeError, match="1 of 2 sends failed"):
+        transport.deliver_processing(runner, spec, "p1")
+    # the photo send succeeded and was logged; the claim for index 1 was
+    # rolled back, index 0's kept
+    assert [s["input_index"] for s in transport.sent] == [0]
+    assert len(mock_tg.messages) == 1 and mock_tg.messages[0]["has_file"]
+
+    mock_tg.fail_methods.clear()
+    n = transport.deliver_processing(runner, spec, "p1")
+    assert n == 1  # only the failed index re-sends — no duplicate of 0
+    assert [s["input_index"] for s in transport.sent] == [0, 1]
+    assert len(mock_tg.messages) == 2
+    assert parse_review_message(mock_tg.messages[1]["text"])["index"] == 1
+
+
+def test_delivery_error_never_pollutes_run_errors(spark, tmp_path, mock_tg):
+    # ADVICE r4 #2: delivery failures are reported ONLY via
+    # _delivery_errors / the status delivery_error field; a run with no
+    # pipeline error must not inherit a stale transport message after a
+    # successful retry.
+    from data_pipelines_worker_spark.api.server import PipelineService
+    from data_pipelines_worker_spark.plans.compiler import PipelineRunner
+    from data_pipelines_worker_spark.plans.compiler import PipelineSpec
+
+    class FlakyOnce(TelegramTransport):
+        def __init__(self, client):
+            super().__init__(client, group_id=42)
+            self.fails = 1
+
+        def deliver_processing(self, runner, spec, processing_id):
+            if self.fails > 0:
+                self.fails -= 1
+                raise ConnectionError("bot api down")
+            return 0
+
+    (tmp_path / "decisions").mkdir()
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    spec = PipelineSpec(slug="clean", blocks=[])
+    # earlier tests may leave their decision stream running; the query
+    # name is fixed per session
+    for q in spark.streams.active:
+        if q.name == "moderation-decisions":
+            q.stop()
+    service = PipelineService(
+        runner, {"clean": spec},
+        decisions_dir=str(tmp_path / "decisions"),
+        transport=FlakyOnce(_client(mock_tg)),
+    )
+    try:
+        service.DELIVER_BACKOFF_BASE_S = 0.1
+        service._deliver_sinks(spec, "pid1")
+        assert "pid1" in service._delivery_errors
+        assert "pid1" not in service._errors  # run state stays clean
+        deadline = time.time() + 10
+        while time.time() < deadline and "pid1" in service._delivery_errors:
+            time.sleep(0.05)
+        # successful backoff retry clears the delivery error everywhere
+        assert "pid1" not in service._delivery_errors
+        assert "pid1" not in service._errors
+    finally:
+        service.stop_decision_stream()
