@@ -49,6 +49,11 @@ _DRIVER_PRIORITY = (
     "q8_market_share",
     "group_linreg",
     "q12_ship_delay_priority",
+    # round-5 additions (never driver-checked: staleness = infinity)
+    "hll_registers",
+    "bloom_join_prune",
+    "approx_quantile_binned",
+    "mixture_temperature",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

@@ -1,0 +1,421 @@
+"""Portable sketch / approximate operators (round 5) — the constant-memory
+building blocks a 100 TB pipeline swaps in when exact shuffles stop being
+affordable, each computed with *integer-pure* arithmetic so the DuckDB
+oracle pins the sketch contents themselves, not just a tolerance contract:
+
+- ``hll_registers``      — register-exact HyperLogLog distinct sketch;
+- ``bloom_join_prune``   — Bloom-filter semi-join pruning with exact
+  false-positive accounting;
+- ``approx_quantile_binned`` — equi-width histogram quantiles (the
+  fixed-size alternative to percentile buffers);
+- ``mixture_temperature``    — sqrt-temperature source upweighting for
+  training mixtures (UnifiedQA / T5-style α=0.5), integer quotas.
+
+Hashing uses the same affine-mod-Mersenne family as the MinHash/SimHash
+operators (operators/dedup.py) — multiply/add/pmod on int64, bit-identical
+on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.text_analysis import MOD
+from . import register
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_M = 64  # registers (p=6): rsd = 1.04/sqrt(64) = 13 %
+HLL_WBITS = 25  # h < 2^31 ⇒ w = h div 64 < 2^25
+HLL_A, HLL_B = 48271 * 2 + 1, 104729  # affine hash constants (odd a)
+HLL_A2, HLL_A3 = 16807 * 4 + 1, 69621 * 2 + 1
+
+#: The MinHash-style affine map alone is NOT enough here: ρ reads the
+#: *trailing zeros* of the hash, and multiplication only propagates
+#: entropy upward, so an affine map leaves the low bits of consecutive
+#: keys patterned (observed: 0 empty registers where ~6 were expected).
+#: Two xor-fold + multiply rounds give the avalanche trailing-zero
+#: statistics need; every step (xor, >> by a literal, ×31-bit constant,
+#: mod 2^31−1) is exact int64 on both engines.
+
+
+def _hll_mix_sql(key: str) -> str:
+    s1 = f"(({key} * {HLL_A} + {HLL_B}) % {MOD})"
+    s2 = f"((xor({s1}, {s1} // 32768) * {HLL_A2}) % {MOD})"
+    return f"((xor({s2}, {s2} // 8192) * {HLL_A3}) % {MOD})"
+
+
+def _hll_mix_col(key):
+    s1 = F.pmod(key * HLL_A + HLL_B, F.lit(MOD))
+    s2 = F.pmod(s1.bitwiseXOR(F.shiftright(s1, 15)) * HLL_A2, F.lit(MOD))
+    return F.pmod(s2.bitwiseXOR(F.shiftright(s2, 13)) * HLL_A3, F.lit(MOD))
+
+
+def _rho_sql(w: str) -> str:
+    """ρ(w) = trailing zeros + 1 (w = 0 ⇒ WBITS+1) as a CASE chain —
+    generated from the same loop as the Spark expression so the two can
+    never drift."""
+    branches = [f"WHEN {w} = 0 THEN {HLL_WBITS + 1}"]
+    for k in range(HLL_WBITS - 1, 0, -1):
+        branches.append(f"WHEN {w} % {1 << k} = 0 THEN {k + 1}")
+    return "CASE " + " ".join(branches) + " ELSE 1 END"
+
+
+def _rho_col(w):
+    expr = F.lit(1)
+    for k in range(1, HLL_WBITS):
+        expr = F.when(w % (1 << k) == 0, k + 1).otherwise(expr)
+    return F.when(w == 0, HLL_WBITS + 1).otherwise(expr).cast("long")
+
+
+#: α·m²·2^WBITS, pre-quantized to an exact integer so both engines divide
+#: the same numerator (α_64 = 0.709 as the rational 709/1000)
+HLL_NUM = (709 * HLL_M * HLL_M * (1 << HLL_WBITS)) // 1000
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         {_hll_mix_sql("user_id")} AS hv
+  FROM events
+),
+regs AS (
+  SELECT event_type, hv % {HLL_M} AS reg,
+         max({_rho_sql(f"(hv // {HLL_M})")}) AS m
+  FROM h GROUP BY event_type, hv % {HLL_M}
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_regs,
+         CAST(sum(m) AS BIGINT) AS reg_sum,
+         CAST(max(m) AS BIGINT) AS reg_max,
+         CAST(sum((1::BIGINT << ({HLL_WBITS} - m))) AS BIGINT) AS z_present
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, ex.exact_users, a.reg_sum, a.reg_max,
+       CAST({HLL_M} - a.n_regs AS BIGINT) AS n_zero_regs,
+       CAST(a.z_present + ({HLL_M} - a.n_regs) * (1::BIGINT << {HLL_WBITS})
+            AS BIGINT) AS z_scaled,
+       CAST({HLL_NUM}
+            // (a.z_present + ({HLL_M} - a.n_regs) * (1::BIGINT << {HLL_WBITS}))
+            AS BIGINT) AS hll_est
+FROM agg a JOIN ex ON ex.event_type = a.event_type
+"""
+
+
+@register("hll_registers", _HLL_ORACLE)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-exact HyperLogLog (Flajolet et al. 2007) per event_type,
+    next to the exact distinct count it approximates.
+
+    The sketch is the 100 TB path for distinct counting: 64 registers =
+    64 bytes per group, merged with max() — partial-aggregates map-side,
+    so the shuffle carries one register set per (partition, group)
+    instead of a (group, user) pair per row the exact count needs. The
+    affine hash, register split (h mod m / h div m), ρ = trailing zeros,
+    and the harmonic sum are all int64 arithmetic, so the oracle pins the
+    *registers themselves* (reg_sum / reg_max / z_scaled) plus an
+    integer-division estimate ``hll_est = (0.709·m²·2^25) // Z`` — not a
+    tolerance band that could flip on unseen data. Estimate quality
+    (rsd = 13 % at m=64) is asserted in tests, not in the hash contract.
+
+    The exact count stays in the query as its own verifier, mirroring
+    cms_heavy_hitters. int64 headroom: HLL_NUM // Z is exact integer
+    division on both engines; registers cap ρ at WBITS+1 = 26.
+
+    ``hll_est`` is the *raw* Flajolet estimator; in the small-range
+    regime (``n_zero_regs > 0``, n ≲ 2.5·m) the standard correction is
+    linear counting, m·ln(m/V) — a consumer-side float the tests apply
+    but the hash contract deliberately excludes (ln is not guaranteed
+    identically rounded across engines; every emitted column here is
+    exact int64)."""
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = _hll_mix_col(F.col("user_id"))
+    regs = (
+        ev.select(
+            "event_type",
+            F.pmod(hv, F.lit(HLL_M)).alias("reg"),
+            _rho_col(F.floor(hv / HLL_M)).alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    # 2^(WBITS - m) with a column shift amount: expression form (the
+    # functions.shiftleft signature takes only a literal bit count)
+    z_present = F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS} - m AS INT))")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum("m").alias("reg_sum"),
+        F.max("m").alias("reg_max"),
+        z_present.alias("z_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    z_scaled = F.col("z_present") + (HLL_M - F.col("n_regs")) * F.lit(1 << HLL_WBITS)
+    return (
+        agg.join(exact, "event_type")
+        .withColumn("z_scaled", z_scaled.cast("long"))
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.col("reg_sum").cast("long").alias("reg_sum"),
+            F.col("reg_max").cast("long").alias("reg_max"),
+            (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("n_zero_regs"),
+            "z_scaled",
+            F.expr(f"CAST({HLL_NUM} div z_scaled AS BIGINT)").alias("hll_est"),
+        )
+    )
+
+
+# --- Bloom-filter join pruning ---------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+BLOOM_A = [40503 * 2 * i + 1 for i in range(1, BLOOM_K + 1)]
+BLOOM_B = [104729 * i + 7 for i in range(1, BLOOM_K + 1)]
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return f"(({key} * {BLOOM_A[i]} + {BLOOM_B[i]}) % {MOD}) % {BLOOM_BITS}"
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+  {" UNION ".join(f"SELECT DISTINCT {_bloom_pos_sql('c_custkey', i)} AS pos FROM build" for i in range(BLOOM_K))}
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+),
+pass AS (
+  SELECT p.* FROM probe p
+  WHERE {" AND ".join(f"{_bloom_pos_sql('o_custkey', i)} IN (SELECT pos FROM bits)" for i in range(BLOOM_K))}
+),
+truth AS (
+  SELECT p.o_orderkey FROM probe p JOIN build b ON b.c_custkey = p.o_custkey
+)
+SELECT pr.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN pa.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(sum(CASE WHEN t.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(sum(CASE WHEN pa.o_orderkey IS NOT NULL AND t.o_orderkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM probe pr
+LEFT JOIN (SELECT o_orderkey FROM pass) pa ON pa.o_orderkey = pr.o_orderkey
+LEFT JOIN truth t ON t.o_orderkey = pr.o_orderkey
+GROUP BY pr.o_orderpriority
+"""
+
+
+@register("bloom_join_prune", _BLOOM_ORACLE)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, exact-accounted per order priority.
+
+    The 100 TB move this models: instead of shuffling the full fact table
+    into a semi join against a filtered dimension, broadcast a fixed-size
+    bit set (here 4096 bits / k=3 — the distinct set-bit *positions*,
+    ≤ 0.5 KB) and drop fact rows whose k positions aren't all set; only
+    survivors pay the exact join. The query emits, per o_orderpriority:
+    probe count, bloom-pass count, exact-semi-join count, and the false
+    positives the bloom admitted — the number the filter's sizing
+    (bits/k vs build cardinality) is tuned against. All counts are exact
+    integers; the affine position arithmetic is identical in the oracle,
+    so the emitted false-positive count is pinned, not bounded.
+
+    Plan shape: the build side aggregates to ≤ 3·4096 distinct positions
+    (broadcast); each membership test is a BroadcastHashJoin
+    (LeftSemi) on the probe scan — no probe-side shuffle until the final
+    group-count."""
+    from ..session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def pos(col, i):
+        return F.pmod(
+            F.pmod(col * BLOOM_A[i] + BLOOM_B[i], F.lit(MOD)), F.lit(BLOOM_BITS)
+        )
+
+    bits = None
+    for i in range(BLOOM_K):
+        p = build.select(pos(F.col("c_custkey"), i).alias("pos")).distinct()
+        bits = p if bits is None else bits.union(p)
+    bits = bits.distinct()
+    probe = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    passed = probe
+    for i in range(BLOOM_K):
+        passed = passed.join(
+            F.broadcast(bits),
+            pos(F.col("o_custkey"), i) == F.col("pos"),
+            "left_semi",
+        )
+    truth = probe.join(
+        F.broadcast(build), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    flagged = (
+        probe.join(
+            passed.select(F.col("o_orderkey").alias("k1")),
+            F.col("o_orderkey") == F.col("k1"),
+            "left",
+        )
+        .join(
+            truth.select(F.col("o_orderkey").alias("k2")),
+            F.col("o_orderkey") == F.col("k2"),
+            "left",
+        )
+    )
+    is_pass = F.col("k1").isNotNull()
+    is_true = F.col("k2").isNotNull()
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(is_pass, 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(is_true, 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(is_pass & ~is_true, 1).otherwise(0)).alias("n_false_pos"),
+    )
+
+
+# --- binned quantile sketch -------------------------------------------------
+
+QBIN_WIDTH = 5.0  # events.value ∈ [0, ~500) ⇒ ≤ ~100 bins
+
+
+_QBIN_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, CAST(floor(value / {QBIN_WIDTH}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM events GROUP BY event_type, bin
+),
+cum AS (
+  SELECT event_type, bin, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(min(CASE WHEN cum * 2 >= n THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS BIGINT) AS p95_bin
+FROM cum GROUP BY event_type
+"""
+
+
+@register("approx_quantile_binned", _QBIN_ORACLE)
+def q_approx_quantile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantiles per event_type: the fixed-size
+    alternative to exact percentiles (whose aggregation buffers every
+    group value) and to percentile_approx (whose sketch is not
+    engine-portable). One map-side-combined count per (group, bin) —
+    the state is bounded by the bin count regardless of row count — then
+    the quantile is the first bin whose cumulative count crosses the
+    rank, found with integer cross-multiplication (cum·2 ≥ n for p50,
+    cum·20 ≥ 19·n for p95) so no float rank arithmetic is involved.
+    ``floor(value / width)`` is one IEEE division + floor — identical on
+    both engines. Resolution = the bin width; the exact-rank bracket
+    check lives in sketch_error_bounds."""
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / QBIN_WIDTH).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = W.partitionBy("event_type").orderBy("bin")
+    wall = W.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("bin")))
+        .cast("long")
+        .alias("p50_bin"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("bin")))
+        .cast("long")
+        .alias("p95_bin"),
+    )
+
+
+# --- temperature-weighted training mixture ----------------------------------
+
+MIX_BUDGET = 10_000  # target corpus size the quotas divide
+
+
+_MIXTURE_TEMP_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT)
+           AS quota_scaled
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(quota_scaled) AS total FROM s)
+SELECT s.source, s.n_docs, s.quota_scaled,
+       CAST(s.n_docs * 1000000 // (SELECT sum(n_docs) FROM s) AS BIGINT)
+         AS nat_ppm,
+       CAST(s.quota_scaled * 1000000 // tot.total AS BIGINT) AS temp_ppm,
+       CAST(s.quota_scaled * {MIX_BUDGET} // tot.total AS BIGINT) AS n_target
+FROM s, tot
+"""
+
+
+@register("mixture_temperature", _MIXTURE_TEMP_ORACLE)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source upweighting for a training mixture
+    (the T5/UnifiedQA move: sample source s proportional to n_s^α so
+    small curated sources aren't drowned by the crawl): α = 0.5, whose
+    ``sqrt`` is the one power IEEE guarantees correctly rounded — any
+    other α would make the weight engine-dependent. The sqrt immediately
+    quantizes to an integer quota (floor ×1e6), so the cross-source
+    normalization is integer division over an order-free integer sum.
+    Emits, per source: natural vs temperature shares in exact ppm and
+    the integer document budget each source gets out of MIX_BUDGET.
+
+    Scale shape: one count per source (map-side combined), then
+    arithmetic over the ~|sources| rows — nothing else moves."""
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    quota = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000).cast("long")
+    s = s.select("source", F.col("n_docs").cast("long").alias("n_docs"), quota.alias("quota_scaled"))
+    tot = s.agg(
+        F.sum("quota_scaled").alias("total"), F.sum("n_docs").alias("total_docs")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "quota_scaled",
+            F.floor(F.col("n_docs") * 1_000_000 / F.col("total_docs"))
+            .cast("long")
+            .alias("nat_ppm"),
+            F.floor(F.col("quota_scaled") * 1_000_000 / F.col("total"))
+            .cast("long")
+            .alias("temp_ppm"),
+            F.floor(F.col("quota_scaled") * MIX_BUDGET / F.col("total"))
+            .cast("long")
+            .alias("n_target"),
+        )
+    )

@@ -446,3 +446,45 @@ class TestRound4Plans:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestRound5Plans:
+    """Plan audits for the round-5 portable sketches and the collapsed
+    exact-Jaccard scale path."""
+
+    def test_hll_partial_aggregates_and_no_python(self, spark, registry):
+        # register construction must map-side combine (two-phase agg on
+        # (event_type, reg)) and stay entirely in codegen
+        plan = plan_of(q(registry, "hll_registers", spark))
+        assert "partial_max" in plan or "partial_" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bloom_probe_is_broadcast_semi(self, spark, registry):
+        # the bit-set and the build side broadcast; the probe side joins
+        # LeftSemi without shuffling before the final group-count
+        plan = plan_of(q(registry, "bloom_join_prune", spark))
+        assert plan.count("LeftSemi") >= 4  # 3 position tests + truth
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_binned_quantiles_single_bin_aggregate(self, spark, registry):
+        # state is bounded by bin count: one partial-agg per (type, bin),
+        # then window + final agg on the tiny binned frame
+        plan = plan_of(q(registry, "approx_quantile_binned", spark))
+        assert "partial_count" in plan or "partial_" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_mixture_temperature_broadcasts_totals(self, spark, registry):
+        plan = plan_of(q(registry, "mixture_temperature", spark))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_capped_jaccard_broadcasts_hot_shingles(self, spark, registry):
+        # the df-cap anti-join must broadcast the (few) hot shingles, and
+        # candidate verify joins stay equi — no cartesian anywhere
+        plan = plan_of(q(registry, "dedup_ngram_jaccard", spark))
+        assert "BroadcastExchange" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
