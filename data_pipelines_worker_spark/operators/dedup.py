@@ -181,12 +181,11 @@ def jaccard_pairs(
             .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
         )
     # -- 1. exact-collapse to unique-text representatives ------------------
-    grp = df.select(
-        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("gid")
-    )
-    rep = grp.groupBy("gid").agg(F.min("doc").alias("rep"))
+    members = _text_group_members(df, id_col, text_col)
     d = (
-        d_all.join(rep.select(F.col("rep").alias("doc")), "doc")
+        d_all.join(
+            members.select(F.col("rep").alias("doc")).distinct(), "doc"
+        )
         .persist()
     )
     if df_cap == "auto":
@@ -227,7 +226,28 @@ def jaccard_pairs(
         )
     )
     # -- 4. expand rep pairs to member pairs (output-linear) ---------------
-    members = grp.join(rep, "gid").select("doc", "rep")
+    return _expand_member_pairs(rp, members, d)
+
+
+def _text_group_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, rep) for every document: byte-identical texts group on
+    md5(text) and the min-id member represents the group. One digest-keyed
+    shuffle; the text body never rides past the hash."""
+    grp = df.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("gid")
+    )
+    rep = grp.groupBy("gid").agg(F.min("doc").alias("rep"))
+    return grp.join(rep, "gid").select("doc", "rep")
+
+
+def _expand_member_pairs(rp: DataFrame, members: DataFrame, d: DataFrame) -> DataFrame:
+    """Fan representative near-dup pairs ``rp`` (r1, r2, jaccard) back out
+    to member pairs — output-linear: each emitted row is one output pair.
+
+    Cross-group member pairs inherit the rep pair's J (identical texts ⇒
+    identical shingle sets ⇒ same J); within-group pairs are identical
+    texts, J = 1.0 exactly, emitted only for groups whose representative
+    shingled (≥ k words, i.e. appears in ``d``)."""
     ma = members.select(F.col("rep").alias("r1"), F.col("doc").alias("da"))
     mb = members.select(F.col("rep").alias("r2"), F.col("doc").alias("db"))
     cross = (
@@ -239,8 +259,6 @@ def jaccard_pairs(
             "jaccard",
         )
     )
-    # within-group pairs: identical texts, J = 1.0 exactly — only for
-    # groups whose representative shingled (≥ k words).
     g_ok = members.join(
         d.select(F.col("doc").alias("rep")).distinct(), "rep"
     ).select("rep", "doc")
@@ -292,8 +310,19 @@ def minhash_lsh_pairs(
     default 32×2 banding the miss probability at J ≥ 0.75 is < 1e-9, so on
     any realistic corpus this equals the exact answer while scaling as
     O(docs + candidates).
+
+    Byte-identical texts exact-collapse to a min-id representative before
+    signatures (real crawls are exact-dup-heavy; identical docs share
+    identical signatures, hence every band bucket, so an m-copy group
+    would otherwise pay C(m,2) candidate+verify work *per band*). Rep
+    pairs expand back to member pairs output-linearly — provably the
+    same pair set as the uncollapsed computation, because identical
+    texts collide in all bands (within-group, J = 1.0) and every member
+    pair shares its representatives' signatures (cross-group).
     """
-    d = _doc_shingles(df, id_col, text_col, k).persist()
+    members = _text_group_members(df, id_col, text_col).persist()
+    reps = members.select(F.col("rep").alias("doc")).distinct()
+    d = _doc_shingles(df, id_col, text_col, k).join(reps, "doc").persist()
     # Signature via explode + 64 min-aggregates: each shingle is hashed
     # ONCE (the columnar minhash_signature() inlines the base-hash transform
     # into all 64 permutations — 64× the hashing and array churn), and the
@@ -345,7 +374,12 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    rp = verified.select(
+        F.col("d1").alias("r1"),
+        F.col("d2").alias("r2"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    return _expand_member_pairs(rp, members, d)
 
 
 # --- SimHash ---------------------------------------------------------------

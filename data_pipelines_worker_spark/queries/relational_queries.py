@@ -986,3 +986,55 @@ def q_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((syd - slope * F.col("sx")) / F.col("n")).alias("intercept"),
         F.when(cden != 0, num / cden).alias("corr"),
     )
+
+
+@register(
+    "rolling_features",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w5 AS BIGINT) AS n_last5,
+           CAST(sum(v_c) OVER w5 AS BIGINT) AS sum_last5_c,
+           CAST(max(v_c) OVER w5 AS BIGINT) AS max_last5_c,
+           CAST(ts_us - lag(ts_us) OVER wu AS BIGINT) AS gap_us,
+           CAST(row_number() OVER wu AS BIGINT) AS seq
+    FROM e
+    WINDOW wu AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+           w5 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling event features (the feature-engineering shape a
+    behavioral model trains on): trailing-5-row count/sum/max of the
+    event value, inter-event gap, and sequence number — one window
+    partition per user, totally ordered by (epoch micros, event_id) per
+    the timestamp-normalization rules, money in integer cents.
+
+    Scale shape: ONE hash exchange on user_id feeds every frame (Spark
+    plans all five functions over the shared sort); trailing-row frames
+    keep O(frame) state per partition, never the whole user history."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    e = ev.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        cents(F.col("value")).alias("v_c"),
+    )
+    wu = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w5 = wu.rowsBetween(-4, W.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w5).cast("long").alias("n_last5"),
+        F.sum("v_c").over(w5).cast("long").alias("sum_last5_c"),
+        F.max("v_c").over(w5).cast("long").alias("max_last5_c"),
+        (F.col("ts_us") - F.lag("ts_us").over(wu)).cast("long").alias("gap_us"),
+        F.row_number().over(wu).cast("long").alias("seq"),
+    )

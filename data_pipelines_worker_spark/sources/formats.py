@@ -1,0 +1,89 @@
+"""Format-agnostic dataset IO (SURVEY §1.1: the reference ingests opaque
+objects from MinIO and sniffs mime types — pipeline_block_data_registry.go
+:291-334; on Spark the same role is a format matrix over any
+Hadoop-filesystem URI).
+
+Parquet is the engine's native interchange (typed, splittable, predicate
+pushdown); CSV/JSON exist for interop at the edges and ORC for
+warehouse-side handoff. The matrix preserves round-trip fidelity where the
+format allows it and documents the loss where it doesn't:
+
+- parquet / orc: full fidelity (nested types, binary, timestamp micros);
+- json: no binary columns (base64 would silently change hashes — callers
+  drop or encode them explicitly); timestamps serialized ISO-8601 UTC;
+- csv: scalar columns only (arrays/structs/binary rejected loudly),
+  timestamps pinned to ``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` UTC.
+
+Readers take an explicit schema whenever the format is schema-poor
+(csv/json): at 100 TB, schema inference is a full extra pass over the
+data and type drift between files becomes silent corruption — an
+explicit schema makes both impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: formats whose writers keep every Spark type intact
+LOSSLESS = ("parquet", "orc")
+FORMATS = ("parquet", "orc", "json", "csv")
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _check_csv_schema(schema: T.StructType) -> None:
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+            raise ValueError(
+                f"csv cannot carry column {f.name!r} of type "
+                f"{f.dataType.simpleString()}; use parquet/orc (or json for "
+                "arrays/structs)"
+            )
+
+
+def _check_json_schema(schema: T.StructType) -> None:
+    for f in schema.fields:
+        if isinstance(f.dataType, T.BinaryType):
+            raise ValueError(
+                f"json would base64-mangle binary column {f.name!r}; use "
+                "parquet/orc"
+            )
+
+
+def write_dataset(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Write ``df`` at ``path`` in ``fmt``, rejecting silent-loss column
+    types per format (see module docstring)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; one of {FORMATS}")
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        _check_csv_schema(df.schema)
+        w = w.option("header", "true").option("timestampFormat", _TS_FMT)
+    elif fmt == "json":
+        _check_json_schema(df.schema)
+        w = w.option("timestampFormat", _TS_FMT)
+    w.format(fmt).save(path)
+
+
+def read_dataset(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a dataset written by :func:`write_dataset`.
+
+    ``schema`` is required for csv/json (inference is an extra full pass
+    and admits type drift); parquet/orc carry their own."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; one of {FORMATS}")
+    r = spark.read
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires an explicit schema")
+        r = r.schema(schema)
+        r = r.option("timestampFormat", _TS_FMT)
+        if fmt == "csv":
+            r = r.option("header", "true")
+    return r.format(fmt).load(path)

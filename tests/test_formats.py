@@ -1,0 +1,71 @@
+"""Round-trip fidelity matrix for sources/formats.py: every format either
+reproduces the source bytes exactly or refuses the column type loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_worker_spark.session import load_table
+from data_pipelines_worker_spark.sources.formats import (
+    FORMATS,
+    read_dataset,
+    write_dataset,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(*key).collect()]
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_events_roundtrip_all_formats(spark, tmp_path, fmt):
+    # events: longs, double, string, timestamp — every format must carry
+    # them bit-exactly (timestamps at micro precision)
+    src = load_table(spark, SF, "events")
+    path = str(tmp_path / f"events_{fmt}")
+    write_dataset(src, path, fmt)
+    back = read_dataset(spark, path, fmt, schema=src.schema)
+    assert back.schema == src.schema
+    assert _sorted_rows(back, ["event_id"]) == _sorted_rows(src, ["event_id"])
+
+
+@pytest.mark.parametrize("fmt", ("parquet", "orc", "json"))
+def test_documents_roundtrip(spark, tmp_path, fmt):
+    src = load_table(spark, SF, "documents")
+    path = str(tmp_path / f"docs_{fmt}")
+    write_dataset(src, path, fmt)
+    back = read_dataset(spark, path, fmt, schema=src.schema)
+    assert _sorted_rows(back, ["doc_id"]) == _sorted_rows(src, ["doc_id"])
+
+
+@pytest.mark.parametrize("fmt", ("parquet", "orc"))
+def test_embeddings_nested_roundtrip(spark, tmp_path, fmt):
+    # array<float> column: lossless formats only
+    src = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / f"emb_{fmt}")
+    write_dataset(src, path, fmt)
+    back = read_dataset(spark, path, fmt)
+    assert _sorted_rows(back, ["vec_id"]) == _sorted_rows(src, ["vec_id"])
+
+
+def test_csv_rejects_array_column(spark, tmp_path):
+    src = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="csv cannot carry"):
+        write_dataset(src, str(tmp_path / "x"), "csv")
+
+
+def test_json_rejects_binary_column(spark, tmp_path):
+    df = spark.range(1).select(F.lit(b"\x00\x01").alias("b"))
+    with pytest.raises(ValueError, match="base64-mangle"):
+        write_dataset(df, str(tmp_path / "x"), "json")
+
+
+def test_schema_required_for_schema_poor_formats(spark, tmp_path):
+    src = load_table(spark, SF, "events").limit(1)
+    path = str(tmp_path / "ev_json")
+    write_dataset(src, path, "json")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_dataset(spark, path, "json")
