@@ -54,6 +54,9 @@ _DRIVER_PRIORITY = (
     "bloom_join_prune",
     "approx_quantile_binned",
     "mixture_temperature",
+    "rolling_features",
+    "vocab_richness",
+    "crossval_split",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

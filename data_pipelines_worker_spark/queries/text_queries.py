@@ -411,3 +411,103 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..operators.text_analysis.bpe_train_merges`."""
     docs = load_table(spark, sf_dir, "documents")
     return ta.bpe_train_merges(docs, n_merges=3)
+
+
+@register(
+    "vocab_richness",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(count(*) AS DOUBLE) / sum(n) AS ttr,
+           CAST(max(n) AS BIGINT) AS max_word_freq
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per document — type count, token count,
+    hapax legomena, type-token ratio, top word frequency: the signals
+    repetition/boilerplate filters cut on (a spam page has low TTR and a
+    dominating max frequency; lorem-ipsum churn has high hapax share).
+
+    Scale shape: explode → ONE (doc, word)-keyed count with map-side
+    combine → per-doc rollup. Everything integer except the final TTR,
+    a single IEEE division of two exact counts. Complements
+    repetition_signals (char/n-gram level) at the word level."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    c = w.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        (F.count("*").cast("double") / F.sum("n")).alias("ttr"),
+        F.max("n").cast("long").alias("max_word_freq"),
+    )
+
+
+def _crossval_oracle() -> str:
+    from .sketch_queries import _hll_mix_sql
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+               AS n_tokens,
+             {_hll_mix_sql("doc_id")} % 10 AS bucket
+      FROM documents
+    ),
+    f AS (
+      SELECT source,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val' ELSE 'test' END AS fold,
+             n_tokens
+      FROM s
+    )
+    SELECT source, fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM f GROUP BY source, fold
+    """
+
+
+@register("crossval_split", _crossval_oracle())
+def q_crossval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test manifest per source: fold
+    assignment is a pure function of the document id, so any worker, any
+    partitioning, any rerun — or a different engine entirely — assigns
+    every document to the same fold with no shared state and no stored
+    split table. The hash is the xor-fold mix from sketch_queries, NOT a
+    bare affine map: ids are assigned round-robin across sources
+    (doc_id ≡ source index mod n_sources), and an affine map sends an
+    arithmetic id progression to an arithmetic bucket progression —
+    observed: stride 20·a ≡ 0 (mod 10), every source landing wholesale
+    in one fold. The per-(source, fold) token totals are the numbers a
+    training config is provisioned from.
+
+    Scale shape: map-only fold tag on the scan, one (source, fold)
+    rollup with map-side combine; nothing else moves."""
+    from .sketch_queries import _hll_mix_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hll_mix_col(F.col("doc_id")) % 10
+    fold = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "source",
+            fold.alias("fold"),
+            ta.token_count_regex(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("source", "fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
