@@ -57,6 +57,8 @@ _DRIVER_PRIORITY = (
     "rolling_features",
     "vocab_richness",
     "crossval_split",
+    "minhash_similarity_estimate",
+    "incremental_dedup",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

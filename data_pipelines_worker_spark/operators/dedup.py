@@ -597,3 +597,79 @@ def dup_span_removal(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> D
             (F.col("n_tokens") - F.col("n_dup_tokens")).cast("double") / F.col("n_tokens"),
         )
     )
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    k: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus — the daily
+    operational shape: the index is orders of magnitude larger than the
+    increment, and rebuilding all-pairs over (index ∪ new) would redo
+    yesterday's work.
+
+    Per new document: whether its exact digest already exists in the
+    index, and its best near-dup index match (max Jaccard, ties to the
+    smallest index id — a total order). Candidate generation is the
+    inverted-index join NEW⋈INDEX on shingles — cost Σ_s df_new(s) ·
+    df_idx(s), proportional to the increment, never index²; at full
+    scale the index side of the join is the persisted posting list a
+    production system maintains between batches.
+
+    Returns (id, exact_dup, best_match_id, best_jaccard) — nulls when no
+    near-dup clears the threshold."""
+    from pyspark.sql import Window as W
+
+    # each side feeds both its posting list and its size frame — persist
+    # so the shingling (the compute-heavy stage) runs once per side
+    new_d = _doc_shingles(new_df, id_col, text_col, k).persist()
+    idx_d = _doc_shingles(index_df, id_col, text_col, k).persist()
+    inv_new = new_d.select(F.col("doc").alias("nd"), F.explode("sh").alias("s"))
+    inv_idx = idx_d.select(F.col("doc").alias("xd"), F.explode("sh").alias("s"))
+    common = (
+        inv_new.join(inv_idx, "s")
+        .groupBy("nd", "xd")
+        .agg(F.count("*").alias("common"))
+    )
+    sn = new_d.select(F.col("doc").alias("nd"), F.size("sh").alias("n_new"))
+    sx = idx_d.select(F.col("doc").alias("xd"), F.size("sh").alias("n_idx"))
+    j = F.col("common") / (F.col("n_new") + F.col("n_idx") - F.col("common"))
+    scored = (
+        common.join(sn, "nd")
+        .join(sx, "xd")
+        .withColumn("jaccard", F.round(j, 6))
+        .where(F.col("jaccard") >= threshold)
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("nd").orderBy(F.desc("jaccard"), F.asc("xd"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("nd").alias(id_col),
+            F.col("xd").alias("best_match_id"),
+            "jaccard",
+        )
+    )
+    idx_digests = index_df.select(F.md5(F.col(text_col)).alias("dg")).distinct()
+    out = (
+        new_df.select(id_col, F.md5(F.col(text_col)).alias("dg"))
+        .join(idx_digests.withColumn("hit", F.lit(True)), "dg", "left")
+        .select(id_col, F.coalesce(F.col("hit"), F.lit(False)).alias("exact_dup"))
+    )
+    return (
+        out.join(best, id_col, "left")
+        .select(
+            id_col,
+            "exact_dup",
+            F.col("best_match_id").cast("long").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )

@@ -366,3 +366,60 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.6, k=3, df_cap="auto")
     return graph.pagerank_int(pairs, "d1", "d2", n_iter=3)
+
+
+_INCR_ORACLE = """
+WITH newd AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+idx AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+dn AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in generate_series(1, len(words) - 2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM newd)
+  WHERE len(words) >= 3
+),
+dx AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in generate_series(1, len(words) - 2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM idx)
+  WHERE len(words) >= 3
+),
+invn AS (SELECT doc_id AS nd, unnest(sh) AS s FROM dn),
+invx AS (SELECT doc_id AS xd, unnest(sh) AS s FROM dx),
+common AS (
+  SELECT nd, xd, count(*) AS c FROM invn JOIN invx USING (s) GROUP BY nd, xd
+),
+scored AS (
+  SELECT nd, xd,
+         round(c / (len(a.sh) + len(b.sh) - c), 6) AS j
+  FROM common JOIN dn a ON a.doc_id = nd JOIN dx b ON b.doc_id = xd
+  WHERE c / (len(a.sh) + len(b.sh) - c) >= 0.6
+),
+best AS (
+  SELECT nd, xd, j FROM (
+    SELECT nd, xd, j,
+           row_number() OVER (PARTITION BY nd ORDER BY j DESC, xd) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT n.doc_id,
+       (md5(n.text) IN (SELECT md5(text) FROM idx)) AS exact_dup,
+       CAST(best.xd AS BIGINT) AS best_match_id,
+       best.j AS best_jaccard
+FROM newd n LEFT JOIN best ON best.nd = n.doc_id
+"""
+
+
+@register("incremental_dedup", _INCR_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational increment path: documents with doc_id % 10 = 0
+    play the incoming batch, the rest the standing corpus; each new doc
+    reports whether its digest already exists and its best near-dup
+    index match (max J, ties to the smallest index id). Candidate work
+    is NEW⋈INDEX on the inverted index — proportional to the increment,
+    never index². See :func:`..operators.dedup.incremental_near_dup`."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_df = docs.where(F.col("doc_id") % 10 == 0)
+    idx_df = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_near_dup(new_df, idx_df, "doc_id", "text")

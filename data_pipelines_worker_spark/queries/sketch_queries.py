@@ -419,3 +419,121 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_target"),
         )
     )
+
+
+# --- MinHash similarity estimate vs exact ----------------------------------
+
+MH_P = 64  # permutations reused from the dedup family
+
+
+def _mh_oracle() -> str:
+    from ..operators.dedup import PERM_A, PERM_B
+
+    mins = ", ".join(
+        f"min((code * {PERM_A[i]} + {PERM_B[i]}) % {MOD}) AS m{i}"
+        for i in range(MH_P)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(MH_P)
+    )
+    return f"""
+WITH codes AS (
+  SELECT DISTINCT source,
+         CAST(ascii(w[1]) + length(w) AS BIGINT) AS code
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+sig AS (SELECT source, {mins} FROM codes GROUP BY source),
+sizes AS (SELECT source, count(*) AS n FROM codes GROUP BY source),
+pairs AS (
+  SELECT a.source AS s1, b.source AS s2, CAST({matches} AS BIGINT) AS match_perms
+  FROM sig a JOIN sig b ON a.source < b.source
+),
+common AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS c
+  FROM codes a JOIN codes b ON a.code = b.code AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2, p.match_perms,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS exact_common,
+       CAST(sa.n + sb.n - coalesce(c.c, 0) AS BIGINT) AS exact_union
+FROM pairs p
+LEFT JOIN common c ON c.s1 = p.s1 AND c.s2 = p.s2
+JOIN sizes sa ON sa.source = p.s1
+JOIN sizes sb ON sb.source = p.s2
+"""
+
+
+@register("minhash_similarity_estimate", _mh_oracle())
+def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash estimator held against its ground truth: for every
+    source pair, the number of agreeing permutation minima (out of 64)
+    next to the exact Jaccard ingredients of the two word-code sets —
+    E[match_perms/64] = J is the property every LSH design in this
+    engine stands on, and this query makes the estimate itself
+    hash-auditable (both columns exact integers; the tests assert the
+    estimator lands within binomial error of truth).
+
+    Word codes (ascii of first char + length — the simhash feature map)
+    rather than raw words keep the hashing engine-portable; the
+    signature aggregate is 64 min() columns per source — map-side
+    combined, 64 longs per group on the wire, the same shuffle shape as
+    the dedup family's signature stage (operators/dedup.py).
+
+    Scale: |sources|² pair comparisons on 64-long signatures is the
+    *whole point* — compare sketches, never the sets; the exact side
+    here is the verifier and would be dropped at 100 TB."""
+    from ..operators.dedup import PERM_A, PERM_B
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ", -1)).alias("w")
+    )
+    code = (F.ascii(F.substring("w", 1, 1)) + F.length("w")).cast("long")
+    codes = w.select("source", code.alias("code")).distinct()
+    sig = codes.groupBy("source").agg(
+        *[
+            F.min(F.pmod(F.col("code") * PERM_A[i] + PERM_B[i], F.lit(MOD))).alias(
+                f"m{i}"
+            )
+            for i in range(MH_P)
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    match_perms = sum(
+        (
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(MH_P)
+        ),
+        F.lit(0),
+    )
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("s1"),
+        F.col("b.source").alias("s2"),
+        match_perms.cast("long").alias("match_perms"),
+    )
+    ca, cb = codes.alias("ca"), codes.alias("cb")
+    common = (
+        ca.join(
+            cb,
+            (F.col("ca.code") == F.col("cb.code"))
+            & (F.col("ca.source") < F.col("cb.source")),
+        )
+        .groupBy(F.col("ca.source").alias("s1"), F.col("cb.source").alias("s2"))
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = codes.groupBy("source").agg(F.count("*").alias("n"))
+    return (
+        pairs.join(common, ["s1", "s2"], "left")
+        .join(sizes.select(F.col("source").alias("s1"), F.col("n").alias("na")), "s1")
+        .join(sizes.select(F.col("source").alias("s2"), F.col("n").alias("nb")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "match_perms",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("exact_common"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+        )
+    )

@@ -121,3 +121,19 @@ def test_mixture_temperature_flattens_toward_uniform(spark, registry):
         for a, b in zip(by_docs, by_docs[1:]):
             if a.n_docs < b.n_docs:
                 assert a.quota_scaled <= b.quota_scaled
+
+
+def test_minhash_estimator_within_binomial_error(spark, registry):
+    fn, _ = registry["minhash_similarity_estimate"]
+    for sf in (SF, SF_MID):
+        rows = fn(spark, sf).collect()
+        assert rows
+        bad = 0
+        for r in rows:
+            j = r.exact_common / r.exact_union
+            est = r.match_perms / 64
+            # 3σ binomial: σ = sqrt(J(1-J)/64) ≤ 0.0625
+            if abs(est - j) > 3 * math.sqrt(max(j * (1 - j), 0.004) / 64):
+                bad += 1
+        # ~99.7 % of pairs should sit inside 3σ; allow a small tail
+        assert bad <= max(1, len(rows) // 50), f"{bad}/{len(rows)} outside 3σ"
