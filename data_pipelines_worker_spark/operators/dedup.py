@@ -638,11 +638,16 @@ def incremental_near_dup(
     sn = new_d.select(F.col("doc").alias("nd"), F.size("sh").alias("n_new"))
     sx = idx_d.select(F.col("doc").alias("xd"), F.size("sh").alias("n_idx"))
     j = F.col("common") / (F.col("n_new") + F.col("n_idx") - F.col("common"))
+    # filter on the UNROUNDED value, round only for output — the same
+    # order as jaccard_pairs and the oracle; filtering post-round would
+    # admit pairs in [t − 5e-7, t) that the oracle excludes
     scored = (
         common.join(sn, "nd")
         .join(sx, "xd")
-        .withColumn("jaccard", F.round(j, 6))
-        .where(F.col("jaccard") >= threshold)
+        .withColumn("__j", j)
+        .where(F.col("__j") >= threshold)
+        .withColumn("jaccard", F.round("__j", 6))
+        .drop("__j")
     )
     best = (
         scored.withColumn(

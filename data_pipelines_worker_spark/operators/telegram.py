@@ -269,7 +269,24 @@ def _send_partition(rows, client: TelegramClient, group_id, block_id: str,
     """Executor-side send loop: every row is *attempted* (per-row
     try/except), and each yields a result record — so the driver can roll
     back exactly the failed claims instead of stranding everything after
-    a failure point (ADVICE r4 #1)."""
+    a failure point (ADVICE r4 #1).
+
+    Delivery semantics are at-least-once under *task* loss: sends are an
+    external effect Spark cannot roll back, so a silently retried task
+    would re-send every row delivered before the crash. The attempt
+    guard below turns that silent re-run into a loud job failure — the
+    driver then releases the batch's claims and the service's backoff
+    retry re-drives it, the same crash-replay window the reference's
+    sequential send loop has (rows sent by the first attempt before the
+    crash may repeat; nothing repeats systematically)."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None and ctx.attemptNumber() > 0:
+        raise RuntimeError(
+            "telegram send task retried — refusing to re-send blind; the "
+            "service's delivery retry re-drives with claim bookkeeping"
+        )
     for row in rows:
         idx = int(row["input_index"])
         try:
@@ -444,9 +461,14 @@ class TelegramTransport:
             except Exception:  # noqa: BLE001
                 continue
             c = col_for[b.param]
+            # exactly one row per input_index (highest output_index wins,
+            # deterministically): a stage with duplicate indexes must not
+            # fan the send plan out into duplicate messages
             mdf = (
-                mdf.select("input_index", F.col("payload_bin").alias(f"{c}_new"))
-                .where(F.col(f"{c}_new").isNotNull())
+                mdf.select("input_index", "output_index", "payload_bin")
+                .where(F.col("payload_bin").isNotNull())
+                .groupBy("input_index")
+                .agg(F.max_by("payload_bin", "output_index").alias(f"{c}_new"))
             )
             plan = (
                 plan.join(mdf, "input_index", "left")

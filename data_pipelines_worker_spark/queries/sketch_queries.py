@@ -69,9 +69,16 @@ def _rho_col(w):
     return F.when(w == 0, HLL_WBITS + 1).otherwise(expr).cast("long")
 
 
-#: α·m²·2^WBITS, pre-quantized to an exact integer so both engines divide
+#: Z-scale exponent: ρ ranges 1..WBITS+1 (the +1 is the w = 0 case), so
+#: the harmonic term 2^(ZBITS − ρ) must scale by 2^(WBITS+1) to stay an
+#: INTEGER for ρ = WBITS+1 (scaling by 2^WBITS made that term ½ and the
+#: naive shift-by-(WBITS−ρ) = shift-by-−1, which Spark masks to shift 63
+#: = Long.MIN_VALUE — garbage z, divergent oracle).
+HLL_ZBITS = HLL_WBITS + 1
+
+#: α·m²·2^ZBITS, pre-quantized to an exact integer so both engines divide
 #: the same numerator (α_64 = 0.709 as the rational 709/1000)
-HLL_NUM = (709 * HLL_M * HLL_M * (1 << HLL_WBITS)) // 1000
+HLL_NUM = (709 * HLL_M * HLL_M * (1 << HLL_ZBITS)) // 1000
 
 _HLL_ORACLE = f"""
 WITH h AS (
@@ -89,7 +96,7 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_regs,
          CAST(sum(m) AS BIGINT) AS reg_sum,
          CAST(max(m) AS BIGINT) AS reg_max,
-         CAST(sum((1::BIGINT << ({HLL_WBITS} - m))) AS BIGINT) AS z_present
+         CAST(sum((1::BIGINT << ({HLL_ZBITS} - m))) AS BIGINT) AS z_present
   FROM regs GROUP BY event_type
 ),
 ex AS (
@@ -98,10 +105,10 @@ ex AS (
 )
 SELECT a.event_type, ex.exact_users, a.reg_sum, a.reg_max,
        CAST({HLL_M} - a.n_regs AS BIGINT) AS n_zero_regs,
-       CAST(a.z_present + ({HLL_M} - a.n_regs) * (1::BIGINT << {HLL_WBITS})
+       CAST(a.z_present + ({HLL_M} - a.n_regs) * (1::BIGINT << {HLL_ZBITS})
             AS BIGINT) AS z_scaled,
        CAST({HLL_NUM}
-            // (a.z_present + ({HLL_M} - a.n_regs) * (1::BIGINT << {HLL_WBITS}))
+            // (a.z_present + ({HLL_M} - a.n_regs) * (1::BIGINT << {HLL_ZBITS}))
             AS BIGINT) AS hll_est
 FROM agg a JOIN ex ON ex.event_type = a.event_type
 """
@@ -119,7 +126,7 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     affine hash, register split (h mod m / h div m), ρ = trailing zeros,
     and the harmonic sum are all int64 arithmetic, so the oracle pins the
     *registers themselves* (reg_sum / reg_max / z_scaled) plus an
-    integer-division estimate ``hll_est = (0.709·m²·2^25) // Z`` — not a
+    integer-division estimate ``hll_est = (0.709·m²·2^26) // Z`` — not a
     tolerance band that could flip on unseen data. Estimate quality
     (rsd = 13 % at m=64) is asserted in tests, not in the hash contract.
 
@@ -146,10 +153,11 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "reg")
         .agg(F.max("rho").alias("m"))
     )
-    # 2^(WBITS - m) with a column shift amount: expression form (the
-    # functions.shiftleft signature takes only a literal bit count)
+    # 2^(ZBITS - m) with a column shift amount: expression form (the
+    # functions.shiftleft signature takes only a literal bit count).
+    # ZBITS, not WBITS: ρ reaches WBITS+1 and the shift must stay ≥ 0.
     z_present = F.sum(
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS} - m AS INT))")
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_ZBITS} - m AS INT))")
     )
     agg = regs.groupBy("event_type").agg(
         F.count("*").alias("n_regs"),
@@ -160,7 +168,7 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    z_scaled = F.col("z_present") + (HLL_M - F.col("n_regs")) * F.lit(1 << HLL_WBITS)
+    z_scaled = F.col("z_present") + (HLL_M - F.col("n_regs")) * F.lit(1 << HLL_ZBITS)
     return (
         agg.join(exact, "event_type")
         .withColumn("z_scaled", z_scaled.cast("long"))
@@ -402,21 +410,25 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = s.agg(
         F.sum("quota_scaled").alias("total"), F.sum("n_docs").alias("total_docs")
     )
+    # `div`, not floor(double /): the oracle's `//` is exact BIGINT
+    # division, and floor over a double quotient drifts by 1 once the
+    # numerator crosses 2^53 (quota_scaled·1e6 gets there at ~8e7 docs
+    # per source — inside the design target)
     return (
         s.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             "quota_scaled",
-            F.floor(F.col("n_docs") * 1_000_000 / F.col("total_docs"))
-            .cast("long")
-            .alias("nat_ppm"),
-            F.floor(F.col("quota_scaled") * 1_000_000 / F.col("total"))
-            .cast("long")
-            .alias("temp_ppm"),
-            F.floor(F.col("quota_scaled") * MIX_BUDGET / F.col("total"))
-            .cast("long")
-            .alias("n_target"),
+            F.expr("CAST(n_docs * 1000000 div total_docs AS BIGINT)").alias(
+                "nat_ppm"
+            ),
+            F.expr("CAST(quota_scaled * 1000000 div total AS BIGINT)").alias(
+                "temp_ppm"
+            ),
+            F.expr(f"CAST(quota_scaled * {MIX_BUDGET} div total AS BIGINT)").alias(
+                "n_target"
+            ),
         )
     )
 

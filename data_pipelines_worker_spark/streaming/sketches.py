@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..queries.sketch_queries import HLL_M, HLL_NUM, HLL_WBITS, _hll_mix_col, _rho_col
+from ..queries.sketch_queries import HLL_M, HLL_NUM, HLL_ZBITS, _hll_mix_col, _rho_col
 
 
 def windowed_hll(
@@ -49,11 +49,12 @@ def windowed_hll(
         .groupBy(F.window(ts_col, window).alias("w"), group_col)
         .agg(*maxes)
     )
-    # projection-level harmonic sum: empty register (NULL max) ⇒ 2^WBITS
+    # projection-level harmonic sum: empty register (NULL max) ⇒ 2^ZBITS
+    # (ZBITS = WBITS+1 so the ρ = WBITS+1 term stays a non-negative shift)
     z_terms = [
         F.coalesce(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_WBITS} - r{i} AS INT))"),
-            F.lit(1 << HLL_WBITS).cast("long"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_ZBITS} - r{i} AS INT))"),
+            F.lit(1 << HLL_ZBITS).cast("long"),
         )
         for i in range(HLL_M)
     ]

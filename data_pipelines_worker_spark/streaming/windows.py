@@ -23,7 +23,9 @@ def windowed_counts(
     batch); in streaming, append mode emits a window once the watermark
     passes its end.
     """
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    from ..queries.relational_queries import cents as _cents
+
+    cents = _cents(F.col("value"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")

@@ -137,3 +137,37 @@ def test_minhash_estimator_within_binomial_error(spark, registry):
                 bad += 1
         # ~99.7 % of pairs should sit inside 3σ; allow a small tail
         assert bad <= max(1, len(rows) // 50), f"{bad}/{len(rows)} outside 3σ"
+
+
+def test_hll_rho_max_register_w_zero_keys(spark):
+    # keys whose mixed hash is < 64 give w = hv div 64 = 0 ⇒ ρ = WBITS+1
+    # = 26 — the maximal register. The harmonic term must stay a
+    # POSITIVE integer (2^(ZBITS−26) = 1); with the old 2^WBITS scaling
+    # the shift was −1, which Spark masks to shift 63 = Long.MIN_VALUE.
+    import datetime
+
+    from data_pipelines_worker_spark.queries.sketch_queries import (
+        HLL_WBITS,
+        HLL_ZBITS,
+        _hll_mix_col,
+    )
+    from data_pipelines_worker_spark.streaming.sketches import windowed_hll
+    from pyspark.sql import functions as F
+
+    w_zero_keys = [14517781, 85368838, 117097010]  # brute-forced: mix(k) < 64
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    ev = spark.createDataFrame(
+        [(t0, "t", k) for k in w_zero_keys] + [(t0, "t", 12345)],
+        "ts timestamp, event_type string, user_id bigint",
+    )
+    hv = [
+        r[0]
+        for r in ev.select(F.pmod(_hll_mix_col(F.col("user_id")), F.lit(1 << 31))).collect()
+    ]
+    assert sum(1 for h in hv if h < 64) == 3  # the planted w=0 keys
+    row = windowed_hll(ev).collect()[0]
+    assert row.z_scaled > 0
+    assert row.hll_est >= 1
+    # a w=0 register holds the maximal rho and contributes exactly 1
+    assert row.reg_sum >= (HLL_WBITS + 1)
+    assert row.z_scaled < 64 * (1 << HLL_ZBITS) + 1
