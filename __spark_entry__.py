@@ -59,6 +59,13 @@ _DRIVER_PRIORITY = (
     "crossval_split",
     "minhash_similarity_estimate",
     "incremental_dedup",
+    "bm25_retrieval",
+    "inverted_index_stats",
+    "pmi_bigrams",
+    "quality_logit_filter",
+    "dsir_importance",
+    "training_shards",
+    "copurchase_triangles",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

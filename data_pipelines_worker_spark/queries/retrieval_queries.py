@@ -1,0 +1,555 @@
+"""Retrieval / selection queries a training-data pipeline runs over the
+corpus: BM25 ranking, inverted-index statistics, PMI collocations, a
+fixed-weight quality classifier, DSIR-style importance weighting,
+deterministic training-shard assignment, and co-occurrence-graph triangle
+counting.
+
+Engine-portability discipline (same as the rest of the registry): every
+score that a real pipeline computes with ``log``/``exp`` is expressed here
+as an integer-quantized *rational* surrogate — products, divisions, and
+``floor`` of IEEE doubles derived from exact integer counts, written with
+identical association order in the Spark plan and the DuckDB oracle, so
+both engines compute identical bits (each individual ``*`` ``/`` ``+`` is
+correctly rounded; only the *order* could diverge, and we pin it).
+Monotone transforms preserve every ranking the real pipeline would
+produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import curation as cu
+from ..session import load_table
+from . import register
+
+# fixed "search query" over the synthetic corpus vocabulary
+BM25_TERMS = ("join", "hash", "scan", "spark")
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in BM25_TERMS) + "]"
+
+
+# --- BM25 ranked retrieval --------------------------------------------------
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE list_contains({_TERMS_SQL}, w)
+  GROUP BY doc_id, w
+),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(1000000.0
+              * ((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5))
+              * ((tf * 2.2)
+                 / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))) AS BIGINT)
+           AS contrib
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(contrib) AS BIGINT) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("bm25_retrieval", _BM25_ORACLE)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the corpus for a fixed 4-term query (k1=1.2,
+    b=0.75, rational IDF ``(N-df+0.5)/(df+0.5)`` — the log of the classic
+    formula is monotone in this ratio, and the ratio is engine-exact).
+    Per-term contributions are floor-quantized to integers *before* the
+    per-doc sum so the aggregate is order-independent.
+
+    Scale shape: the token stream is filtered to the query terms *before*
+    the (doc, term) aggregation, so the shuffle carries only matching
+    postings (|q| ≤ 4 terms/doc), never the corpus. df and the (N, avgdl)
+    scalars are one-row/4-row broadcasts. The final top-10 is
+    ``ORDER BY … LIMIT`` — Spark plans TakeOrderedAndProject (per-partition
+    top-k merged on the driver), which is the 100-TB-safe global top-k; no
+    single-partition window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ", -1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+    tf = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    den = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / F.col("avgdl")
+    )
+    contrib = F.floor(
+        F.lit(1000000.0) * idf * ((F.col("tf") * F.lit(2.2)) / den)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("contrib"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.sum("contrib").cast("long").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# --- inverted-index posting statistics --------------------------------------
+
+_INVIDX_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+)
+SELECT w AS term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM tf
+GROUP BY w
+HAVING count(*) >= 10
+"""
+
+
+@register("inverted_index_stats", _INVIDX_ORACLE)
+def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics of the corpus inverted index (df ≥ 10
+    terms): document frequency, total term frequency, and the doc-id span
+    of each posting list — the metadata a retrieval/dedup system keeps per
+    term.
+
+    Scale shape: two-phase — the wide (doc, term) aggregation map-side
+    combines within each document's partition before the term-keyed
+    shuffle, so the exchange carries one row per distinct (doc, term), not
+    per token. The df filter is on the aggregate (HAVING), applied at the
+    reduce side; vocabulary (not corpus) cardinality bounds the output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf"))
+    return (
+        tf.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("tf_total"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("df") >= 10)
+        .withColumnRenamed("w", "term")
+    )
+
+
+# --- PMI collocations -------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM tok),
+g AS (
+  SELECT unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pair FROM g),
+pair AS (
+  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS c_pair
+  FROM g GROUP BY 1, 2
+)
+SELECT w1, w2, c_pair,
+       CAST(floor(1000000.0
+            * (((CAST(c_pair AS DOUBLE) / n_pair) / (CAST(u1.c AS DOUBLE) / n_uni))
+               / (CAST(u2.c AS DOUBLE) / n_uni))) AS BIGINT) AS pmi_q
+FROM pair
+JOIN uni u1 ON pair.w1 = u1.w
+JOIN uni u2 ON pair.w2 = u2.w
+CROSS JOIN nu CROSS JOIN np
+WHERE c_pair >= 5
+ORDER BY pmi_q DESC, w1, w2
+LIMIT 50
+"""
+
+
+@register("pmi_bigrams", _PMI_ORACLE)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by pointwise mutual information.
+    The score is the rational PMI ``p(xy) / (p(x)·p(y))`` (classic PMI is
+    its log — monotone, so the ranking is identical), floor-quantized to
+    ``pmi_q``; the three divisions are written innermost-first on both
+    engines so the double bits match.
+
+    Scale shape: bigram and unigram counts are both map-side-combined
+    explodes of the same codegen token stream; the join back to the pair
+    table keys on single words (vocabulary-sized build sides). The c_pair
+    ≥ 5 support filter runs before the joins, and the global top-50 is
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    nu = tok.agg(F.count("*").cast("long").alias("n_uni"))
+    grams = cu.explode_ngrams(docs, "doc_id", "text", 2)
+    np_ = grams.agg(F.count("*").cast("long").alias("n_pair"))
+    pair = (
+        grams.select(
+            F.split("gram", " ", -1)[0].alias("w1"),
+            F.split("gram", " ", -1)[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi_q = F.floor(
+        F.lit(1000000.0)
+        * (
+            (
+                (F.col("c_pair").cast("double") / F.col("n_pair"))
+                / (F.col("c1").cast("double") / F.col("n_uni"))
+            )
+            / (F.col("c2").cast("double") / F.col("n_uni"))
+        )
+    ).cast("long")
+    return (
+        pair.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(np_))
+        .select("w1", "w2", "c_pair", pmi_q.alias("pmi_q"))
+        .orderBy(F.col("pmi_q").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+# --- fixed-weight quality classifier ---------------------------------------
+
+_EN_SW_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+
+_LOGIT_ORACLE = f"""
+SELECT doc_id,
+       CAST(10 * sw_hits - n_words AS BIGINT) AS logit,
+       CAST(CASE WHEN 10 * sw_hits - n_words > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS kept
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> list_contains({_EN_SW_SQL}, w))) AS BIGINT)
+           AS sw_hits
+  FROM documents
+)
+"""
+
+
+@register("quality_logit_filter", _LOGIT_ORACLE)
+def q_quality_logit_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the inference half of a
+    fastText-style filter, weights "trained offline"): logit =
+    10·stopword_hits − n_words, keep when positive (> 10 % stopword
+    density). All-integer features and weights, so the decision boundary
+    is bit-exact on any engine — the real pipeline's sigmoid is monotone
+    in this logit and never needs to be evaluated to filter.
+
+    Scale shape: one codegen'd scan projecting two integer features per
+    document; no shuffle, no UDF — the classifier is an expression, so
+    Catalyst can push it beneath any downstream join like a plain filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ", -1)
+    sw = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    # count with multiplicity (list_filter semantics), not set intersection
+    sw_hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    logit = (F.lit(10) * sw_hits.cast("long") - F.size(ws).cast("long")).cast("long")
+    return docs.select(
+        "doc_id",
+        logit.alias("logit"),
+        F.when(logit > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
+    )
+
+
+# --- DSIR-style importance weighting ----------------------------------------
+
+# char-feature bucket of a bigram: portable across engines (no engine hash
+# function is shared between Spark and DuckDB, so the feature hash is plain
+# arithmetic over code points — weaker mixing than xxhash, same shape)
+_BUCKET_SQL = (
+    "((length(gram) * 31 + ascii(substr(gram, 1, 1)) * 17"
+    " + ascii(substr(gram, length(gram), 1)) * 7) % 64)"
+)
+
+_DSIR_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+),
+b AS (SELECT doc_id, source, {_BUCKET_SQL} AS bucket FROM g),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM b GROUP BY bucket),
+rtot AS (SELECT CAST(count(*) AS BIGINT) AS rt FROM b),
+tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM b
+        WHERE source = 'src1' GROUP BY bucket),
+ttot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM b WHERE source = 'src1'),
+ratio AS (
+  SELECT raw.bucket,
+         CAST(floor(1000000.0
+              * ((CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / (tt + 64))
+                 / (CAST(rc + 1 AS DOUBLE) / (rt + 64)))) AS BIGINT) AS rq
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN rtot CROSS JOIN ttot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(rq) AS BIGINT) AS importance,
+       CAST(CASE WHEN sum(rq) > count(*) * 1000000 THEN 1 ELSE 0 END AS BIGINT)
+         AS kept
+FROM b JOIN ratio USING (bucket)
+GROUP BY doc_id
+"""
+
+
+@register("dsir_importance", _DSIR_ORACLE)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed-bigram bucket
+    distributions for a target domain (source = src1) vs the raw corpus;
+    each document scores the sum of its buckets' add-one-smoothed
+    likelihood ratios, kept when the mean ratio exceeds 1. The per-bucket
+    ratio is floor-quantized *before* the per-doc sum (integer sum ⇒
+    order-independent); the real pipeline's log-ratio sum is replaced by
+    the ratio sum — same selection pressure, engine-exact.
+
+    Scale shape: the bucket tables are ≤ 64 rows — broadcast joined back
+    to the exploded gram stream, which then aggregates per document with
+    map-side combine. The corpus is never shuffled on text; the only wide
+    exchange keys on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = cu.explode_ngrams(
+        docs.select("doc_id", "source", "text"), "doc_id", "text", 2
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    bucket = (
+        F.length("gram") * 31
+        + F.ascii(F.substring("gram", 1, 1)) * 17
+        + F.ascii(F.expr("substr(gram, length(gram), 1)")) * 7
+    ) % 64
+    b = grams.select("doc_id", "source", bucket.cast("long").alias("bucket"))
+    raw = b.groupBy("bucket").agg(F.count("*").cast("long").alias("rc"))
+    rtot = b.agg(F.count("*").cast("long").alias("rt"))
+    tgt = (
+        b.filter(F.col("source") == "src1")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("tc"))
+    )
+    ttot = b.filter(F.col("source") == "src1").agg(
+        F.count("*").cast("long").alias("tt")
+    )
+    rq = F.floor(
+        F.lit(1000000.0)
+        * (
+            ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / (F.col("tt") + 64))
+            / ((F.col("rc") + 1).cast("double") / (F.col("rt") + 64))
+        )
+    ).cast("long")
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select("bucket", rq.alias("rq"))
+    )
+    return (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("rq").cast("long").alias("importance"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "importance",
+            F.when(
+                F.col("importance") > F.col("n_grams") * 1000000, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
+# --- deterministic training-shard assignment --------------------------------
+
+_SHARDS_ORACLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (doc_id * 2654435761) % 4294967296 AS hs
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens, hs % 8 AS shard,
+         row_number() OVER (PARTITION BY hs % 8 ORDER BY hs, doc_id) AS rn,
+         count(*) OVER (PARTITION BY hs % 8) AS n
+  FROM h
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(max(CASE WHEN rn = n THEN doc_id END) AS BIGINT) AS last_doc
+FROM r
+GROUP BY shard
+"""
+
+
+@register("training_shards", _SHARDS_ORACLE)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    is assigned shard = knuth(doc_id) mod 8 and a within-shard position by
+    (hash, doc_id) — the reproducible corpus permutation a training run
+    uses for epoch ordering (no rand(): re-running the pipeline yields
+    byte-identical shards). Output is the per-shard manifest (count, token
+    budget, first/last doc in shard order).
+
+    Scale shape: in production this is exactly
+    ``df.repartitionByRange/repartition(N, shard).sortWithinPartitions``
+    followed by a parquet write — one shuffle keyed on the 8-byte hash.
+    Here the manifest reduces each shard with a window + aggregate; the
+    window partitions by shard (parallel across shards), never a global
+    sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)).alias("hs"),
+    )
+    w = Window.partitionBy(F.pmod("hs", F.lit(8))).orderBy("hs", "doc_id")
+    r = h.select(
+        "doc_id",
+        "n_tokens",
+        F.pmod("hs", F.lit(8)).cast("long").alias("shard"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy(F.pmod("hs", F.lit(8)))
+        ).alias("n"),
+    )
+    return r.groupBy("shard").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("first_doc"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("doc_id")))
+        .cast("long")
+        .alias("last_doc"),
+    )
+
+
+# --- triangle counting on the co-purchase graph -----------------------------
+
+_TRI_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                  AND l1.l_partkey < l2.l_partkey
+  JOIN orders o ON l1.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+)
+SELECT CAST((SELECT count(DISTINCT x) FROM
+              (SELECT a AS x FROM e UNION ALL SELECT b FROM e)) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM e e1 JOIN e e2 ON e1.b = e2.a
+                       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+         AS n_triangles
+"""
+
+
+@register("copurchase_triangles", _TRI_ORACLE)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (parts appearing in the
+    same urgent order), plus node/edge counts — the clustering-coefficient
+    numerator used to characterize near-dup/citation graphs. Edges are
+    canonical a < b pairs, so each triangle a < b < c is counted exactly
+    once by the wedge join (a,b)+(b,c) closed by (a,c).
+
+    Scale shape: the order self-join is bounded — TPC-H orders have ≤ 7
+    lineitems, so edge instances are ≤ 21 per order (linear in orders, not
+    quadratic in lineitem). The wedge join keys on the shared middle node;
+    the canonical orientation (every edge points low→high) is the standard
+    degree-bound trick that keeps per-node wedge fan-out to the
+    out-degree, and the closing check is a join on the (a, c) edge key.
+    AQE handles any hot-part skew in the wedge exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li_u = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    l1 = li_u.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    l2 = li_u.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    e = (
+        l1.join(l2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    e.persist()
+    n_nodes = (
+        e.select(F.col("a").alias("x"))
+        .unionAll(e.select(F.col("b").alias("x")))
+        .agg(F.countDistinct("x").cast("long").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    wedges = e.select(F.col("a"), F.col("b").alias("m")).join(
+        e.select(F.col("a").alias("m"), F.col("b").alias("c")), "m"
+    )
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

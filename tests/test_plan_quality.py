@@ -488,3 +488,60 @@ class TestRound5Plans:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRetrievalPlans:
+    def test_bm25_topk_is_take_ordered_not_global_window(self, spark, registry):
+        # the global top-10 must plan as TakeOrderedAndProject (per-partition
+        # top-k merged on the driver), never a single-partition window sort
+        plan = plan_of(q(registry, "bm25_retrieval", spark))
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan  # df + (N, avgdl) scalars
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_inverted_index_two_phase_agg(self, spark, registry):
+        # (doc, term) partial agg map-side combines before the term shuffle
+        plan = plan_of(q(registry, "inverted_index_stats", spark))
+        assert "partial_" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pmi_unigram_sides_broadcast(self, spark, registry):
+        # vocabulary-sized unigram tables broadcast; global top-50 is
+        # TakeOrderedAndProject
+        plan = plan_of(q(registry, "pmi_bigrams", spark))
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_quality_logit_is_shuffle_free_scan(self, spark, registry):
+        # the classifier is a pure expression over one scan: no exchange,
+        # no UDF — Catalyst can push it anywhere a filter goes
+        plan = plan_of(q(registry, "quality_logit_filter", spark))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_dsir_ratio_table_broadcasts(self, spark, registry):
+        # the <=64-row bucket-ratio table broadcasts back onto the gram
+        # stream; the only wide exchange keys on doc_id
+        plan = plan_of(q(registry, "dsir_importance", spark))
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_training_shards_window_partitions_by_shard(self, spark, registry):
+        # the manifest window partitions by shard (parallel), never a
+        # global single-partition sort
+        plan = plan_of(q(registry, "training_shards", spark))
+        assert "Window" in plan
+        assert "SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_triangles_equi_joins_only(self, spark, registry):
+        # wedge + closure joins are equi-joins on (m) / (a, c); the only
+        # nested-loop is the 3-scalar combine at the end
+        plan = plan_of(q(registry, "copurchase_triangles", spark))
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan
+        assert "BatchEvalPython" not in plan
