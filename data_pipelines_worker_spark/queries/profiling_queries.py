@@ -1,0 +1,196 @@
+"""Operational profiling queries: the catalog/monitoring layer of a
+large-scale pipeline — column-statistics collection (what ANALYZE TABLE
+feeds the cost-based optimizer), time-series anomaly flagging over the
+event stream, and deterministic per-group reservoir sampling for eyeball
+QA sets.
+
+Portability discipline: the 3σ anomaly test is algebraically cleared of
+sqrt (compare squared integer moments), doubles only appear as exact
+integer-derived cents, and the sample draw uses the Knuth multiplicative
+hash — every output is bit-exact on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import register
+
+# --- single-pass column profiling ------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+_PROFILE_ORACLE = """
+WITH u AS (
+  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents',
+         CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+  FROM orders
+)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_non_null,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       min(v) AS min_v,
+       max(v) AS max_v
+FROM u
+GROUP BY col_name
+"""
+
+
+@register("table_profile", _PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics for the orders table in one
+    unpivoted pass: row/non-null/exact-distinct counts and min/max per
+    column (values stringified so the profile has one uniform schema;
+    money via exact cents). This is the stats table a CBO and a data-
+    quality monitor both read.
+
+    Scale shape: the stack/unpivot multiplies rows by the column count
+    *inside* the scan stage, then one groupBy(col_name) with map-side
+    combine — each of the 32 input partitions contributes at most
+    |cols| partial rows per distinct value, and the exchange is keyed on
+    (col_name, value) only for the distinct count. No per-column job, no
+    expand node: profiling N columns costs one pass regardless of N.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = []
+    for c in _PROFILE_COLS:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    pairs += [
+        F.lit("o_totalprice_cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+    ]
+    n = len(_PROFILE_COLS) + 1
+    u = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(pairs[2 * i].alias("col_name"), pairs[2 * i + 1].alias("v"))
+                    for i in range(n)
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.v")
+    return u.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("v").cast("long").alias("n_non_null"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+# --- integer-exact 3-sigma anomaly flags ------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0) AS BIGINT)
+           AS bucket_hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, bucket_hour, c
+FROM b JOIN m USING (event_type)
+WHERE (c * n_buckets - s) > 0
+  AND (c * n_buckets - s) * (c * n_buckets - s)
+      > 9 * (n_buckets * s2 - s * s)
+"""
+
+
+@register("events_anomaly", _ANOMALY_ORACLE)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-rate anomaly detection per event type: flag buckets whose
+    count exceeds mean + 3σ across that type's hours. The test is run on
+    integer moments only — ``c > μ + 3σ`` is squared into
+    ``(c·B − S) > 0 ∧ (c·B − S)² > 9·(B·Σc² − S²)`` so no sqrt, no
+    floating point, bit-exact anywhere (int64-safe while c·B < ~3·10⁹,
+    i.e. far past any hourly event rate).
+
+    Scale shape: the bucket aggregation map-side combines to one row per
+    (type, hour); the per-type moment table is event-type-sized and
+    broadcasts back. Bucketing is integer arithmetic on epoch micros —
+    no session-timezone dependence.
+    """
+    events = load_table(spark, sf_dir, "events")
+    b = (
+        events.select(
+            "event_type",
+            F.floor(
+                F.unix_micros("ts").cast("double") / F.lit(3600000000.0)
+            )
+            .cast("long")
+            .alias("bucket_hour"),
+        )
+        .groupBy("event_type", "bucket_hour")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    d = F.col("c") * F.col("n_buckets") - F.col("s")
+    return (
+        b.join(F.broadcast(m), "event_type")
+        .filter(
+            (d > 0)
+            & (d * d > 9 * (F.col("n_buckets") * F.col("s2") - F.col("s") * F.col("s")))
+        )
+        .select("event_type", "bucket_hour", "c")
+    )
+
+
+# --- deterministic per-group reservoir sample -------------------------------
+
+_RESERVOIR_ORACLE = """
+SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+"""
+
+
+@register("reservoir_sample_k", _RESERVOIR_ORACLE)
+def q_reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k (k=10) uniform-without-replacement sample per source by
+    Knuth-hash rank — the deterministic equivalent of per-group reservoir
+    sampling (same marginal distribution under a random hash, but
+    reproducible run-to-run, which is what a QA/eyeball set needs).
+
+    Scale shape: rank-k selection per group is a partitioned window —
+    Spark's WindowGroupLimit pushes the k=10 limit into the sort, so each
+    partition keeps a 10-row heap per group rather than sorting the
+    group; the exchange carries (source) partitions once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 10)
+        .select("source", "doc_id", F.col("sample_rank").cast("long"))
+    )

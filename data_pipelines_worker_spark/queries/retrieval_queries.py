@@ -294,9 +294,13 @@ def q_quality_logit_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split("text", " ", -1)
-    sw = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
-    # count with multiplicity (list_filter semantics), not set intersection
-    sw_hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    # occurrences-with-multiplicity of each stopword via size-difference
+    # under array_remove — plain collection expressions, not a lambda HOF
+    # (higher-order lambdas evaluate interpreted: 4.3x at the 10x probe)
+    sw_hits = sum(
+        (F.size(ws) - F.size(F.array_remove(ws, w)))
+        for w in ("the", "a", "of", "and", "to", "in", "is")
+    )
     logit = (F.lit(10) * sw_hits.cast("long") - F.size(ws).cast("long")).cast("long")
     return docs.select(
         "doc_id",

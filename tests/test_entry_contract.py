@@ -18,6 +18,8 @@ FAST_QUERIES = [
     "top_k_per_group",
     "token_count",
     "dedup_exact",
+    "quality_logit_filter",
+    "training_shards",
 ]
 
 

@@ -545,3 +545,25 @@ class TestRetrievalPlans:
         assert "CartesianProduct" not in plan
         assert "partial_count" in plan
         assert "BatchEvalPython" not in plan
+
+    def test_table_profile_single_pass_no_expand(self, spark, registry):
+        # unpivot-then-group: one scan, one aggregation keyed on
+        # (col_name, v) — never one job per column, no expand node
+        plan = plan_of(q(registry, "table_profile", spark))
+        assert "Expand" not in plan
+        assert plan.count("FileScan") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_events_anomaly_moments_broadcast(self, spark, registry):
+        # per-type moment table broadcasts back onto the bucket frame
+        plan = plan_of(q(registry, "events_anomaly", spark))
+        assert "BroadcastExchange" in plan
+        assert "partial_count" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_reservoir_window_group_limit_pushdown(self, spark, registry):
+        # rank<=10 must push into the window sort (per-group top-k heap),
+        # not sort whole groups then filter
+        plan = plan_of(q(registry, "reservoir_sample_k", spark))
+        assert "WindowGroupLimit" in plan
+        assert "SinglePartition" not in plan
