@@ -66,6 +66,9 @@ _DRIVER_PRIORITY = (
     "dsir_importance",
     "training_shards",
     "copurchase_triangles",
+    "table_profile",
+    "events_anomaly",
+    "reservoir_sample_k",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",
