@@ -557,3 +557,166 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
     ).agg(F.count("*").cast("long").alias("n_triangles"))
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+# --- composed selection pipeline -------------------------------------------
+
+_SELECTION_ORACLE = f"""
+WITH kept AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE 10 * len(list_filter(string_split(text, ' '),
+                             w -> list_contains({_EN_SW_SQL}, w)))
+        - len(string_split(text, ' ')) > 0
+),
+ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+surv AS (SELECT k.doc_id, k.source, k.text FROM kept k JOIN ded USING (doc_id)),
+g AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM surv)
+),
+b AS (SELECT doc_id, source, {_BUCKET_SQL} AS bucket FROM g),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM b GROUP BY bucket),
+rtot AS (SELECT CAST(count(*) AS BIGINT) AS rt FROM b),
+tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM b
+        WHERE source = 'src1' GROUP BY bucket),
+ttot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM b WHERE source = 'src1'),
+ratio AS (
+  SELECT raw.bucket,
+         CAST(floor(1000000.0
+              * ((CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / (tt + 64))
+                 / (CAST(rc + 1 AS DOUBLE) / (rt + 64)))) AS BIGINT) AS rq
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN rtot CROSS JOIN ttot
+),
+imp AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(rq) AS BIGINT) AS importance
+  FROM b JOIN ratio USING (bucket)
+  GROUP BY doc_id
+),
+final AS (SELECT doc_id FROM imp WHERE importance > n_grams * 1000000),
+h AS (
+  SELECT s.doc_id,
+         CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
+         (s.doc_id * 2654435761) % 4294967296 AS hs
+  FROM surv s JOIN final USING (doc_id)
+),
+r AS (
+  SELECT doc_id, n_tokens, hs % 8 AS shard,
+         row_number() OVER (PARTITION BY hs % 8 ORDER BY hs, doc_id) AS rn,
+         count(*) OVER (PARTITION BY hs % 8) AS n
+  FROM h
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(max(CASE WHEN rn = n THEN doc_id END) AS BIGINT) AS last_doc
+FROM r
+GROUP BY shard
+"""
+
+
+@register("selection_pipeline_e2e", _SELECTION_ORACLE)
+def q_selection_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed data-selection pipeline, end to end in ONE Spark plan:
+    quality-logit gate → exact dedup (min-id survivor per byte-identical
+    text) → DSIR importance selection (ratios re-estimated on the deduped
+    survivors, the order a real pipeline uses) → deterministic shard
+    manifest of the final corpus. The output contract is the 8-row shard
+    manifest a training run consumes; docs with < 2 words carry no bigram
+    evidence and drop at the DSIR stage on both engines.
+
+    Scale shape: the stage composition adds no new shuffle classes — the
+    gate is a pushable expression, dedup is one text-keyed aggregate
+    (production: digest-keyed), DSIR re-broadcasts a ≤64-row ratio table,
+    and the manifest windows by shard. Catalyst fuses the gate into the
+    scans of every downstream branch; lineage stays a DAG with the
+    survivor frame feeding both the ratio estimate and the final join,
+    which AQE reuses as a shuffle stage rather than recomputing the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ", -1)
+    sw_hits = sum(
+        (F.size(ws) - F.size(F.array_remove(ws, w)))
+        for w in ("the", "a", "of", "and", "to", "in", "is")
+    )
+    kept = docs.filter(
+        F.lit(10) * sw_hits.cast("long") - F.size(ws).cast("long") > 0
+    ).select("doc_id", "source", "text")
+    ded = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # the survivor frame feeds the gram explode, the target/raw moment
+    # aggregates, and the final manifest join — persist it once or every
+    # branch re-runs the full-corpus gate scan (measured 16.5x at the 10x
+    # probe without this, 42 s of which was ~12 re-scans of the gate)
+    surv = kept.join(ded, "doc_id").persist()
+    grams = cu.explode_ngrams(surv, "doc_id", "text", 2).join(
+        surv.select("doc_id", "source"), "doc_id"
+    )
+    bucket = (
+        F.length("gram") * 31
+        + F.ascii(F.substring("gram", 1, 1)) * 17
+        + F.ascii(F.expr("substr(gram, length(gram), 1)")) * 7
+    ) % 64
+    b = grams.select(
+        "doc_id", "source", bucket.cast("long").alias("bucket")
+    ).persist()
+    raw = b.groupBy("bucket").agg(F.count("*").cast("long").alias("rc"))
+    rtot = b.agg(F.count("*").cast("long").alias("rt"))
+    tgt = (
+        b.filter(F.col("source") == "src1")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("tc"))
+    )
+    ttot = b.filter(F.col("source") == "src1").agg(
+        F.count("*").cast("long").alias("tt")
+    )
+    rq = F.floor(
+        F.lit(1000000.0)
+        * (
+            ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / (F.col("tt") + 64))
+            / ((F.col("rc") + 1).cast("double") / (F.col("rt") + 64))
+        )
+    ).cast("long")
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select("bucket", rq.alias("rq"))
+    )
+    imp = (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("rq").cast("long").alias("importance"),
+        )
+    )
+    final = imp.filter(F.col("importance") > F.col("n_grams") * 1000000).select(
+        "doc_id"
+    )
+    h = surv.join(final, "doc_id").select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)).alias("hs"),
+    )
+    w = Window.partitionBy(F.pmod("hs", F.lit(8))).orderBy("hs", "doc_id")
+    r = h.select(
+        "doc_id",
+        "n_tokens",
+        F.pmod("hs", F.lit(8)).cast("long").alias("shard"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(F.pmod("hs", F.lit(8)))).alias("n"),
+    )
+    return r.groupBy("shard").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).cast("long").alias("first_doc"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("doc_id")))
+        .cast("long")
+        .alias("last_doc"),
+    )

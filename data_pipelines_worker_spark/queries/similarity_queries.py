@@ -506,3 +506,60 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid sums. The oracle replays both rounds in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_int_assignments(emb, k=8, n_iter=2)
+
+
+_RECALL_ORACLE = f"""
+WITH exact AS (FROM ({_ANN_ORACLE})),
+     approx AS (FROM ({_ANN_LSH_ORACLE})),
+     hits AS (
+       SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       FROM exact JOIN approx
+         ON exact.query_id = approx.query_id
+        AND exact.item_id = approx.item_id
+       GROUP BY exact.query_id
+     ),
+     base AS (
+       SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM exact GROUP BY query_id
+     )
+SELECT base.query_id, n_exact,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(n_hits, 0) * 1000000 / n_exact AS BIGINT) AS recall_ppm
+FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+"""
+
+
+@register("ann_recall_at_k", _RECALL_ORACLE)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the banded-SRP LSH index against the exact brute-force
+    top-5, per query — the index-quality measurement a pipeline runs
+    before trusting an ANN index for dedup/retrieval, here under the full
+    exact gate (both rankings are deterministic, so recall is too).
+
+    Scale shape: both retrieval legs are the already-audited bucketed /
+    brute-force plans over the same scan; the recall join keys on
+    (query_id, item_id) — k rows per query per leg, so the measurement
+    adds only a |Q|·k-sized equi-join and a query-keyed aggregate on top.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.ann_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "item_id"
+    )
+    approx = similarity.ann_topk_lsh(emb, queries, k=5).select(
+        "query_id", "item_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "item_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / F.col("n_exact"))
+        .cast("long")
+        .alias("recall_ppm"),
+    )

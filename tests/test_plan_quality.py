@@ -567,3 +567,23 @@ class TestRetrievalPlans:
         plan = plan_of(q(registry, "reservoir_sample_k", spark))
         assert "WindowGroupLimit" in plan
         assert "SinglePartition" not in plan
+
+    def test_ann_recall_join_is_equi_on_query_item(self, spark, registry):
+        # the measurement layer adds only a (query_id, item_id) equi-join
+        # over the two k-row-per-query legs
+        plan = plan_of(q(registry, "ann_recall_at_k", spark))
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan
+
+    def test_selection_pipeline_composes_without_new_shuffle_classes(
+        self, spark, registry
+    ):
+        # gate pushes into scans; ratio table broadcasts; manifest windows
+        # by shard — no cartesian, no Python. The only SinglePartition
+        # exchanges allowed are the two 1-row scalar count aggregates
+        # (rt/tt), which partial-aggregate map-side first.
+        plan = plan_of(q(registry, "selection_pipeline_e2e", spark))
+        assert "CartesianProduct" not in plan
+        assert plan.count("SinglePartition") <= 2
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastExchange" in plan
