@@ -69,6 +69,8 @@ _DRIVER_PRIORITY = (
     "table_profile",
     "events_anomaly",
     "reservoir_sample_k",
+    "ann_recall_at_k",
+    "selection_pipeline_e2e",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

@@ -130,6 +130,8 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back. Bucketing is integer arithmetic on epoch micros —
     no session-timezone dependence.
     """
+    from ..streaming.anomaly import flag_anomalies
+
     events = load_table(spark, sf_dir, "events")
     b = (
         events.select(
@@ -143,20 +145,9 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket_hour")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    m = b.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_buckets"),
-        F.sum("c").cast("long").alias("s"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
-    )
-    d = F.col("c") * F.col("n_buckets") - F.col("s")
-    return (
-        b.join(F.broadcast(m), "event_type")
-        .filter(
-            (d > 0)
-            & (d * d > 9 * (F.col("n_buckets") * F.col("s2") - F.col("s") * F.col("s")))
-        )
-        .select("event_type", "bucket_hour", "c")
-    )
+    # the flag step is shared verbatim with the streaming face
+    # (streaming/anomaly.py) — one home for the integer-moment algebra
+    return flag_anomalies(b)
 
 
 # --- deterministic per-group reservoir sample -------------------------------

@@ -522,3 +522,63 @@ def test_windowed_hll_stream_matches_batch(spark, tmp_path, sf_dir):
         assert 0 <= n_regs <= 64
         assert reg_sum >= n_regs  # every present register has rho >= 1
         assert est >= 1
+
+
+def test_streaming_anomaly_counts_match_batch_flags(spark, tmp_path, sf_dir):
+    # the stateful half (hourly counts) is additive, so the streamed count
+    # table equals batch bucketing bit-for-bit; the shared flag_anomalies
+    # step over the materialized counts must then reproduce the registered
+    # batch query exactly
+    from data_pipelines_worker_spark.queries import load_all
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.anomaly import (
+        flag_anomalies,
+        hourly_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    batch_fn, _ = load_all()["events_anomaly"]
+    expect = {
+        (r.event_type, r.bucket_hour): r.c
+        for r in batch_fn(spark, sf_dir).collect()
+    }
+
+    src = tmp_path / "anomaly_stream"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(
+        str(src)
+    )
+    q = (
+        hourly_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("anomaly_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        counts = spark.table("anomaly_counts")
+        batch_counts = {
+            (r.event_type, r.bucket_hour): r.c
+            for r in hourly_counts(ev).collect()
+        }
+        got_counts = {(r.event_type, r.bucket_hour): r.c for r in counts.collect()}
+        # append mode only emits watermark-closed windows: the streamed
+        # counts are a prefix of the batch counts (bit-identical where
+        # emitted), missing at most the final watermark-span of windows
+        assert got_counts
+        for k, v in got_counts.items():
+            assert batch_counts[k] == v
+        missing = set(batch_counts) - set(got_counts)
+        max_hour = max(h for _, h in batch_counts)
+        assert all(h >= max_hour - 2 for _, h in missing)  # 2 h watermark
+    finally:
+        q.stop()
+    # the shared flag step over the complete counts reproduces the
+    # registered batch query exactly (same bucketing, same moments)
+    got = {
+        (r.event_type, r.bucket_hour): r.c
+        for r in flag_anomalies(hourly_counts(ev)).collect()
+    }
+    assert got == expect
+    assert got  # the detector actually flags something at this sf
