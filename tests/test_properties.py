@@ -337,3 +337,48 @@ class TestRound4KernelProperties:
                     covered.update(range(pos0, pos0 + n))
             want[i] = (len(docs[i]), len(covered))
         assert got == want
+
+
+class TestAnomalyMomentIdentity:
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40)
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_squared_moment_test_equals_exact_3sigma(self, counts):
+        # the integer test (c·B−S) > 0 ∧ (c·B−S)² > 9(B·Σc²−S²) must flag
+        # exactly the buckets with c > μ + 3σ under EXACT rational
+        # arithmetic (Fraction), for any count multiset
+        from fractions import Fraction
+
+        B = len(counts)
+        S = sum(counts)
+        S2 = sum(c * c for c in counts)
+        mu = Fraction(S, B)
+        var = Fraction(S2, B) - mu * mu
+        for c in counts:
+            d = c * B - S
+            flagged = d > 0 and d * d > 9 * (B * S2 - S * S)
+            exact = c > mu and Fraction((c - mu) ** 2) > 9 * var
+            assert flagged == exact
+
+    @given(
+        words=st.lists(
+            st.sampled_from(["the", "a", "of", "row", "scan", "join", "x"]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_array_remove_stopword_count_matches_python(self, spark, words):
+        # size(ws) − size(array_remove(ws, w)) summed over stopwords ==
+        # multiplicity count (the codegen replacement for the F.filter
+        # lambda must be semantics-identical)
+        from data_pipelines_worker_spark.session import local_df
+
+        sw = ("the", "a", "of", "and", "to", "in", "is")
+        text = " ".join(words)
+        df = local_df(spark, [(text,)], "t string")
+        ws = F.split("t", " ", -1)
+        col = sum((F.size(ws) - F.size(F.array_remove(ws, w))) for w in sw)
+        got = df.select(col.alias("c")).collect()[0].c
+        assert got == sum(1 for w in words if w in sw)
