@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = (
     "reservoir_sample_k",
     "ann_recall_at_k",
     "selection_pipeline_e2e",
+    "dq_checks",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

@@ -185,3 +185,127 @@ def q_reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= 10)
         .select("source", "doc_id", F.col("sample_rank").cast("long"))
     )
+
+
+# --- data-quality expectation suite -----------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders_pk_unique' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_ref',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'documents_text_nonempty',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lineitem_orderkey_ref',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@register("dq_checks", _DQ_ORACLE)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite: primary-key
+    uniqueness, two referential-integrity checks, a value-range check,
+    and a non-empty-text check — one row per expectation with checked and
+    violation counts (the report a pipeline gates ingestion on).
+
+    Scale shape: each expectation is a single aggregate — uniqueness is
+    count minus distinct-count (two-phase), referential integrity is a
+    broadcast-or-shuffle left join counted on the null side, range checks
+    are pushable scan expressions. The five legs union into one plan so
+    the scheduler interleaves them; none materializes violations, only
+    counts (at 100 TB you sample violating rows separately, bounded).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def row(name, n_checked, n_violations):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            n_checked.cast("long").alias("n_checked"),
+            n_violations.cast("long").alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        row(
+            "orders_pk_unique",
+            F.count("*"),
+            F.count("*") - F.countDistinct("o_orderkey"),
+        ).alias("r")
+    )
+    ref_o = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left",
+        )
+        .agg(
+            row(
+                "orders_custkey_ref",
+                F.count("*"),
+                F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        )
+    )
+    rng = lineitem.agg(
+        row(
+            "lineitem_qty_range",
+            F.count("*"),
+            F.sum(
+                F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+                .otherwise(0)
+            ),
+        ).alias("r")
+    )
+    txt = docs.agg(
+        row(
+            "documents_text_nonempty",
+            F.count("*"),
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.length("text") == 0), 1
+                ).otherwise(0)
+            ),
+        ).alias("r")
+    )
+    ref_l = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left",
+        )
+        .agg(
+            row(
+                "lineitem_orderkey_ref",
+                F.count("*"),
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        )
+    )
+    return (
+        pk.unionAll(ref_o)
+        .unionAll(rng)
+        .unionAll(txt)
+        .unionAll(ref_l)
+        .select("r.check_name", "r.n_checked", "r.n_violations")
+    )

@@ -587,3 +587,13 @@ class TestRetrievalPlans:
         assert plan.count("SinglePartition") <= 2
         assert "BatchEvalPython" not in plan
         assert "BroadcastExchange" in plan
+
+    def test_dq_checks_counts_only_no_violation_materialization(
+        self, spark, registry
+    ):
+        # every expectation reduces to counts (aggregates over joins/scans);
+        # violations are never collected as rows
+        plan = plan_of(q(registry, "dq_checks", spark))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Union") >= 1
