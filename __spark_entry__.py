@@ -72,6 +72,11 @@ _DRIVER_PRIORITY = (
     "ann_recall_at_k",
     "selection_pipeline_e2e",
     "dq_checks",
+    "latest_snapshot",
+    "scd2_customer_merge",
+    "skew_salted_join",
+    "order_backlog_timeline",
+    "char_coverage",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text_analysis as ta
@@ -510,4 +510,64 @@ def q_crossval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
+    )
+
+
+# --- character coverage (tokenizer alphabet selection) ----------------------
+
+_CHAR_COVERAGE_ORACLE = """
+WITH ch AS (
+  SELECT substr(text, i, 1) AS ch
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+),
+cnt AS (SELECT ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY ch),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+ranked AS (
+  SELECT ch, c,
+         CAST(row_number() OVER (ORDER BY c DESC, ch) AS BIGINT) AS rank,
+         CAST(sum(c) OVER (ORDER BY c DESC, ch) AS BIGINT) AS cum
+  FROM cnt
+)
+SELECT ch, c, rank,
+       CAST(floor(1000000.0 * cum / n) AS BIGINT) AS cum_ppm
+FROM ranked CROSS JOIN tot
+"""
+
+
+@register("char_coverage", _CHAR_COVERAGE_ORACLE)
+def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-coverage table for tokenizer alphabet selection
+    (SentencePiece's ``character_coverage`` input): every character's
+    corpus frequency, frequency rank, and cumulative coverage in ppm —
+    the table that decides which codepoints get their own tokens and
+    which fall back to bytes.
+
+    Scale shape: the per-character explode aggregates map-side to
+    alphabet size (dozens of rows here, ≤ a few thousand for any real
+    corpus) before the single exchange; rank and cumulative sum then
+    window over the alphabet-sized aggregate — the global sort touches
+    the alphabet, never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text"
+    ).select(F.expr("substr(text, i, 1)").alias("ch"))
+    cnt = ch.groupBy("ch").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy(F.col("c").desc(), "ch")
+    ranked = cnt.select(
+        "ch",
+        "c",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "ch",
+        "c",
+        "rank",
+        F.floor(F.lit(1000000.0) * F.col("cum") / F.col("n"))
+        .cast("long")
+        .alias("cum_ppm"),
     )

@@ -1,0 +1,261 @@
+"""Warehouse-maintenance queries: the table-upkeep patterns a lakehouse
+pipeline runs beside analytics — CDC latest-snapshot compaction, SCD-2
+dimension merge, an explicitly salted skew join, and an open-order
+backlog timeline (interval counting as +1/−1 events under a running
+sum).
+
+Portability discipline as everywhere: timestamps compare as integer
+epoch-micros, money as exact cents, sampling/salting via the Knuth
+multiplicative hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import register
+
+# --- CDC latest-snapshot compaction -----------------------------------------
+
+_SNAPSHOT_ORACLE = """
+SELECT user_id, last_ts_us, last_event_type, last_value_cents
+FROM (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+         event_type AS last_event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_value_cents,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("latest_snapshot", _SNAPSHOT_ORACLE)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: the latest event per user (event-id tie-break) —
+    the upsert-materialization step that turns an append-only change log
+    into a current-state snapshot table.
+
+    Scale shape: rank-1 per key is a partitioned window with
+    WindowGroupLimit — each task keeps one row per key per partition
+    before the key-hashed exchange, so the shuffle carries one candidate
+    row per (partition, key), not the log. This is exactly how a
+    compaction job over a 100-TB change log should plan (the alternative
+    max-join reads the log twice).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_type").alias("last_event_type"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("last_value_cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- SCD-2 dimension merge ---------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH upd AS (
+  SELECT c_custkey, (c_nationkey + 1) % 25 AS new_nationkey
+  FROM customer WHERE c_custkey % 10 = 3
+)
+SELECT c.c_custkey,
+       CAST(1 AS BIGINT) AS version,
+       CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(CASE WHEN u.c_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT c_custkey,
+       CAST(2 AS BIGINT) AS version,
+       CAST(new_nationkey AS BIGINT) AS nationkey,
+       CAST(1 AS BIGINT) AS is_current
+FROM upd
+"""
+
+
+@register("scd2_customer_merge", _SCD2_ORACLE)
+def q_scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension merge: apply a deterministic update batch (every
+    custkey ≡ 3 mod 10 moves to the next nation) to the customer
+    dimension, emitting the slowly-changing history — the old version
+    closed (is_current = 0) and the new version appended. The synthetic
+    update batch stands in for a CDC feed; the merge semantics (close +
+    append, never overwrite) are the real contract.
+
+    Scale shape: the update batch joins the dimension on its key (left
+    join for closing, union of the appended versions) — one key-hashed
+    exchange over the dimension; at CDC scale the small batch side
+    broadcasts. No window, no global ordering: SCD-2 versioning is
+    per-key and embarrassingly parallel.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    upd = c.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", ((F.col("c_nationkey") + 1) % 25).alias("new_nationkey")
+    )
+    closed = (
+        c.join(upd.select("c_custkey", F.lit(1).alias("_u")), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.lit(1).cast("long").alias("version"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.when(F.col("_u").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_current"),
+        )
+    )
+    appended = upd.select(
+        "c_custkey",
+        F.lit(2).cast("long").alias("version"),
+        F.col("new_nationkey").cast("long").alias("nationkey"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    return closed.unionAll(appended)
+
+
+# --- explicitly salted skew join ---------------------------------------------
+
+_N_SALT = 8
+
+_SALT_JOIN_ORACLE = """
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(CASE WHEN c.c_custkey IS NOT NULL
+                     THEN floor(e.value * 100 + 0.5) ELSE 0 END) AS BIGINT)
+         AS matched_value_cents
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type
+"""
+
+
+@register("skew_salted_join", _SALT_JOIN_ORACLE)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual salt-replication pattern for skewed shuffle joins,
+    verified against the plain join's answer: the build side (customer)
+    is replicated ×8 with a salt column, the probe side (events) draws
+    its salt from the Knuth hash of the event id, and the join keys on
+    (user_id, salt) — a hot user's rows now spread over 8 reducers
+    instead of one. The aggregate must be identical to the unsalted
+    plain-join oracle, which is the whole point: salting changes the
+    partitioning, never the answer.
+
+    Scale shape: replication multiplies the (small) build side, not the
+    log; the probe side's salt is a scan-local expression. At 100 TB
+    this is the fallback when AQE's skew split cannot help (e.g. the
+    skew is in a hash-aggregate key, or the join is a stream-static one
+    where AQE does not re-plan).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    salted_dim = cust.select(
+        "c_custkey", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1))).alias("salt")
+    )
+    probe = ev.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
+        F.pmod(
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1 << 32)),
+            F.lit(_N_SALT),
+        ).alias("salt"),
+    )
+    joined = probe.join(
+        salted_dim,
+        (probe.user_id == salted_dim.c_custkey) & (probe.salt == salted_dim.salt),
+        "left",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(
+            F.when(F.col("c_custkey").isNotNull(), F.col("value_cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("matched_value_cents"),
+    )
+
+
+# --- open-order backlog timeline --------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH done AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(floor(max(epoch_us(l_shipdate)) / 2592000000000.0) AS BIGINT)
+           AS close_m
+  FROM lineitem GROUP BY l_orderkey
+),
+opened AS (
+  SELECT CAST(floor(epoch_us(o.o_orderdate) / 2592000000000.0) AS BIGINT) AS m,
+         CAST(1 AS BIGINT) AS delta
+  FROM orders o JOIN done USING (o_orderkey)
+  UNION ALL
+  SELECT close_m + 1 AS m, CAST(-1 AS BIGINT) AS delta FROM done
+),
+monthly AS (SELECT m, CAST(sum(delta) AS BIGINT) AS d FROM opened GROUP BY m)
+SELECT m AS month_idx, d AS net_change,
+       CAST(sum(d) OVER (ORDER BY m) AS BIGINT) AS open_orders
+FROM monthly
+"""
+
+
+@register("order_backlog_timeline", _BACKLOG_ORACLE)
+def q_order_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: each order contributes +1 at its
+    placement month and −1 the month after its last lineitem ships; the
+    running sum of monthly net change is the number of concurrently open
+    orders — the standard O(n) interval-counting rewrite of a quadratic
+    point-in-interval join. Months are integer epoch-micro buckets
+    (30-day), so the timeline is engine-exact.
+
+    Scale shape: completion is one order-keyed max aggregate over
+    lineitem (map-side combined); the +1/−1 stream aggregates to one row
+    per month BEFORE the running-sum window, which therefore sorts only
+    the month frame (dozens of rows) in a single partition — the global
+    window is over the aggregate, never the data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    month = lambda col: F.floor(  # noqa: E731
+        F.unix_micros(col) / F.lit(2592000000000)
+    ).cast("long")
+    done = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.floor(F.max(F.unix_micros("l_shipdate")) / F.lit(2592000000000))
+        .cast("long")
+        .alias("close_m")
+    )
+    opened = (
+        orders.join(done, "o_orderkey")
+        .select(month(F.col("o_orderdate")).alias("m"), F.lit(1).cast("long").alias("delta"))
+        .unionAll(
+            done.select(
+                (F.col("close_m") + 1).alias("m"), F.lit(-1).cast("long").alias("delta")
+            )
+        )
+    )
+    monthly = opened.groupBy("m").agg(F.sum("delta").cast("long").alias("d"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        F.col("m").alias("month_idx"),
+        F.col("d").alias("net_change"),
+        F.sum("d").over(w).cast("long").alias("open_orders"),
+    )

@@ -597,3 +597,41 @@ class TestRetrievalPlans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("Union") >= 1
+
+    def test_latest_snapshot_rank1_group_limit(self, spark, registry):
+        # CDC compaction: rank-1 per key must plan WindowGroupLimit so the
+        # exchange carries one candidate per (partition, key), not the log
+        plan = plan_of(q(registry, "latest_snapshot", spark))
+        assert "WindowGroupLimit" in plan
+        assert "SinglePartition" not in plan
+
+    def test_scd2_merge_no_window_no_cartesian(self, spark, registry):
+        # SCD-2 versioning is per-key: key join + union, nothing global
+        plan = plan_of(q(registry, "scd2_customer_merge", spark))
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Union" in plan
+
+    def test_salted_join_replicates_build_side_only(self, spark, registry):
+        # the explode(sequence) replication sits on the dim leg; the probe
+        # (events) leg has no explode — salting must never multiply the log
+        plan = plan_of(q(registry, "skew_salted_join", spark))
+        assert plan.count("Generate explode") == 1
+        assert "CartesianProduct" not in plan
+
+    def test_backlog_window_sorts_only_monthly_aggregate(self, spark, registry):
+        # the running sum may be single-partition ONLY because it runs over
+        # the per-month aggregate (dozens of rows); the +1/-1 stream must
+        # aggregate before the window
+        plan = plan_of(q(registry, "order_backlog_timeline", spark))
+        window_part = plan.split("Window")[-1]
+        assert "HashAggregate" in window_part  # agg feeds the window
+        assert "BatchEvalPython" not in plan
+
+    def test_char_coverage_window_over_alphabet_aggregate(self, spark, registry):
+        # the global rank/cumsum window must consume the alphabet-sized
+        # aggregate (HashAggregate feeds the window), never raw characters
+        plan = plan_of(q(registry, "char_coverage", spark))
+        window_part = plan.split("Window")[-1]
+        assert "HashAggregate" in window_part
+        assert "BatchEvalPython" not in plan

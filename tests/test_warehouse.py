@@ -1,0 +1,97 @@
+"""Invariant tests for the warehouse-maintenance family (the oracle gate
+checks value equality; these pin the *semantic contracts* that make the
+operators correct by construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_worker_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name, spark, sf=SF):
+    fn, _ = load_all()[name]
+    return fn(spark, sf)
+
+
+def test_latest_snapshot_one_row_per_user(spark):
+    from data_pipelines_worker_spark.session import load_table
+
+    snap = _q("latest_snapshot", spark)
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert snap.count() == n_users
+    assert snap.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_scd2_version_counts(spark):
+    scd = _q("scd2_customer_merge", spark)
+    per_key = scd.groupBy("c_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum("is_current").alias("n_current"),
+        F.max("version").alias("maxv"),
+    )
+    # every key has exactly one current version; updated keys (custkey
+    # ≡ 3 mod 10) have 2 versions, others 1
+    assert per_key.filter("n_current != 1").count() == 0
+    assert per_key.filter(
+        "(c_custkey % 10 = 3 AND n != 2) OR (c_custkey % 10 != 3 AND n != 1)"
+    ).count() == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from data_pipelines_worker_spark.session import load_table
+
+    salted = {
+        r.event_type: (r.n_events, r.n_matched, r.matched_value_cents)
+        for r in _q("skew_salted_join", spark).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    cust = load_table(spark, SF, "customer").select("c_custkey")
+    plain = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0)).alias(
+                "n_matched"
+            ),
+            F.sum(
+                F.when(
+                    F.col("c_custkey").isNotNull(),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(0)
+            ).alias("mvc"),
+        )
+    )
+    for r in plain.collect():
+        assert salted[r.event_type] == (r.n_events, r.n_matched, r.mvc)
+
+
+def test_backlog_balances_to_zero(spark):
+    # every order with lineitems opens once and closes once, so the final
+    # cumulative open count must return to zero
+    rows = sorted(
+        _q("order_backlog_timeline", spark).collect(),
+        key=lambda r: r.month_idx,
+    )
+    assert rows[-1].open_orders == 0
+    # and the timeline is the running sum of its own net changes
+    run = 0
+    for r in rows:
+        run += r.net_change
+        assert r.open_orders == run
+        assert run >= 0  # can never have negative open orders
+
+
+def test_char_coverage_total_is_million_ppm(spark):
+    rows = sorted(_q("char_coverage", spark).collect(), key=lambda r: r.rank)
+    assert rows[-1].cum_ppm == 1000000
+    # ranks are dense 1..n and cumulative counts are monotone
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        rows[i].cum_ppm <= rows[i + 1].cum_ppm for i in range(len(rows) - 1)
+    )
