@@ -95,6 +95,20 @@ def explode_ngrams(df, id_col: str, text_col: str, n: int, out: str = "gram"):
     return ex.select(id_col, _gram_from_zip(n).alias(out))
 
 
+def explode_ngrams_carry(
+    df, id_col: str, text_col: str, n: int, carry: list[str], out: str = "gram"
+):
+    """:func:`explode_ngrams` with passthrough columns: extra per-document
+    columns ride through the explode instead of being re-attached by a
+    corpus-wide join on the exploded stream afterwards (the join shuffles
+    the full gram stream on doc_id just to recover a column that was on
+    the row before the explode — one whole exchange saved)."""
+    ex = df.select(
+        id_col, *carry, F.explode(_ngram_zip(text_col, n)).alias("_g")
+    )
+    return ex.select(id_col, *carry, _gram_from_zip(n).alias(out))
+
+
 def top_count(items: Column) -> Column:
     """Occurrences of the most frequent element.
 

@@ -122,8 +122,12 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     count exceeds mean + 3σ across that type's hours. The test is run on
     integer moments only — ``c > μ + 3σ`` is squared into
     ``(c·B − S) > 0 ∧ (c·B − S)² > 9·(B·Σc² − S²)`` so no sqrt, no
-    floating point, bit-exact anywhere (int64-safe while c·B < ~3·10⁹,
-    i.e. far past any hourly event rate).
+    floating point, bit-exact anywhere. Int64 safety requires BOTH
+    ``(c·B − S)² < 2⁶³`` (|c·B − S| < ~3·10⁹) and ``9·B·Σc² < 2⁶³``
+    (Σc² < ~10¹⁸/B — e.g. B = 1000 buckets supports hourly counts up to
+    ~3·10⁷ RMS); past that, pre-scale counts (e.g. to thousands) before
+    the moment pass — Spark would wrap silently where DuckDB raises, so
+    the bound is part of the operator's contract, not just a perf note.
 
     Scale shape: the bucket aggregation map-side combines to one row per
     (type, hour); the per-type moment table is event-type-sized and

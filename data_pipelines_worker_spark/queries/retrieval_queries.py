@@ -368,15 +368,21 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange keys on doc_id.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = cu.explode_ngrams(
-        docs.select("doc_id", "source", "text"), "doc_id", "text", 2
-    ).join(docs.select("doc_id", "source"), "doc_id")
+    # source rides through the explode (no corpus-wide re-join on doc_id)
+    grams = cu.explode_ngrams_carry(
+        docs.select("doc_id", "source", "text"), "doc_id", "text", 2, ["source"]
+    )
     bucket = (
         F.length("gram") * 31
         + F.ascii(F.substring("gram", 1, 1)) * 17
         + F.ascii(F.expr("substr(gram, length(gram), 1)")) * 7
     ) % 64
-    b = grams.select("doc_id", "source", bucket.cast("long").alias("bucket"))
+    # five consumers (raw/rtot/tgt/ttot + the per-doc agg) read this frame;
+    # Spark has no cross-branch common-subplan reuse, so persist or the
+    # scan+explode re-runs per consumer (same class as the 16.5x e2e case)
+    b = grams.select(
+        "doc_id", "source", bucket.cast("long").alias("bucket")
+    ).persist()
     raw = b.groupBy("bucket").agg(F.count("*").cast("long").alias("rc"))
     rtot = b.agg(F.count("*").cast("long").alias("rt"))
     tgt = (
@@ -654,9 +660,7 @@ def q_selection_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch re-runs the full-corpus gate scan (measured 16.5x at the 10x
     # probe without this, 42 s of which was ~12 re-scans of the gate)
     surv = kept.join(ded, "doc_id").persist()
-    grams = cu.explode_ngrams(surv, "doc_id", "text", 2).join(
-        surv.select("doc_id", "source"), "doc_id"
-    )
+    grams = cu.explode_ngrams_carry(surv, "doc_id", "text", 2, ["source"])
     bucket = (
         F.length("gram") * 31
         + F.ascii(F.substring("gram", 1, 1)) * 17

@@ -524,7 +524,8 @@ WITH exact AS (FROM ({_ANN_ORACLE})),
      )
 SELECT base.query_id, n_exact,
        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(COALESCE(n_hits, 0) * 1000000 / n_exact AS BIGINT) AS recall_ppm
+       CAST(floor(COALESCE(n_hits, 0) * 1000000 / n_exact) AS BIGINT)
+         AS recall_ppm
 FROM base LEFT JOIN hits ON base.query_id = hits.query_id
 """
 
@@ -543,8 +544,12 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    exact = similarity.ann_topk_bruteforce(emb, queries, k=5).select(
-        "query_id", "item_id"
+    # both the hits join and the base aggregate consume the exact leg —
+    # persist its |Q|·k rows or the brute-force scoring pass runs twice
+    exact = (
+        similarity.ann_topk_bruteforce(emb, queries, k=5)
+        .select("query_id", "item_id")
+        .persist()
     )
     approx = similarity.ann_topk_lsh(emb, queries, k=5).select(
         "query_id", "item_id"
@@ -559,7 +564,11 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "n_exact",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / F.col("n_exact"))
+        # floor, not bare cast: Spark's double→long cast truncates while
+        # DuckDB's rounds — floor is the one semantics both engines share
+        F.floor(
+            F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / F.col("n_exact")
+        )
         .cast("long")
         .alias("recall_ppm"),
     )

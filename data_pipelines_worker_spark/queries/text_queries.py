@@ -549,9 +549,14 @@ def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alphabet, never the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ch = docs.select(
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text"
-    ).select(F.expr("substr(text, i, 1)").alias("ch"))
+    # guard empty documents: Spark sequence(1, 0) DESCENDS ([1, 0]) where
+    # DuckDB generate_series(1, 0) is empty — without the filter every
+    # empty doc adds two spurious '' rows on the Spark side only
+    ch = (
+        docs.filter(F.length("text") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text")
+        .select(F.expr("substr(text, i, 1)").alias("ch"))
+    )
     cnt = ch.groupBy("ch").agg(F.count("*").cast("long").alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("n"))
     w = Window.orderBy(F.col("c").desc(), "ch")

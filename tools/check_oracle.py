@@ -70,6 +70,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
             continue
+        finally:
+            # some queries persist() shared frames for intra-plan reuse;
+            # drop them between queries so a 141-query session doesn't
+            # accumulate pinned blocks
+            spark.catalog.clearCache()
         t1 = time.time()
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only) [{t1-t0:.1f}s]")
