@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = (
     "skew_salted_join",
     "order_backlog_timeline",
     "char_coverage",
+    "hybrid_retrieval_rerank",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

@@ -724,3 +724,90 @@ def q_selection_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_doc"),
     )
+
+
+# --- hybrid retrieval: BM25 candidates re-ranked by embedding cosine --------
+
+
+def _hybrid_oracle() -> str:
+    from .similarity_queries import _dot
+
+    return f"""
+WITH cands AS (FROM ({_BM25_ORACLE})),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+it AS (SELECT c.doc_id, c.score, e.v
+       FROM cands c LEFT JOIN e ON e.vec_id = c.doc_id),
+s AS (
+  SELECT doc_id, score,
+         CASE WHEN v IS NULL THEN NULL
+              ELSE {_dot('q', 'v')}
+                   / (sqrt({_dot('q', 'q')}) * sqrt({_dot('v', 'v')})) END
+           AS sim
+  FROM it CROSS JOIN qv
+)
+SELECT doc_id, score AS bm25_score, round(sim, 6) AS sim,
+       CAST(row_number() OVER (ORDER BY sim DESC NULLS LAST, doc_id) AS BIGINT)
+         AS rerank
+FROM s
+"""
+
+
+@register("hybrid_retrieval_rerank", _hybrid_oracle())
+def q_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the modern RAG retrieval shape: the lexical leg
+    (BM25 top-10) proposes candidates, the dense leg re-ranks them by
+    cosine against a fixed query embedding (vec_id 0) — all under the
+    exact gate because both legs are deterministic and the dot products
+    are strict left folds on both engines.
+
+    Scale shape: the candidate set is k rows by construction, so the
+    re-rank stage — embedding join, broadcast 1-row query vector, cosine,
+    rank window — touches k rows regardless of corpus size; the only
+    corpus-scale work is the already-audited BM25 leg. The rank window's
+    input is the k-row frame, so its single partition is the point, not a
+    bottleneck.
+    """
+    from ..operators.similarity import _as_double, dot_strict_udf
+
+    cands = q_bm25_retrieval(spark, sf_dir).select("doc_id", "score")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pd_dot = dot_strict_udf()
+    qv = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(_as_double(F.col("embedding")).alias("qv"))
+        .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
+    )
+    # LEFT join: lexical-only candidates (no dense vector) stay in the
+    # result, ranked after every embedded candidate — the hybrid contract
+    items = cands.join(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("iv")),
+        cands.doc_id == F.col("vec_id"),
+        "left",
+    )
+    # the Arrow dot UDF must only see non-null vectors (conditional
+    # expressions don't gate vectorized UDF evaluation) — score the
+    # embedded leg, union the lexical-only leg back with a NULL sim
+    dense = (
+        items.filter(F.col("iv").isNotNull())
+        .withColumn("inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv"))))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "score",
+            (pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))).alias(
+                "sim"
+            ),
+        )
+    )
+    lexical_only = items.filter(F.col("iv").isNull()).select(
+        "doc_id", "score", F.lit(None).cast("double").alias("sim")
+    )
+    scored = dense.unionByName(lexical_only)
+    w = Window.orderBy(F.col("sim").desc_nulls_last(), "doc_id")
+    return scored.select(
+        "doc_id",
+        F.col("score").alias("bm25_score"),
+        F.round("sim", 6).alias("sim"),
+        F.row_number().over(w).cast("long").alias("rerank"),
+    )

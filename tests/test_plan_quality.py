@@ -635,3 +635,11 @@ class TestRetrievalPlans:
         window_part = plan.split("Window")[-1]
         assert "HashAggregate" in window_part
         assert "BatchEvalPython" not in plan
+
+    def test_hybrid_rerank_dense_leg_is_k_bounded(self, spark, registry):
+        # the re-rank window's input is the k-row candidate frame — its
+        # single partition is the design, and the only corpus-scale work
+        # is the (already audited) BM25 leg
+        plan = plan_of(q(registry, "hybrid_retrieval_rerank", spark))
+        assert "TakeOrderedAndProject" in plan  # the BM25 leg's top-k
+        assert "CartesianProduct" not in plan
