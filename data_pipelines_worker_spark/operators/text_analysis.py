@@ -83,7 +83,13 @@ def quality_score(text: Column) -> Column:
         F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double") / n_chars
     )
     wlen_term = 1.0 - F.least(F.abs(avg_wlen - F.lit(5.0)) / 5.0, F.lit(1.0))
-    return 0.4 * wlen_term + 0.3 * F.least(sw_ratio * 4.0, F.lit(1.0)) + 0.3 * alpha_ratio
+    score = (
+        0.4 * wlen_term + 0.3 * F.least(sw_ratio * 4.0, F.lit(1.0)) + 0.3 * alpha_ratio
+    )
+    # empty text scores 0.0 outright: the alpha term would divide by
+    # n_chars = 0 (ANSI error on Spark, inf on DuckDB) — the CASE guards
+    # the division per-row on both engines
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(score)
 
 
 def fingerprint_md5(text: Column) -> Column:

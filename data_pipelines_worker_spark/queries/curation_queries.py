@@ -300,11 +300,12 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_ORACLE = """
 SELECT source,
-       CAST(max(10 + (CAST(substr(source, 4) AS BIGINT) % 3) * 20) AS BIGINT)
-         AS rate_pct,
+       CAST(max(10 + (COALESCE(TRY_CAST(substr(source, 4) AS BIGINT), 0) % 3)
+                * 20) AS BIGINT) AS rate_pct,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100
-                          < 10 + (CAST(substr(source, 4) AS BIGINT) % 3) * 20
+                          < 10 + (COALESCE(TRY_CAST(substr(source, 4)
+                                                    AS BIGINT), 0) % 3) * 20
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents
 GROUP BY source
@@ -322,7 +323,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production the rate map is a broadcast dimension; deriving it from
     the source id keeps the oracle self-contained."""
     docs = load_table(spark, sf_dir, "documents")
-    src_n = F.substring(F.col("source"), 4, 10).cast("long")
+    # try_cast: a non-srcN source name (malformed feed id) maps to rate
+    # bucket 0 instead of an ANSI cast error — identically on both engines
+    src_n = F.coalesce(
+        F.expr("try_cast(substring(source, 4, 10) AS BIGINT)"), F.lit(0)
+    )
     rate = F.lit(10) + (src_n % 3) * 20
     keep = (
         F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)), F.lit(100))
@@ -502,14 +507,14 @@ def _final_manifest_oracle() -> str:
 WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
 q AS (
   SELECT doc_id, source,
-         round(
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE round(
            0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
                                   / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
          + 0.3 * least(len(list_filter(string_split(text, ' '),
                                        w -> list_contains({all_sw}, w)))
                        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
          + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                  / CAST(length(text) AS DOUBLE)), 6) AS quality,
+                  / CAST(length(text) AS DOUBLE)), 6) END AS quality,
          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
   FROM documents
 ),

@@ -293,7 +293,11 @@ def q_ass_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(v % 60).cast("long"),
         F.floor((v - F.floor(v)) * 100).cast("long"),
     )
-    return _events(spark, sf_dir).select("event_id", line.alias("ass_time"))
+    # NULL seconds → NULL line: Java format_string prints boxed nulls as
+    # the literal "null" while DuckDB printf propagates NULL — guard
+    return _events(spark, sf_dir).select(
+        "event_id", F.when(v.isNotNull(), line).alias("ass_time")
+    )
 
 
 @register(

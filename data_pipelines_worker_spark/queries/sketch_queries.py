@@ -305,7 +305,7 @@ _QBIN_ORACLE = f"""
 WITH b AS (
   SELECT event_type, CAST(floor(value / {QBIN_WIDTH}) AS BIGINT) AS bin,
          count(*) AS c
-  FROM events GROUP BY event_type, bin
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, bin
 ),
 cum AS (
   SELECT event_type, bin, c,
@@ -338,8 +338,12 @@ def q_approx_quantile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    # NULL measurements carry no rank information — and a NULL bin would
+    # sort NULLS FIRST in Spark's cum window vs NULLS LAST in DuckDB's,
+    # shifting every cumulative count; filter on both engines
     b = (
-        ev.groupBy(
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
             "event_type",
             F.floor(F.col("value") / QBIN_WIDTH).cast("long").alias("bin"),
         )

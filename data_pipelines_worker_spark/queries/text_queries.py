@@ -65,10 +65,10 @@ def _quality_oracle() -> str:
         f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws
     ) + "]"
     return f"""
-    SELECT doc_id, round(
+    SELECT doc_id, CASE WHEN n_chars = 0 THEN 0.0 ELSE round(
         0.4 * (1.0 - least(abs((n_chars - (n_words - 1)) / n_words - 5.0) / 5.0, 1.0))
       + 0.3 * least(sw_hits / n_words * 4.0, 1.0)
-      + 0.3 * (alpha_chars / n_chars), 6) AS quality
+      + 0.3 * (alpha_chars / n_chars), 6) END AS quality
     FROM (
       SELECT doc_id,
              CAST(length(text) AS DOUBLE) AS n_chars,
@@ -147,14 +147,14 @@ def _corpus_prep_oracle() -> str:
                WHEN {score['de']} >= {score['fr']} THEN 'de'
                ELSE 'fr'
              END AS lang_pred,
-             round(
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE round(
                0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
                                       / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
              + 0.3 * least(len(list_filter(string_split(text, ' '),
                                            w -> list_contains({all_sw}, w)))
                            / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
              + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                      / CAST(length(text) AS DOUBLE)), 6) AS quality,
+                      / CAST(length(text) AS DOUBLE)), 6) END AS quality,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
       FROM documents
     )
