@@ -43,7 +43,15 @@ def token_count_regex(text: Column, pattern: str = "[a-z]+|[0-9]+") -> Column:
 
 def stopword_hits(words: Column, stopwords: tuple[str, ...]) -> Column:
     """Occurrences (with multiplicity — not array_intersect, which dedups)
-    of any stopword in the token array."""
+    of any stopword in the token array.
+
+    Measured dead end (kept so it isn't retried): replacing the lambda
+    with ``size − size(array_remove)`` differencing — the rewrite that
+    won 3× in quality_logit_filter — is 2.6× SLOWER here (lang_id 0.68 →
+    1.75 s at sf0.1): lang_id calls this 4×, so differencing costs 28
+    array_remove allocations per row, while the interpreted lambda does
+    4 passes with a 7-element contains. The HOF-vs-collection choice is
+    per-shape, not a universal rule; this one stays a lambda."""
     vocab = F.array(*[F.lit(w) for w in stopwords])
     return F.size(F.filter(words, lambda w: F.array_contains(vocab, w))).cast("long")
 
