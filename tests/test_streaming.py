@@ -631,3 +631,47 @@ def test_windowed_cms_stream_matches_batch_bytes(spark, tmp_path, sf_dir):
         # window's own exact count
         est = cms.estimateCount(str(uid))
         assert est >= 0
+
+
+def test_cdc_snapshot_sink_matches_batch_latest(spark, tmp_path, sf_dir):
+    # the foreachBatch latest-wins merge over a finite stream must land on
+    # exactly the batch latest_snapshot query's answer (the merge is a
+    # semilattice fold: order/replay can't change it)
+    from data_pipelines_worker_spark.queries import load_all
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.snapshot import (
+        read_snapshot,
+        snapshot_sink,
+    )
+
+    fn, _ = load_all()["latest_snapshot"]
+    expect = {
+        r.user_id: (r.last_ts_us, r.last_event_type, r.last_value_cents)
+        for r in fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "cdc_src"
+    # several input files → several micro-batches with maxFilesPerTrigger
+    ev.repartition(4).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap_dir = str(tmp_path / "snapshot")
+    q = snapshot_sink(stream, snap_dir, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.last_ts_us, r.last_event_type, r.last_value_cents)
+        for r in read_snapshot(spark, snap_dir).collect()
+    }
+    assert got == expect
