@@ -35,8 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r04-red rows whose floor-quantization / integer-micros fixes they
 # gate, then the r03-stale family (last driver hash-check r03) —
 # oldest-first. The r04-green family cycles behind; the committed
-# tools/check_oracle.py run (ORACLE_LOCAL_r05.txt: full registry, 0
-# failures) remains the auditable backstop for the dropped tail.
+# tools/check_oracle.py runs (ORACLE_LOCAL_r05.txt: full registry at
+# sf0.01, 0 failures; ORACLE_EDGE_r05.txt: full registry on the
+# adversarial edge rows of tools/make_edge_data.py, 0 failures) remain
+# the auditable backstop for the dropped tail.
 _DRIVER_PRIORITY = (
     # divergence-localization probes — must be driver-checked every round
     "probe_events_ts",
