@@ -325,8 +325,11 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # try_cast: a non-srcN source name (malformed feed id) maps to rate
     # bucket 0 instead of an ANSI cast error — identically on both engines
+    # full suffix on both engines (a length cap here but not in the oracle
+    # would bucket 11+-digit feed ids differently); try_cast: malformed or
+    # >int64 suffixes map to rate bucket 0 identically on both engines
     src_n = F.coalesce(
-        F.expr("try_cast(substring(source, 4, 10) AS BIGINT)"), F.lit(0)
+        F.expr("try_cast(substr(source, 4) AS BIGINT)"), F.lit(0)
     )
     rate = F.lit(10) + (src_n % 3) * 20
     keep = (

@@ -740,11 +740,11 @@ it AS (SELECT c.doc_id, c.score, e.v
        FROM cands c LEFT JOIN e ON e.vec_id = c.doc_id),
 s AS (
   SELECT doc_id, score,
-         CASE WHEN v IS NULL THEN NULL
+         CASE WHEN v IS NULL OR q IS NULL THEN NULL
               ELSE {_dot('q', 'v')}
                    / (sqrt({_dot('q', 'q')}) * sqrt({_dot('v', 'v')})) END
            AS sim
-  FROM it CROSS JOIN qv
+  FROM it LEFT JOIN qv ON TRUE
 )
 SELECT doc_id, score AS bm25_score, round(sim, 6) AS sim,
        CAST(row_number() OVER (ORDER BY sim DESC NULLS LAST, doc_id) AS BIGINT)
@@ -778,20 +778,28 @@ def q_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_as_double(F.col("embedding")).alias("qv"))
         .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
     )
-    # LEFT join: lexical-only candidates (no dense vector) stay in the
-    # result, ranked after every embedded candidate — the hybrid contract
-    items = cands.join(
-        emb.select("vec_id", _as_double(F.col("embedding")).alias("iv")),
-        cands.doc_id == F.col("vec_id"),
-        "left",
+    # LEFT join both legs: lexical-only candidates (no dense vector) stay
+    # in the result, and a MISSING QUERY VECTOR degrades every candidate
+    # to lexical-only instead of emptying the result (join on TRUE keeps
+    # the items rows when qv is empty — same on both engines). Persist the
+    # k-row frame: both union branches consume it, and without the persist
+    # the candidates-join-embeddings subtree executes twice.
+    items = (
+        cands.join(
+            emb.select("vec_id", _as_double(F.col("embedding")).alias("iv")),
+            cands.doc_id == F.col("vec_id"),
+            "left",
+        )
+        .join(F.broadcast(qv), F.lit(True), "left")
+        .persist()
     )
     # the Arrow dot UDF must only see non-null vectors (conditional
     # expressions don't gate vectorized UDF evaluation) — score the
-    # embedded leg, union the lexical-only leg back with a NULL sim
+    # embedded leg, union the vector-less leg back with a NULL sim
+    has_vecs = F.col("iv").isNotNull() & F.col("qv").isNotNull()
     dense = (
-        items.filter(F.col("iv").isNotNull())
+        items.filter(has_vecs)
         .withColumn("inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv"))))
-        .crossJoin(F.broadcast(qv))
         .select(
             "doc_id",
             "score",
@@ -800,7 +808,7 @@ def q_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    lexical_only = items.filter(F.col("iv").isNull()).select(
+    lexical_only = items.filter(~has_vecs).select(
         "doc_id", "score", F.lit(None).cast("double").alias("sim")
     )
     scored = dense.unionByName(lexical_only)

@@ -370,7 +370,8 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a Count-Min sketch, contract-verified (the
     sketch_error_bounds pattern): the word stream aggregates into ONE
     fixed-size mergeable CMS (``count_min_sketch(word, eps=0.001,
-    conf=0.99, seed=42)`` — ~11 KB regardless of corpus size, partial
+    conf=0.99, seed=42)`` — ~112 KB (2000×7 int64 counters) regardless
+    of corpus size, partial
     merges map-side), the driver reads the sketch (control-plane KBs,
     like the IVF centroids) and estimates counts for the exact top-10,
     and the emitted booleans pin the CMS guarantees: estimates never

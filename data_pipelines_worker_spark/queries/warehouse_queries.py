@@ -48,23 +48,12 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction job over a 100-TB change log should plan (the alternative
     max-join reads the log twice).
     """
+    from ..operators.cdc import latest_per_key, project_events
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.unix_micros("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.select(
-            "user_id",
-            F.unix_micros("ts").alias("last_ts_us"),
-            F.col("event_type").alias("last_event_type"),
-            F.floor(F.col("value") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("last_value_cents"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    # projection + rank-1 shared verbatim with the streaming twin
+    # (streaming/snapshot.py) via operators/cdc.py
+    return latest_per_key(project_events(ev)).drop("event_id")
 
 
 # --- SCD-2 dimension merge ---------------------------------------------------

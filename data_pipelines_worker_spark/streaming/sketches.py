@@ -88,8 +88,10 @@ def windowed_cms(
     seed: int = 42,
 ) -> DataFrame:
     """Per-tumbling-window Count-Min sketch of ``key_col`` as ONE
-    watermarked stateful aggregation — streaming state is the ~11 KB
-    sketch per open window, evicted at the watermark, at any input rate.
+    watermarked stateful aggregation — streaming state is the sketch per
+    open window (width = ceil(2/eps) = 2000, depth = ceil(log2(1/(1−conf)))
+    = 7 at the defaults ⇒ ~112 KB of int64 counters), evicted at the
+    watermark, constant at any input rate.
 
     CMS merge is element-wise counter addition (commutative,
     associative), so the streamed sketch is byte-identical to the batch

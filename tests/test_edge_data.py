@@ -52,8 +52,7 @@ def edge_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("name", EDGE_QUERIES)
 def test_edge_query_matches_duckdb(spark, edge_dir, name):
-    qs, oracles = load_all(), None
-    fn, oracle = qs[name]
+    fn, oracle = load_all()[name]
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
