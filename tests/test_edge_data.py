@@ -64,3 +64,33 @@ def test_edge_query_matches_duckdb(spark, edge_dir, name):
     assert len(srows) == len(drows)
     assert sorted(sdf.columns) == sorted(rel.columns)
     assert value_hash(srows, sdf.columns) == value_hash(drows, rel.columns)
+
+
+def test_hybrid_rerank_survives_missing_query_vector(spark, edge_dir, tmp_path):
+    # remove vec_id 0 (the fixed query embedding): every candidate must
+    # degrade to lexical-only (NULL sim, doc_id rank order) on BOTH
+    # engines — not an empty result, not a Spark-only fallback
+    import shutil
+
+    holey = tmp_path / "sf_holey"
+    holey.mkdir()
+    for t in TABLES:
+        src = f"{edge_dir}/{t}.parquet"
+        shutil.copy(src, str(holey / f"{t}.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"COPY (SELECT * FROM '{edge_dir}/embeddings.parquet' WHERE vec_id != 0)"
+        f" TO '{holey}/embeddings.parquet'"
+    )
+    fn, oracle = load_all()["hybrid_retrieval_rerank"]
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{holey}/{t}.parquet'")
+    sdf = fn(spark, str(holey))
+    srows = [tuple(r) for r in sdf.collect()]
+    spark.catalog.clearCache()
+    drows = con.sql(oracle).fetchall()
+    assert len(srows) == len(drows) == 10
+    assert all(r[2] is None for r in srows)  # sim column all NULL
+    assert value_hash(srows, sdf.columns) == value_hash(
+        drows, con.sql(oracle).columns
+    )
