@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = (
     "order_backlog_timeline",
     "char_coverage",
     "hybrid_retrieval_rerank",
+    "approx_distinct_contract",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

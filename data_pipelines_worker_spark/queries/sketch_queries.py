@@ -553,3 +553,48 @@ def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("exact_union"),
         )
     )
+
+
+# --- native HLL++ distinct-count contract ------------------------------------
+
+_ACD_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS within_3rsd
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("approx_distinct_contract", _ACD_ORACLE)
+def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native HLL++ (``approx_count_distinct``, rsd = 0.05) next
+    to the exact distinct count, emitted as a contract boolean (estimate
+    within 3·rsd of truth — deterministic here: fixed data, fixed sketch
+    seed) rather than the estimate itself, which no other engine could
+    reproduce bit-for-bit. The same discipline as ``cms_heavy_hitters``:
+    the oracle pins the booleans TRUE beside the hash-exact counts, so a
+    sketch regression outside its guarantee turns the row red while the
+    estimate's engine-private value stays out of the hash.
+
+    Scale shape: both aggregates are two-phase; HLL++ partials are the
+    fixed-size registers (map-side merged), while the exact leg shuffles
+    one row per distinct (type, user) — the sketch is the 100-TB path,
+    the exact leg exists as its own verifier.
+    """
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("est"),
+    )
+    within = (
+        F.abs(F.col("est") - F.col("n_exact"))
+        <= F.lit(3) * F.lit(0.05) * F.col("n_exact")
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("within_3rsd"),
+    )
