@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = (
     "char_coverage",
     "hybrid_retrieval_rerank",
     "approx_distinct_contract",
+    "ann_ivf_persisted",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

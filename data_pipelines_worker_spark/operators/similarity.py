@@ -857,3 +857,92 @@ def kmeans_int_assignments(
     return assigned.select(
         F.col("item_id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
     )
+
+
+def ivf_build_index(
+    items: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> None:
+    """Materialize an IVF-flat index: the quantizer's centroid table
+    (control-plane, n_cells rows) plus the assigned item table written as
+    cell-partitioned parquet — the offline index-build job of a serving
+    pipeline. Precomputed ``inorm`` rides along so serving never
+    recomputes item norms; parquet doubles are lossless, so the served
+    sims are bit-identical to the build-time arithmetic."""
+    base = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    cids, C, cn = _ivf_quantizer(base, n_cells)
+    cell_of, _ = _ivf_cell_udfs(cids, C, cn, 1)
+    pd_dot = dot_strict_udf()
+    it = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
+        "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
+    )
+    it.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/items"
+    )
+    spark = items.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in C[i]], float(cn[i]))
+            for i, cid in enumerate(cids)
+        ],
+        "cid long, cv array<double>, cn double",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ann_topk_ivf_served(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve IVF top-k from a persisted index (:func:`ivf_build_index`):
+    reload the centroid table (control-plane), compute each query's probe
+    cells, and scan ONLY the probed cell partitions — the probe-cell set
+    is collected (≤ n_cells ids) and pushed as a partition filter, so the
+    index scan touches ~n_probe/n_cells of the corpus ON DISK, which is
+    the point of persisting an index instead of re-deriving it per query.
+    Results are bit-identical to :func:`ann_topk_ivf` (same quantizer,
+    same strict-fold arithmetic, norms restored losslessly)."""
+    cent_rows = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cn = np.array([r["cn"] for r in cent_rows], dtype=np.float64)
+    _, probes_of = _ivf_cell_udfs(cids, C, cn, n_probe)
+    pd_dot = dot_strict_udf()
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cell", F.explode(probes_of(F.col("qv"))))
+        .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
+    )
+    # bounded control-plane collect: the union of probe cells (≤ n_cells)
+    probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    it = spark.read.parquet(f"{index_dir}/items").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    scored = (
+        it.join(F.broadcast(q), "cell")
+        .where(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", F.round("sim", 6).alias("sim"), "rank")
+    )

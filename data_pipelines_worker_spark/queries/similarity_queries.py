@@ -572,3 +572,35 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+@register("ann_ivf_persisted", _ANN_IVF_ORACLE)
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index *lifecycle* face of IVF retrieval: build the index once
+    (cell-partitioned parquet + centroid table,
+    :func:`..operators.similarity.ivf_build_index`), then serve the same
+    queries from the persisted artifact — under the SAME oracle as
+    ``ann_cosine_topk_ivf``, because persisting and reloading must not
+    change a single bit of the result (parquet doubles are lossless, the
+    quantizer is deterministic).
+
+    Scale shape: serving collects the probe-cell union (≤ n_cells ids,
+    control-plane) and pushes it as a partition filter on the index scan
+    — the on-disk read touches ~n_probe/n_cells of the corpus, which is
+    what an index buys over re-deriving assignments per query. The build
+    is the offline job; in production it runs once per corpus version,
+    not per query.
+    """
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivf_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    similarity.ivf_build_index(emb, index_dir, n_cells=_N_CELLS)
+    return similarity.ann_topk_ivf_served(
+        spark, index_dir, queries, k=5, n_probe=_N_PROBE
+    )

@@ -643,3 +643,13 @@ class TestRetrievalPlans:
         plan = plan_of(q(registry, "hybrid_retrieval_rerank", spark))
         assert "TakeOrderedAndProject" in plan  # the BM25 leg's top-k
         assert "CartesianProduct" not in plan
+
+    def test_persisted_ivf_scan_prunes_to_probed_cells(self, spark, registry):
+        # the served plan must read the index with a cell partition filter
+        # (the on-disk analog of probing ~n_probe/n_cells of the corpus)
+        df = q(registry, "ann_ivf_persisted", spark)
+        plan = plan_of(df)
+        assert "PartitionFilters" in plan and "cell" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
+        assert "CartesianProduct" not in plan
