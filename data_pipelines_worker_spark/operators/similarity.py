@@ -322,6 +322,34 @@ def _ivf_cell_udfs(cids: np.ndarray, C: np.ndarray, cn: np.ndarray, n_probe: int
     return cell_of, probes_of
 
 
+
+def _ivf_prepare_items(base: DataFrame, cell_of, pd_dot) -> DataFrame:
+    """(item_id, iv, cell, inorm): the indexed-item frame — ONE home,
+    shared by the in-memory query and the index build so the persisted
+    path can never fork from the oracle's arithmetic."""
+    return base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
+        "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
+    )
+
+
+def _ivf_score_topk(it: DataFrame, q: DataFrame, pd_dot, k: int) -> DataFrame:
+    """Probe join → strict-fold cosine → per-query top-k; shared verbatim
+    by the in-memory and served paths (same reason as above)."""
+    scored = (
+        it.join(F.broadcast(q), "cell")
+        .where(F.col("item_id") != F.col("query_id"))
+        .withColumn(
+            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def ann_topk_ivf(
     items: DataFrame,
     queries: DataFrame,
@@ -356,9 +384,7 @@ def ann_topk_ivf(
     cids, C, cn = _ivf_quantizer(base, n_cells)
     cell_of, probes_of = _ivf_cell_udfs(cids, C, cn, n_probe)
     pd_dot = dot_strict_udf()
-    it = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
-        "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
-    )
+    it = _ivf_prepare_items(base, cell_of, pd_dot)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -366,19 +392,7 @@ def ann_topk_ivf(
         .withColumn("cell", F.explode(probes_of(F.col("qv"))))
         .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
     )
-    scored = (
-        it.join(F.broadcast(q), "cell")
-        .where(F.col("item_id") != F.col("query_id"))
-        .withColumn(
-            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "item_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _ivf_score_topk(it, q, pd_dot, k)
 
 
 def embedding_near_dup_pairs(
@@ -878,9 +892,7 @@ def ivf_build_index(
     cids, C, cn = _ivf_quantizer(base, n_cells)
     cell_of, _ = _ivf_cell_udfs(cids, C, cn, 1)
     pd_dot = dot_strict_udf()
-    it = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
-        "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
-    )
+    it = _ivf_prepare_items(base, cell_of, pd_dot)
     it.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_dir}/items"
     )
@@ -928,21 +940,12 @@ def ann_topk_ivf_served(
         .withColumn("cell", F.explode(probes_of(F.col("qv"))))
         .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
     )
+    # the probe-cell collect AND the join both consume q — persist its
+    # |Q|·n_probe rows or the queries scan + probes_of UDF run twice
+    q = q.persist()
     # bounded control-plane collect: the union of probe cells (≤ n_cells)
     probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
     it = spark.read.parquet(f"{index_dir}/items").filter(
         F.col("cell").isin(probe_cells)
     )
-    scored = (
-        it.join(F.broadcast(q), "cell")
-        .where(F.col("item_id") != F.col("query_id"))
-        .withColumn(
-            "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "item_id", F.round("sim", 6).alias("sim"), "rank")
-    )
+    return _ivf_score_topk(it, q, pd_dot, k)

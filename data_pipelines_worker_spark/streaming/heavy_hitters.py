@@ -93,14 +93,28 @@ def _mg(
             n,
         )
     )
-    out = pd.DataFrame(
-        {
-            "event_type": [key[0]] * len(counters),
-            "key": list(counters.keys()),
-            "mg_count": list(counters.values()),
-            "n_processed": [n] * len(counters),
-        }
-    )
+    if counters:
+        out = pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(counters),
+                "key": list(counters.keys()),
+                "mg_count": list(counters.values()),
+                "n_processed": [n] * len(counters),
+            }
+        )
+    else:
+        # a decrement cascade can empty the summary exactly at a trigger
+        # boundary — emit a NULL-key sentinel so n_processed (and the fact
+        # that the summary is empty) stays observable downstream instead
+        # of consumers silently reusing the previous trigger's counters
+        out = pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "key": pd.array([None], dtype="Int64"),
+                "mg_count": pd.array([None], dtype="Int64"),
+                "n_processed": [n],
+            }
+        )
     yield out
 
 

@@ -75,8 +75,9 @@ def test_hybrid_rerank_survives_missing_query_vector(spark, edge_dir, tmp_path):
     holey = tmp_path / "sf_holey"
     holey.mkdir()
     for t in TABLES:
-        src = f"{edge_dir}/{t}.parquet"
-        shutil.copy(src, str(holey / f"{t}.parquet"))
+        if t == "embeddings":
+            continue  # written filtered below
+        shutil.copy(f"{edge_dir}/{t}.parquet", str(holey / f"{t}.parquet"))
     con = duckdb.connect()
     con.sql(
         f"COPY (SELECT * FROM '{edge_dir}/embeddings.parquet' WHERE vec_id != 0)"
@@ -88,9 +89,8 @@ def test_hybrid_rerank_survives_missing_query_vector(spark, edge_dir, tmp_path):
     sdf = fn(spark, str(holey))
     srows = [tuple(r) for r in sdf.collect()]
     spark.catalog.clearCache()
-    drows = con.sql(oracle).fetchall()
+    rel = con.sql(oracle)
+    drows = rel.fetchall()
     assert len(srows) == len(drows) == 10
     assert all(r[2] is None for r in srows)  # sim column all NULL
-    assert value_hash(srows, sdf.columns) == value_hash(
-        drows, con.sql(oracle).columns
-    )
+    assert value_hash(srows, sdf.columns) == value_hash(drows, rel.columns)

@@ -737,7 +737,7 @@ def test_mg_heavy_hitters_containment_guarantee(spark, tmp_path, sf_dir):
         cur = final.get(r.event_type)
         if cur is None or r.n_processed > cur[0]:
             final[r.event_type] = (r.n_processed, {})
-        if r.n_processed == final[r.event_type][0]:
+        if r.n_processed == final[r.event_type][0] and r.key is not None:
             final[r.event_type][1][r.key] = r.mg_count
     for et, (n, counters) in final.items():
         assert n == totals[et]
@@ -750,20 +750,49 @@ def test_mg_heavy_hitters_containment_guarantee(spark, tmp_path, sf_dir):
             if uid in counters:
                 assert counters[uid] <= c  # lower bound
                 assert c - counters[uid] <= slack
-    # and the streamed state equals the sequential algorithm run over the
-    # same arrival order for at least one group (model check)
-    some_et = sorted(final)[0]
-    ordered = [
-        int(r.user_id)
-        for r in ev.filter(F.col("event_type") == some_et)
-        .orderBy("event_id")
-        .collect()
-    ]
-    model = {}
-    for uid in ordered:
-        mg_update(model, uid)
-    # NOTE: triggers chop the stream by file, and within a trigger rows
-    # sort by event_id, so with files split arbitrarily the arrival order
-    # is not globally event_id-sorted — the model check only bounds sizes
-    assert len(final[some_et][1]) <= K_COUNTERS
-    assert len(model) <= K_COUNTERS
+    assert all(len(c) <= K_COUNTERS for _, c in final.values())
+
+
+def test_mg_stream_equals_sequential_model_single_trigger(spark, tmp_path, sf_dir):
+    # with ONE input file (one trigger) the _mg arrival order is exactly
+    # event_id order, so the streamed counters must EQUAL the sequential
+    # Misra-Gries model — a real equality, not a size bound
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.heavy_hitters import (
+        mg_heavy_hitters_stream,
+        mg_update,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    src = tmp_path / "mg_one"
+    ev.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, user_id long"
+    ).parquet(str(src))
+    q = (
+        mg_heavy_hitters_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mg_one_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM mg_one_out").collect()
+    finally:
+        q.stop()
+    got = {}
+    for r in rows:
+        if r.key is not None:
+            got.setdefault(r.event_type, {})[r.key] = r.mg_count
+    by_type = {}
+    for r in sorted(
+        ev.collect(), key=lambda r: r.event_id
+    ):
+        model = by_type.setdefault(r.event_type, {})
+        mg_update(model, int(r.user_id))
+    assert set(got) <= set(by_type)
+    for et, model in by_type.items():
+        assert got.get(et, {}) == model
