@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = (
     "hybrid_retrieval_rerank",
     "approx_distinct_contract",
     "ann_ivf_persisted",
+    "curriculum_manifest",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

@@ -657,3 +657,66 @@ def q_ppl_bucket_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bigrams").alias("sum_bigrams"),
         )
     )
+
+
+# --- curriculum ordering manifest -------------------------------------------
+
+
+def _curriculum_oracle() -> str:
+    from .text_queries import _quality_oracle
+
+    return f"""
+WITH q AS ({_quality_oracle()}),
+t AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+r AS (
+  SELECT q.doc_id, quality, n_tokens,
+         ntile(3) OVER (ORDER BY quality DESC, q.doc_id) AS phase
+  FROM q JOIN t USING (doc_id)
+  WHERE quality >= 0.45
+)
+SELECT CAST(phase AS BIGINT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(quality) AS min_q,
+       max(quality) AS max_q
+FROM r GROUP BY phase
+"""
+
+
+@register("curriculum_manifest", _curriculum_oracle())
+def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering manifest: quality-gated documents ranked by
+    quality (doc-id tie-break) and cut into three curriculum phases with
+    ntile — the high-quality-first schedule a staged training run
+    consumes; output is the per-phase manifest (doc count, token budget,
+    quality bounds). Quality is the round-6 engine-exact score, so the
+    rank order and the ntile cut are deterministic on any engine.
+
+    Scale note: ntile over a global order is fine here because the
+    *output* contract is three phase rows; at 100 TB the rank itself
+    would go through quantile cutpoints (approx or the binned-histogram
+    operator) instead of a global sort — the same caveat documented on
+    ppl_bucket_mixture, whose deterministic ntile shape this reuses.
+    """
+    from ..operators import text_analysis as ta
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.round(ta.quality_score(F.col("text")), 6).alias("quality"),
+        ta.token_count_regex(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.45)
+    w = Window.orderBy(F.col("quality").desc(), "doc_id")
+    r = feats.select(
+        "doc_id", "quality", "n_tokens", F.ntile(3).over(w).alias("phase")
+    )
+    return r.groupBy("phase").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("quality").alias("min_q"),
+        F.max("quality").alias("max_q"),
+    ).select(F.col("phase").cast("long"), "n_docs", "sum_tokens", "min_q", "max_q")
