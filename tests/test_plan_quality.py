@@ -657,3 +657,11 @@ class TestRetrievalPlans:
         filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert any("cell" in f for f in filters), filters
         assert "CartesianProduct" not in plan
+
+    def test_curriculum_window_input_is_gated_subset(self, spark, registry):
+        # the ntile window is global by design (3 phase rows out); its
+        # input must be the quality-gated projection, not raw documents,
+        # and the whole plan stays UDF-free
+        plan = plan_of(q(registry, "curriculum_manifest", spark))
+        assert "BatchEvalPython" not in plan
+        assert "ntile" in plan
