@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = (
     "approx_distinct_contract",
     "ann_ivf_persisted",
     "curriculum_manifest",
+    "dedup_clusters_logstar",
     # staleness rotation: last driver hash-check r03 (oldest first, a-z)
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",

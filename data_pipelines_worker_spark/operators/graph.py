@@ -168,3 +168,99 @@ def pagerank_int(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "deg", F.col("r").alias("rank_int"))
+
+
+def connected_components_logstar(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) rounds *independent of graph diameter*, versus
+    the min-label propagation of :func:`connected_components`, which
+    needs diameter-many rounds. Near-dup graphs are clique-ish (tiny
+    diameter), so both are fast there — this variant is the 100 TB choice
+    for chain/mesh-shaped graphs (citation chains, web graphs) where the
+    diameter is large.
+
+    large-star: every node connects its strictly-larger neighbors to the
+    minimum of its closed neighborhood; small-star: every edge is
+    oriented (max → min) and each node connects its smaller neighbors
+    (and itself) to that minimum. The alternation strictly shrinks a
+    monotone potential; at the fixpoint the edge set is a star forest
+    rooted at each component's minimum. Both phases are one groupBy over
+    the (symmetrized / oriented) edge list — two shuffles per round,
+    lineage cut with ``localCheckpoint`` per round, convergence detected
+    by an order-independent edge-set checksum (count + id sums + xxhash
+    sum) on the checkpointed frame.
+
+    Returns (node, component) for every node appearing in ``edges`` —
+    the same contract as :func:`connected_components` (equivalence is
+    property-tested against a union-find model and the sibling operator).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.unionByName(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient max → min
+        o = ed.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        m = o.groupBy("a").agg(F.min("b").alias("m"))
+        nbrs = o.join(m, "a").filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        selfe = m.select(F.col("a"), F.col("m").alias("b"))
+        return nbrs.unionByName(selfe).filter(
+            F.col("a") != F.col("b")
+        ).distinct()
+
+    def checksum(ed: DataFrame):
+        row = ed.agg(
+            F.count("*").alias("n"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            # pmod-bound each hash term: a raw xxhash64 sum overflows
+            # int64 (ANSI error) after a few billion-magnitude terms
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 31))).alias("h"),
+        ).first()
+        return (row["n"], row["sa"], row["sb"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: e is a star forest (child → root); roots map to themselves
+    comp = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return all_nodes.join(comp, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )

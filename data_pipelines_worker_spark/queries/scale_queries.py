@@ -44,6 +44,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_logstar",
+    f"""
+    WITH RECURSIVE {JACCARD_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM jp
+      UNION
+      SELECT d2 AS a, d1 AS b FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same dedup-clusters contract computed with the alternating
+    large-star/small-star algorithm (Kiveris et al. 2014,
+    :func:`..operators.graph.connected_components_logstar`) instead of
+    min-label propagation: O(log n) rounds independent of graph diameter
+    — the 100 TB choice when dup chains are long (citation/web graphs)
+    rather than clique-shaped. Identical oracle as ``dedup_clusters``;
+    the two operators are additionally equivalence-tested head-to-head on
+    the LSH pair graph and property-tested against a union-find model."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+    cc = graph.connected_components_logstar(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+@register(
     "grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,

@@ -331,3 +331,89 @@ def test_pagerank_int_tolerates_both_orientations(spark):
     a = {tuple(r) for r in graph.pagerank_int(canon, n_iter=2).collect()}
     b = {tuple(r) for r in graph.pagerank_int(noisy, n_iter=2).collect()}
     assert a == b
+
+
+class TestLogStarCC:
+    def _uf(self, pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonicalize to min of component
+        comp = {}
+        for x in list(parent):
+            comp[x] = find(x)
+        # find() path-halving may not fully root; iterate to fixpoint
+        changed = True
+        while changed:
+            changed = False
+            for x in comp:
+                if comp[comp[x]] != comp[x]:
+                    comp[x] = comp[comp[x]]
+                    changed = True
+        return comp
+
+    def test_logstar_matches_union_find_on_random_graphs(self, spark):
+        import random
+
+        from data_pipelines_worker_spark.operators.graph import (
+            connected_components_logstar,
+        )
+        from data_pipelines_worker_spark.session import local_df
+
+        rng = random.Random(7)
+        for trial in range(4):
+            n = rng.choice([8, 30, 60])
+            pairs = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(n)
+            ]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            if not pairs:
+                continue
+            df = local_df(spark, pairs, "d1 long, d2 long")
+            got = {
+                r.node: r.component
+                for r in connected_components_logstar(df).collect()
+            }
+            want = self._uf(pairs)
+            assert got == want, (trial, sorted(pairs))
+
+    def test_logstar_handles_long_chain(self, spark):
+        # a path graph is the worst case for label propagation (diameter
+        # rounds) and the motivating case for the alternating algorithm
+        from data_pipelines_worker_spark.operators.graph import (
+            connected_components_logstar,
+        )
+        from data_pipelines_worker_spark.session import local_df
+
+        chain = [(i, i + 1) for i in range(60)]
+        df = local_df(spark, chain, "d1 long, d2 long")
+        got = {r.node: r.component for r in connected_components_logstar(df).collect()}
+        assert got == {i: 0 for i in range(61)}
+
+    def test_logstar_equals_propagation_on_lsh_pairs(self, spark, sf_dir):
+        from data_pipelines_worker_spark.operators import dedup
+        from data_pipelines_worker_spark.operators.graph import (
+            connected_components,
+            connected_components_logstar,
+        )
+        from data_pipelines_worker_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+        pairs = pairs.localCheckpoint(eager=True)
+        a = {r.node: r.component for r in connected_components(pairs).collect()}
+        b = {
+            r.node: r.component
+            for r in connected_components_logstar(pairs).collect()
+        }
+        assert a == b
