@@ -87,11 +87,14 @@ def connected_components(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id1: str = "d1", id2: str = "d2"
+    pairs: DataFrame, id1: str = "d1", id2: str = "d2", cc_fn=None
 ) -> DataFrame:
     """Near-dup pair set → (doc_id, cluster_id, is_canonical): every
-    clustered document labeled with its cluster's min doc id."""
-    cc = connected_components(pairs, id1, id2)
+    clustered document labeled with its cluster's min doc id. ``cc_fn``
+    selects the components algorithm (default min-label propagation;
+    pass :func:`connected_components_logstar` for the diameter-
+    independent variant) — ONE home for the output mapping either way."""
+    cc = (cc_fn or connected_components)(pairs, id1, id2)
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
@@ -252,13 +255,25 @@ def connected_components_logstar(
         ).first()
         return (row["n"], row["sa"], row["sb"], row["h"])
 
-    prev = None
+    prev, converged = None, False
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # checkpoint BETWEEN the phases too: small_star references its
+        # input in three branches, and an un-materialized large-star plan
+        # would re-run per branch (the recomputation trap documented at
+        # the top of this file)
+        mid = large_star(e).localCheckpoint(eager=True)
+        e = small_star(mid).localCheckpoint(eager=True)
         cur = checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged edge set is NOT a star forest — the join below
+        # would emit duplicate (node, component) rows; fail loud instead
+        raise RuntimeError(
+            f"connected_components_logstar: no fixpoint in {max_iter} rounds"
+        )
     # fixpoint: e is a star forest (child → root); roots map to themselves
     comp = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
     return all_nodes.join(comp, "node", "left").select(

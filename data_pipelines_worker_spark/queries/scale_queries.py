@@ -15,9 +15,10 @@ from .dedup_queries import JACCARD_CTES
 from .relational_queries import cents
 
 
-@register(
-    "dedup_clusters",
-    f"""
+#: shared by dedup_clusters AND dedup_clusters_logstar — the two queries
+#: implement the same contract with different CC algorithms, so a single
+#: oracle string keeps them from drifting
+DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {JACCARD_CTES},
     edges AS (
       SELECT d1 AS a, d2 AS b FROM jp
@@ -32,7 +33,12 @@ from .relational_queries import cents
     )
     SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS is_canonical
     FROM reach GROUP BY id
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    DEDUP_CLUSTERS_ORACLE,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline: MinHash-LSH pairs → connected components →
@@ -45,22 +51,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters_logstar",
-    f"""
-    WITH RECURSIVE {JACCARD_CTES},
-    edges AS (
-      SELECT d1 AS a, d2 AS b FROM jp
-      UNION
-      SELECT d2 AS a, d1 AS b FROM jp
-    ),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    reach AS (
-      SELECT id, id AS r FROM nodes
-      UNION
-      SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
-    )
-    SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS is_canonical
-    FROM reach GROUP BY id
-    """,
+    DEDUP_CLUSTERS_ORACLE,
 )
 def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same dedup-clusters contract computed with the alternating
@@ -73,11 +64,8 @@ def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH pair graph and property-tested against a union-find model."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
-    cc = graph.connected_components_logstar(pairs)
-    return cc.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("node") == F.col("component")).alias("is_canonical"),
+    return graph.dedup_clusters(
+        pairs, cc_fn=graph.connected_components_logstar
     )
 
 

@@ -665,3 +665,7 @@ class TestRetrievalPlans:
         plan = plan_of(q(registry, "curriculum_manifest", spark))
         assert "BatchEvalPython" not in plan
         assert "ntile" in plan
+        # the quality gate must sit BELOW the window (the ntile sorts the
+        # gated subset, not raw documents)
+        below_window = plan.split("Window")[-1]
+        assert "0.45" in below_window
