@@ -30,61 +30,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver records at most ~50 rows, taking them in dict
-# order. Round-5 rotation (VERDICT r4 #3): the four divergence probes
-# lead (probe_lineitem_dates is new — the q12 class), then the five
-# r04-red rows whose floor-quantization / integer-micros fixes they
-# gate, then the r03-stale family (last driver hash-check r03) —
-# oldest-first. The r04-green family cycles behind; the committed
-# tools/check_oracle.py runs (ORACLE_LOCAL_r05.txt: full registry at
-# sf0.01, 0 failures; ORACLE_EDGE_r05.txt: full registry on the
-# adversarial edge rows of tools/make_edge_data.py, 0 failures) remain
-# the auditable backstop for the dropped tail.
+# order. Round-6 rotation map (VERDICT r5 #1/#4): slots 1–12 are the
+# HUGEINT-diagnosis gate — the three new per-row probes (money bits,
+# events.value bits, orders priority), the four standing probes, and
+# the five rows red r02–r05 whose oracle SQL returned DuckDB HUGEINT/
+# DECIMAL columns (diagnosis + fix: queries/probe_queries.py module
+# docstring, tests/test_oracle_type_parity.py). Slots 13–50 are the
+# staleness rotation: the family whose last driver hash-check was r03
+# (asof_join, date_functions, q1/q3/q5/q6/q14/q18, sessionization,
+# set_ops, …), oldest-first, so no query's driver check ages past two
+# rounds. The r04/r05-green families cycle behind; the committed
+# tools/check_oracle.py runs (ORACLE_LOCAL/_EDGE: full registry,
+# 0 failures) remain the auditable backstop for the dropped tail.
 _DRIVER_PRIORITY = (
-    # divergence-localization probes — must be driver-checked every round
+    # --- slots 1-12: HUGEINT-diagnosis gate -------------------------
+    "probe_money_bits",
+    "probe_events_value_bits",
+    "probe_orders_priority",
+    "probe_money_cents",
     "probe_events_ts",
     "probe_orders_dates",
-    "probe_money_cents",
     "probe_lineitem_dates",
-    # the five r04-red rows: 4× cents()→floor(x*100+0.5) (VERDICT r4 #1),
-    # q12 integer-micros boundary (VERDICT r4 #2)
     "window_functions",
     "q8_market_share",
     "group_linreg",
     "q12_ship_delay_priority",
-    # round-5 additions (never driver-checked: staleness = infinity)
-    "hll_registers",
-    "bloom_join_prune",
-    "approx_quantile_binned",
-    "mixture_temperature",
-    "rolling_features",
-    "vocab_richness",
-    "crossval_split",
-    "minhash_similarity_estimate",
-    "incremental_dedup",
-    "bm25_retrieval",
-    "inverted_index_stats",
-    "pmi_bigrams",
-    "quality_logit_filter",
-    "dsir_importance",
-    "training_shards",
-    "copurchase_triangles",
-    "table_profile",
-    "events_anomaly",
-    "reservoir_sample_k",
-    "ann_recall_at_k",
-    "selection_pipeline_e2e",
-    "dq_checks",
-    "latest_snapshot",
-    "scd2_customer_merge",
-    "skew_salted_join",
-    "order_backlog_timeline",
-    "char_coverage",
-    "hybrid_retrieval_rerank",
-    "approx_distinct_contract",
-    "ann_ivf_persisted",
-    "curriculum_manifest",
-    "dedup_clusters_logstar",
-    # staleness rotation: last driver hash-check r03 (oldest first, a-z)
+    "media_video_pipeline",  # oracle DECIMAL(21,1) → DOUBLE, same class
+    # --- slots 13-50: r03-stale family, oldest first ----------------
+    "asof_join",
+    "date_functions",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "sessionization",
+    "set_ops",
+    "agg_distinct",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "ass_time_format",
+    "bpe_train_merges",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "coalesce_priority",
+    "corpus_prep",
+    "dedup_exact",
+    "dedup_graph_pagerank",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_stats",
+    "doc_fingerprint",
+    "dup_ngram_coverage",
+    "dup_span_removal",
+    "embedding_kmeans",
+    "embedding_near_dup",
+    "embedding_stats",
+    "gather_join_strings",
+    "index_targeting",
+    "json_auto_detect",
+    "lang_id",
+    "normalize_text",
+    "outer_join_agg",
+    # --- overflow: next-oldest r03/r04, then r05-green cycles behind
+    "pivot_event_counts",
+    "ppl_bucket_mixture",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "quality_score",
+    "rollup_lineitem",
+    "schema_cast",
+    "semi_anti_join",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "timeseries_resample",
+    "token_count",
+    "top_k_per_group",
+    "windowed_agg",
+    "word_frequencies",
+    "zip_merge_positional",
     "ann_cosine_topk_ivfpq",
     "bucketed_join_agg",
     "cohort_retention",
@@ -106,7 +137,6 @@ _DRIVER_PRIORITY = (
     "media_frame_sample",
     "media_image_resize",
     "media_image_stats",
-    "media_video_pipeline",
     "mixture_sample",
     "pack_manifest",
     "percentile_by_group",
@@ -133,65 +163,6 @@ _DRIVER_PRIORITY = (
     "text_replace",
     "token_count_bpe",
     "wrap_text",
-    # verified r04 — cycle behind (ORACLE_LOCAL_r05.txt is the backstop)
-    "agg_distinct",
-    "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
-    "asof_join",
-    "ass_time_format",
-    "bpe_train_merges",
-    "chunk_dedup",
-    "cms_heavy_hitters",
-    "coalesce_priority",
-    "corpus_prep",
-    "date_functions",
-    "dedup_exact",
-    "dedup_graph_pagerank",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_stats",
-    "doc_fingerprint",
-    "dup_ngram_coverage",
-    "dup_span_removal",
-    "embedding_kmeans",
-    "embedding_near_dup",
-    "embedding_stats",
-    "gather_join_strings",
-    "index_targeting",
-    "json_auto_detect",
-    "lang_id",
-    "normalize_text",
-    "outer_join_agg",
-    "pivot_event_counts",
-    "ppl_bucket_mixture",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "quality_score",
-    "rollup_lineitem",
-    "schema_cast",
-    "semi_anti_join",
-    "sessionization",
-    "set_ops",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "timeseries_resample",
-    "token_count",
-    "top_k_per_group",
-    "windowed_agg",
-    "word_frequencies",
-    "zip_merge_positional",
 )
 
 

@@ -72,6 +72,18 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             cold[name] = round(time.perf_counter() - t0, 3)
+            # Intra-query persist()s (ANN index frames, composed corpus
+            # pipelines) must not leak into the next query's memory
+            # budget: across 292 timed executions the pinned blocks
+            # accumulate until eviction pressure dominates the tail of
+            # the run (driver r05 ran 173 s vs 109 s local for identical
+            # code — VERDICT r5 #2). Clearing between the cold and warm
+            # runs also makes the warm number measure warm *code*
+            # (codegen JIT), not a warm cache of the query's own
+            # intermediate frames — the steady-state-engine number the
+            # round-over-round comparison wants. clearCache sits outside
+            # both timing windows, matching tools/check_oracle.py.
+            spark.catalog.clearCache()
             t1 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -80,6 +92,8 @@ def main() -> None:
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
             timings[name] = -1.0
             cold.setdefault(name, -1.0)
+        finally:
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)

@@ -486,6 +486,130 @@ def embedding_near_dup_pairs(
     return paired.select("id1", "id2", F.round("sim", 6).alias("sim"))
 
 
+def embedding_near_dup_blocked(
+    items: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_size: int = 6,
+    dim: int = 64,
+    seed: int = 43,
+) -> DataFrame:
+    """Near-duplicate pairs via exact-collapse + SRP-band LSH blocking
+    (VERDICT r5 #5 — replaces the all-pairs matmul as the registry path;
+    :func:`embedding_near_dup_pairs` stays available as the exact
+    verifier for sampled audits).
+
+    Two layers kill the quadratic:
+
+    1. **Exact-collapse** — byte-identical vectors (the dominant duplicate
+       class in crawled corpora) are grouped first (``groupBy(v)``, one
+       shuffle); all candidate generation runs over the *unique* vectors.
+       Duplicate multiplicity never multiplies pair work — it only expands
+       the output linearly at the end (two equi-joins from rep-pairs to
+       member ids).
+    2. **SRP-band blocking** — unique vectors get ``n_bands`` bucket ids
+       of ``band_size`` sign bits each (seeded hyperplanes, deterministic);
+       rep pairs are candidates iff they collide in ≥1 band (equi-join on
+       the (band, bucket) key — never a cross join). Exact strict-fold
+       cosine then verifies candidates against ``threshold``.
+
+    Recall model (standard OR-amplified SRP): a pair at cosine ``s``
+    collides per plane with ``p = 1 − arccos(s)/π`` and survives blocking
+    with ``R(s) = 1 − (1 − p^band_size)^n_bands``; with the defaults
+    (6×8): R(1.0) = 1 (identical vectors collide in every band — the
+    exact-collapse layer additionally guarantees them), R(0.9) ≈ 0.98,
+    R(0.7) ≈ 0.77, R(0.4) ≈ 0.41. Raise ``n_bands`` for recall, raise
+    ``band_size`` for sparser buckets (pair work ~ Σ|bucket|² over unique
+    vectors per band). The emitted set is a deterministic subset of the
+    exact τ-pairs, reproduced bit-for-bit by the DuckDB oracle (same
+    planes, same strict folds), so the hash gate stays exact even though
+    the operator is approximate w.r.t. the full pair set.
+
+    100 TB shape: one shuffle to collapse, one map stage for signatures,
+    one equi-join on (band, bucket) for candidates (AQE splits hot
+    buckets), exact scoring only on candidates, linear output expansion.
+    No stage is quadratic in corpus size for bounded bucket sizes.
+    """
+    planes = _hyperplanes(dim, n_bands * band_size, seed=seed)
+    sig = bands_signature_udf(planes, n_bands, band_size)
+    pd_dot = dot_strict_udf()
+
+    base = items.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    # one exchange on v, reused by both branches (member map + unique reps)
+    wv = W.partitionBy("v")
+    m = base.withColumn("rep", F.min("id").over(wv))
+    uniq = (
+        m.where(F.col("id") == F.col("rep"))
+        .select("rep", "v")
+        .withColumn("nrm", F.sqrt(pd_dot(F.col("v"), F.col("v"))))
+    )
+    members = m.select("id", "rep")
+
+    bands = uniq.select(
+        "rep", F.posexplode(sig(F.col("v"))).alias("band", "bucket")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(F.col("a.rep").alias("rep1"), F.col("b.rep").alias("rep2"))
+        .distinct()
+    )
+    u1 = uniq.select(
+        F.col("rep").alias("rep1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    u2 = uniq.select(
+        F.col("rep").alias("rep2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    scored = (
+        cand.join(u1, "rep1")
+        .join(u2, "rep2")
+        .withColumn("sim", pd_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")))
+        .where(F.col("sim") >= F.lit(threshold))
+        .select("rep1", "rep2", "sim")
+    )
+    m1 = members.select(F.col("rep").alias("rep1"), F.col("id").alias("ida"))
+    m2 = members.select(F.col("rep").alias("rep2"), F.col("id").alias("idb"))
+    cross = (
+        scored.join(m1, "rep1")
+        .join(m2, "rep2")
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+            "sim",
+        )
+    )
+    selfsim = (
+        uniq.withColumn(
+            "sim", pd_dot(F.col("v"), F.col("v")) / (F.col("nrm") * F.col("nrm"))
+        )
+        .where(F.col("sim") >= F.lit(threshold))
+        .select(F.col("rep").alias("srep"), "sim")
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep") == F.col("y.rep")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .join(selfsim, F.col("x.rep") == F.col("srep"))
+        .select(
+            F.col("x.id").alias("id1"), F.col("y.id").alias("id2"), F.col("sim")
+        )
+    )
+    out = cross.unionByName(intra)
+    return out.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
 def semantic_dedup(
     items: DataFrame,
     threshold: float = 0.4,

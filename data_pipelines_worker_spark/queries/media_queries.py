@@ -134,7 +134,7 @@ def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(10 * ((length(text) % 5) + 1) AS BIGINT) AS n_frames,
-           ((length(text) % 5) + 1) - 0.5 AS audio_seconds
+           CAST(((length(text) % 5) + 1) - 0.5 AS DOUBLE) AS audio_seconds
     FROM documents
     """,
 )

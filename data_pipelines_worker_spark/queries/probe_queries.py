@@ -20,6 +20,31 @@ Each probe isolates exactly one divergence class; production queries use
 the normalized forms (`unix_micros`/`epoch_us`, `make_timestamp(epoch_us(…))`)
 so they stay green regardless; the probes deliberately include the *raw*
 expressions whose divergence they are designed to detect.
+
+DIAGNOSIS (round 6) — the r02–r05 red-row streak named its layer: the
+divergence is in the **driver harness's client-side type conversion of
+DuckDB results, not in data, arithmetic, or Spark**. Evidence: the five
+red rows of CORRECTNESS_r05 (`probe_money_cents`, `window_functions`,
+`q8_market_share`, `group_linreg`, `q12_ship_delay_priority`) are
+*exactly* the five queries of the 146-query registry whose oracle SQL
+returns a DuckDB HUGEINT (int128) column — `sum()` over an
+integer-typed expression is HUGEINT in DuckDB — and no green query
+returns one. HUGEINT is the one common output type whose Python
+conversion differs by fetch API: `fetchall()` → int (`6`),
+`fetchdf()` → float64 (`6.0`), `.arrow()` → Decimal('6'); a
+stringified value-hash then mismatches Spark's BIGINT (`6`) even
+though the numeric values are identical — which is precisely the
+observed signature (rows_match ∧ schema_match ∧ ¬hash_match, on 3-row
+results, local fetchall-based replica green for four straight rounds,
+per-row date probes green, IEEE-exact `floor(x*100+0.5)` probe red).
+Fix: every integer aggregate in oracle SQL carries an outer
+``CAST(sum(…) AS BIGINT)`` (and exact >int64 moments travel as
+VARCHAR on both sides); ``tests/test_oracle_type_parity.py`` now
+lint-gates the whole registry so no oracle can ever return HUGEINT or
+DECIMAL again. ``probe_money_bits`` / ``probe_orders_priority`` below
+complete the layer proof: per-row, aggregation-free, HUGEINT-free —
+green certifies the data + arithmetic layers independently of the
+aggregate path.
 """
 
 from __future__ import annotations
@@ -83,10 +108,13 @@ def probe_orders_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probe_money_cents",
     """
     SELECT l_returnflag,
-           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
-           sum(CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_c,
-           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_vol_c
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
+           CAST(sum(CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_disc_c,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_vol_c
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -150,4 +178,83 @@ def probe_lineitem_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("fast_flag"),
+    )
+
+
+@register(
+    "probe_money_bits",
+    """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(floor(l_extendedprice * 34359738368) AS BIGINT) AS price_bits,
+           CAST(floor(l_discount * 34359738368) AS BIGINT) AS disc_bits
+    FROM lineitem
+    """,
+)
+def probe_money_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row binary fingerprint of the money doubles (VERDICT r5
+    "missing" #1a). ``floor(x * 2**35)`` is a pure exponent shift —
+    exact in IEEE-754 for every double of this magnitude, immune to FMA
+    contraction (no addition anywhere) and to shortest-decimal-repr
+    round-tripping — so the emitted BIGINT is a deterministic function
+    of the 64 bits the engine read from parquet. Aggregation-free and
+    HUGEINT-free: a red row here proves the engines see *different
+    doubles* (driver data/reader layer); green certifies the data layer
+    byte-for-byte, leaving only client-side result conversion as a
+    possible divergence (the layer the r06 diagnosis names)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scale = F.lit(34359738368)  # 2**35: power-of-two scaling is exact
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.floor(F.col("l_extendedprice") * scale).cast("long").alias("price_bits"),
+        F.floor(F.col("l_discount") * scale).cast("long").alias("disc_bits"),
+    )
+
+
+@register(
+    "probe_events_value_bits",
+    """
+    SELECT event_id,
+           CAST(floor(value * 34359738368) AS BIGINT) AS value_bits
+    FROM events
+    """,
+)
+def probe_events_value_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.value under the same exact power-of-two fingerprint as
+    :func:`probe_money_bits` — the double that feeds
+    ``window_functions`` run_cents and ``group_linreg`` y. Per-row, no
+    aggregate, no HUGEINT."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.floor(F.col("value") * F.lit(34359738368)).cast("long").alias("value_bits"),
+    )
+
+
+@register(
+    "probe_orders_priority",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+             AS high_flag
+    FROM orders
+    """,
+)
+def probe_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one q12 ingredient never driver-probed (VERDICT r5 "missing"
+    #1b): per-row order priority and the exact IN-list flag q12's CASE
+    sums build on. With ``probe_lineitem_dates`` green (dates + 30-day
+    boundary) and this green (priority + flag), every q12 input is
+    certified per-row — so q12's own color isolates to the aggregate
+    output layer, which the r06 HUGEINT fix addresses."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("high_flag"),
     )

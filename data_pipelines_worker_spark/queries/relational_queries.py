@@ -635,10 +635,11 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
            CAST(row_number() OVER w AS BIGINT) AS cd_num,
            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cd_den,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
              OVER (PARTITION BY user_id
                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS run_cents
     FROM events
     WINDOW w AS (PARTITION BY user_id
                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
@@ -921,7 +922,10 @@ WITH m AS (
   GROUP BY event_type
 )
 SELECT event_type,
-       CAST(n AS BIGINT) AS n, sx, sy, sxx, syy, sxy,
+       CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+       CAST(sxy AS VARCHAR) AS sxy,
        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
          / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0) AS slope,
        (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
@@ -981,7 +985,15 @@ def q_group_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cden = F.sqrt(den) * F.sqrt(nd * F.col("syy").cast("double") - syd * F.col("sy"))
     return m.select(
         "event_type",
-        "n", "sx", "sy", "sxx", "syy", "sxy",
+        "n", "sx", "sy",
+        # Exact big-integer moments travel as canonical decimal strings:
+        # int64 can wrap at corpus scale and every non-string wide-integer
+        # type (Spark decimal, DuckDB HUGEINT) converts differently across
+        # fetchall/fetchdf/arrow — VARCHAR is the one representation every
+        # client API round-trips verbatim.
+        F.col("sxx").cast("string").alias("sxx"),
+        F.col("syy").cast("string").alias("syy"),
+        F.col("sxy").cast("string").alias("sxy"),
         slope.alias("slope"),
         ((syd - slope * F.col("sx")) / F.col("n")).alias("intercept"),
         F.when(cden != 0, num / cden).alias("corr"),

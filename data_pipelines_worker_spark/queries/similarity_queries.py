@@ -50,26 +50,80 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_bruteforce(emb, queries, k=5)
 
 
+def _plane_sql(h: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+
+
+#: SRP planes for the blocked near-dup path (seed 43, 8 bands × 6 bits).
+#: Seeded and inlined as SQL literals so the DuckDB oracle reproduces the
+#: candidate filter bit-for-bit — the emitted set is a deterministic
+#: subset of the exact τ-pairs (recall model in
+#: operators/similarity.py embedding_near_dup_blocked) and the hash gate
+#: stays exact on an approximate operator.
+_ND_BAND_SIZE, _ND_BANDS = 6, 8
+_ND_PLANES = similarity._hyperplanes(
+    dim=64, n_planes=_ND_BAND_SIZE * _ND_BANDS, seed=43
+)
+
+
+def _nd_band_sql(t: int) -> str:
+    band = _ND_PLANES[t * _ND_BAND_SIZE : (t + 1) * _ND_BAND_SIZE]
+    return " + ".join(
+        f"(CASE WHEN {_dot('v', _plane_sql(h))} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(band)
+    )
+
+
+_ND_BANDS_SELECT = ",\n             ".join(
+    f"({_nd_band_sql(t)}) AS b{t}" for t in range(_ND_BANDS)
+)
+_ND_BANDS_MATCH = " OR ".join(f"a.b{t} = c.b{t}" for t in range(_ND_BANDS))
+
 _NEAR_DUP_ORACLE = f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    n AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e)
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.4
+    m AS (SELECT id, min(id) OVER (PARTITION BY v) AS rep FROM e),
+    u AS (SELECT min(id) AS rep, v FROM e GROUP BY v),
+    b AS (
+      SELECT rep, v, sqrt({_dot('v', 'v')}) AS nrm,
+             {_ND_BANDS_SELECT}
+      FROM u
+    ),
+    scored AS (
+      SELECT a.rep AS rep1, c.rep AS rep2,
+             {_dot('a.v', 'c.v')} / (a.nrm * c.nrm) AS sim
+      FROM b a JOIN b c ON a.rep < c.rep AND ({_ND_BANDS_MATCH})
+      WHERE {_dot('a.v', 'c.v')} / (a.nrm * c.nrm) >= 0.4
+    ),
+    crossed AS (
+      SELECT least(m1.id, m2.id) AS id1, greatest(m1.id, m2.id) AS id2,
+             round(s.sim, 6) AS sim
+      FROM scored s
+      JOIN m m1 ON m1.rep = s.rep1
+      JOIN m m2 ON m2.rep = s.rep2
+    ),
+    selfsim AS (
+      SELECT rep, {_dot('v', 'v')} / (nrm * nrm) AS sim FROM b
+      WHERE {_dot('v', 'v')} / (nrm * nrm) >= 0.4
+    ),
+    intra AS (
+      SELECT m1.id AS id1, m2.id AS id2, round(s.sim, 6) AS sim
+      FROM m m1 JOIN m m2 ON m1.rep = m2.rep AND m1.id < m2.id
+      JOIN selfsim s ON s.rep = m1.rep
+    )
+    SELECT * FROM crossed UNION ALL SELECT * FROM intra
 """
 
 
 @register("embedding_near_dup", _NEAR_DUP_ORACLE)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked near-dup (exact-collapse + SRP-band LSH candidate join +
+    strict-fold verify) — the 100 TB path; the all-pairs exact form
+    (:func:`similarity.embedding_near_dup_pairs`) remains as a sampled
+    audit verifier, out of the registry hot path (VERDICT r5 #3/#5)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
-
-
-def _plane_sql(h: list[float]) -> str:
-    return "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+    return similarity.embedding_near_dup_blocked(emb, threshold=0.4)
 
 
 #: The SRP planes are seeded (numpy PCG64, seed 42), so the banded-LSH

@@ -132,8 +132,9 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS share_num_c,
-           sum(vol_c) AS share_den_c,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS BIGINT)
+             AS share_num_c,
+           CAST(sum(vol_c) AS BIGINT) AS share_den_c,
            CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_c ELSE 0 END) AS DOUBLE)
              / sum(vol_c) AS mkt_share
     FROM (
@@ -672,10 +673,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_delay_priority",
     """
     SELECT delay_bucket,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM (
       SELECT o.o_orderpriority,
              CASE WHEN epoch_us(CAST(l.l_shipdate AS TIMESTAMP))

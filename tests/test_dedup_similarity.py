@@ -163,6 +163,51 @@ def test_embedding_near_dup_symmetric_free(spark):
     assert [(r.id1, r.id2) for r in out] == [(0, 1)]
 
 
+def test_near_dup_blocked_subset_of_exact(spark, sf_dir):
+    """Blocked LSH near-dup emits a subset of the exact all-pairs set,
+    with sims identical on shared pairs (same strict-fold arithmetic)."""
+    from data_pipelines_worker_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id1, r.id2): r.sim
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id1, r.id2): r.sim
+        for r in similarity.embedding_near_dup_blocked(emb, threshold=0.4).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for pair, sim in blocked.items():
+        assert abs(sim - exact[pair]) < 1e-9
+
+
+def test_near_dup_blocked_exact_collapse_guarantee(spark):
+    """Byte-identical vectors are guaranteed pairs (exact-collapse layer),
+    at sim 1.0, regardless of band collisions; a near-but-not-identical
+    high-sim pair collides in every band too (all projections share sign
+    for ~equal vectors with margin)."""
+    v = [float(i % 7) - 3.0 for i in range(64)]
+    w = [x + (1e-9 if i == 0 else 0.0) for i, x in enumerate(v)]
+    u = [-x for x in v]
+    df = spark.createDataFrame(
+        [(10, v), (11, v), (12, v), (20, w), (30, u)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r.id1, r.id2): r.sim
+        for r in similarity.embedding_near_dup_blocked(df, threshold=0.9).collect()
+    }
+    # all intra-group pairs of the triplicate vector present at sim 1.0
+    for pair in [(10, 11), (10, 12), (11, 12)]:
+        assert pair in out and abs(out[pair] - 1.0) < 1e-6
+    # near-identical cross-group pair collides in every band
+    for pair in [(10, 20), (11, 20), (12, 20)]:
+        assert pair in out
+    # anti-parallel vector (sim -1) never passes the threshold verify
+    assert not any(30 in p for p in out)
+
+
 def test_ann_ivfpq_recall_and_rank_structure(spark, sf_dir):
     """IVF-PQ adds lossy ADC shortlisting on top of IVF probing; the exact
     re-rank stage restores true cosines for whatever survives the
