@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = (
     "group_linreg",
     "q12_ship_delay_priority",
     "media_video_pipeline",  # oracle DECIMAL(21,1) → DOUBLE, same class
+    "zone_map_pruning",  # new r06 (never driver-checked)
     # --- slots 13-50: r03-stale family, oldest first ----------------
     "asof_join",
     "date_functions",

@@ -247,8 +247,14 @@ def connected_components_logstar(
     def checksum(ed: DataFrame):
         row = ed.agg(
             F.count("*").alias("n"),
-            F.sum("a").alias("sa"),
-            F.sum("b").alias("sb"),
+            # pmod-bound EVERY summed term, ids included: raw node ids on
+            # the graphs this operator targets (xxhash64-derived doc ids,
+            # web-graph ids) are billion-plus magnitude, and their int64
+            # sum overflows under ANSI mode exactly like the raw hash sum
+            # the comment below fixed — the fingerprint only needs
+            # order-independence, not the true sums
+            F.sum(F.pmod(F.col("a"), F.lit(1 << 31))).alias("sa"),
+            F.sum(F.pmod(F.col("b"), F.lit(1 << 31))).alias("sb"),
             # pmod-bound each hash term: a raw xxhash64 sum overflows
             # int64 (ANSI error) after a few billion-magnitude terms
             F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1 << 31))).alias("h"),

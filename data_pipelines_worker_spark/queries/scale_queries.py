@@ -253,6 +253,14 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed copies are written once per (session, sf) into a session-local
     warehouse; ``tests/test_plan_quality.py`` asserts the no-Exchange
     property machine-checked.
+
+    Scale contract: ``n_buckets`` is a write-time layout constant, so at
+    a fixed layout the per-task input grows linearly with the corpus
+    (the 10× probe's 4.4× is exactly that scan-linear growth — see
+    SCALING.md). A production layout chooses
+    ``n_buckets ≈ corpus_size / target_bucket_size`` when the table is
+    (re)written, which restores bounded per-task input; the join stays
+    exchange-free at any bucket count as long as both sides share it.
     """
     import os
     import tempfile

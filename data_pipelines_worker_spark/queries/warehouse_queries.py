@@ -248,3 +248,52 @@ def q_order_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("net_change"),
         F.sum("d").over(w).cast("long").alias("open_orders"),
     )
+
+
+@register(
+    "zone_map_pruning",
+    """
+    WITH zm AS (
+      SELECT CAST(year(make_timestamp(epoch_us(l_shipdate))) * 100
+                  + month(make_timestamp(epoch_us(l_shipdate))) AS BIGINT)
+               AS zone,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS min_price_c,
+             CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS max_price_c,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty
+      FROM lineitem
+      GROUP BY 1
+    )
+    SELECT zone, n_rows, min_price_c, max_price_c, min_qty, max_qty,
+           CASE WHEN max_price_c < 1000000 OR min_price_c >= 5000000
+                THEN 0 ELSE 1 END AS would_scan
+    FROM zm
+    """,
+)
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skipping stats (``operators/zonemap.py``): ship-month
+    zones over lineitem carrying count + min/max envelopes for price
+    cents and quantity, then the per-zone scan/skip verdict for the
+    range predicate ``$10,000 <= price < $50,000`` — the manifest-level
+    pruning table an Iceberg/Delta planner consults before opening a
+    single file. One partial-combined aggregate over the scan; the
+    pruning decision is a literal predicate on the manifest-sized
+    result. The reader-side twin (`index_targeting`) asserts Spark
+    physically skips row groups; this query produces the stats that
+    make such skipping possible for table formats the engine writes."""
+    from ..operators.zonemap import range_scan_flags, zone_maps
+
+    li = load_table(spark, sf_dir, "lineitem")
+    zone = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    maps = zone_maps(
+        li,
+        zone,
+        {
+            "price_c": F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+            "qty": F.col("l_quantity"),
+        },
+    )
+    return range_scan_flags(maps, "price_c", 1_000_000, 5_000_000)

@@ -12,7 +12,12 @@ format allows it and documents the loss where it doesn't:
 - json: no binary columns (base64 would silently change hashes — callers
   drop or encode them explicitly); timestamps serialized ISO-8601 UTC;
 - csv: scalar columns only (arrays/structs/binary rejected loudly),
-  timestamps pinned to ``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` UTC.
+  timestamps pinned to ``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` UTC;
+- avro: row-oriented interchange for streaming/CDC edges — full
+  fidelity for the engine's column types, but gated on the spark-avro
+  connector jar (not in the base distribution): the capability probe
+  :func:`avro_available` reports it, and read/write raise a
+  package-naming error rather than a Py4J class-not-found when absent.
 
 Readers take an explicit schema whenever the format is schema-poor
 (csv/json): at 100 TB, schema inference is a full extra pass over the
@@ -27,9 +32,44 @@ from pyspark.sql import types as T
 
 #: formats whose writers keep every Spark type intact
 LOSSLESS = ("parquet", "orc")
-FORMATS = ("parquet", "orc", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv", "avro")
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+#: spark-avro's provider class. The short name "avro" resolves only when
+#: the connector's DataSourceRegister service entry is on the classpath;
+#: some distributions (this one included) ship the classes WITHOUT the
+#: service registration, where the explicit provider class still works —
+#: so reads/writes always go through the class name, which covers both.
+_AVRO_PROVIDER = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro provider class is loadable in the JVM.
+
+    Avro is a *connector* (``org.apache.spark:spark-avro_2.13``) rather
+    than a guaranteed part of the distribution — only the avro core
+    libraries are always in ``jars/``. The capability probe asks the JVM
+    for the provider class instead of attempting a write, so it is cheap
+    and side-effect-free.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(_AVRO_PROVIDER)
+        return True
+    except Exception:  # noqa: BLE001 — Py4J raises wrapped ClassNotFound
+        return False
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise RuntimeError(
+            "avro support needs the spark-avro connector on the classpath "
+            "(submit with --packages org.apache.spark:spark-avro_2.13:"
+            "<spark-version>); the Spark distribution ships only the avro "
+            "core libraries. Interchange falls back to parquet/orc."
+        )
 
 
 def _check_csv_schema(schema: T.StructType) -> None:
@@ -63,6 +103,9 @@ def write_dataset(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     elif fmt == "json":
         _check_json_schema(df.schema)
         w = w.option("timestampFormat", _TS_FMT)
+    elif fmt == "avro":
+        _require_avro(df.sparkSession)
+        fmt = _AVRO_PROVIDER
     w.format(fmt).save(path)
 
 
@@ -86,4 +129,7 @@ def read_dataset(
         r = r.option("timestampFormat", _TS_FMT)
         if fmt == "csv":
             r = r.option("header", "true")
+    elif fmt == "avro":
+        _require_avro(spark)
+        fmt = _AVRO_PROVIDER
     return r.format(fmt).load(path)

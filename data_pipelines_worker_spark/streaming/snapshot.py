@@ -54,6 +54,42 @@ def _publish(snapshot_dir: str, version_name: str) -> None:
     os.replace(tmp, os.path.join(snapshot_dir, _POINTER))
 
 
+def merge_batch(batch_df: DataFrame, batch_id: int, snapshot_dir: str) -> None:
+    """Apply one micro-batch to the published snapshot (module-level so
+    the at-least-once replay path is unit-testable).
+
+    Replay guard: foreachBatch re-delivers a batch whose _publish ran but
+    whose streaming checkpoint commit didn't (crash in the window between
+    them). Without the guard the rerun resolves the standing pointer to
+    ``v{batch_id}`` itself and lazily re-reads the very directory its
+    ``mode("overwrite")`` write is deleting — Spark refuses ("Cannot
+    overwrite a path that is also being read from"), turning every
+    recovery attempt into the same failure: a permanent crash loop. Since
+    the merge is a latest-wins semilattice fold, a batch whose version the
+    pointer already names is fully applied — re-applying it cannot change
+    the result — so the guard skips it outright, which is both the safe
+    and the semantically exact recovery."""
+    version = f"v{batch_id}"
+    standing_path = _read_pointer(snapshot_dir)
+    if standing_path is not None and os.path.basename(standing_path) == version:
+        return  # replayed, fully-applied batch: idempotent no-op
+    spark = batch_df.sparkSession
+    incoming = latest_per_key(project_events(batch_df))
+    if standing_path is not None:
+        standing = spark.read.parquet(standing_path)
+        merged = latest_per_key(standing.unionByName(incoming))
+    else:
+        merged = incoming
+    merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, version))
+    _publish(snapshot_dir, version)
+    # prune superseded versions (best-effort; crash here is harmless)
+    import shutil
+
+    for name in os.listdir(snapshot_dir):
+        if name.startswith("v") and name != version:
+            shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
+
+
 def snapshot_sink(
     events: DataFrame,
     snapshot_dir: str,
@@ -66,29 +102,10 @@ def snapshot_sink(
     value)."""
     os.makedirs(snapshot_dir, exist_ok=True)
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        incoming = latest_per_key(project_events(batch_df))
-        standing_path = _read_pointer(snapshot_dir)
-        if standing_path is not None:
-            standing = spark.read.parquet(standing_path)
-            merged = latest_per_key(standing.unionByName(incoming))
-        else:
-            merged = incoming
-        version = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_dir, version)
-        )
-        _publish(snapshot_dir, version)
-        # prune superseded versions (best-effort; crash here is harmless)
-        import shutil
-
-        for name in os.listdir(snapshot_dir):
-            if name.startswith("v") and name != version:
-                shutil.rmtree(os.path.join(snapshot_dir, name), ignore_errors=True)
-
     return (
-        events.writeStream.foreachBatch(merge_batch)
+        events.writeStream.foreachBatch(
+            lambda df, bid: merge_batch(df, bid, snapshot_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()

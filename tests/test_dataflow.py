@@ -80,3 +80,26 @@ def test_limit_shortcut(spark):
         dataflow.limit_shortcut(F.col("arr"), F.array_join("arr", "+")).alias("v")
     ).collect()
     assert [r.v for r in out] == ["a", "a+b"]
+
+
+def test_zone_map_null_only_zone_is_scanned(spark):
+    # a zone whose stat column is all-NULL has NULL min/max: the scanner
+    # cannot prove absence, so it must be conservatively scanned
+    from pyspark.sql import functions as F
+
+    from data_pipelines_worker_spark.operators.zonemap import (
+        range_scan_flags,
+        zone_maps,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (2, None), (3, 100.0)],
+        "z int, x double",
+    )
+    maps = zone_maps(df, F.col("z"), {"x": F.col("x")})
+    flags = {r.zone: r.would_scan for r in range_scan_flags(maps, "x", 10.0, 50.0).collect()}
+    assert flags[1] == 0   # [5,7] entirely below 10 → skip
+    assert flags[2] == 1   # NULL-only zone → conservative scan
+    assert flags[3] == 0   # [100,100] at/above 50 → skip
+    n = {r.zone: r.n_rows for r in maps.collect()}
+    assert n == {1: 2, 2: 1, 3: 1}

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from data_pipelines_worker_spark.session import load_table
 from data_pipelines_worker_spark.sources.formats import (
     FORMATS,
+    avro_available,
     read_dataset,
     write_dataset,
 )
@@ -26,10 +27,31 @@ def test_events_roundtrip_all_formats(spark, tmp_path, fmt):
     # them bit-exactly (timestamps at micro precision)
     src = load_table(spark, SF, "events")
     path = str(tmp_path / f"events_{fmt}")
+    if fmt == "avro" and not avro_available(spark):
+        pytest.skip("spark-avro connector not on classpath (gate verified "
+                    "by test_avro_gate_names_package)")
     write_dataset(src, path, fmt)
     back = read_dataset(spark, path, fmt, schema=src.schema)
     assert back.schema == src.schema
     assert _sorted_rows(back, ["event_id"]) == _sorted_rows(src, ["event_id"])
+
+
+def test_avro_gate_names_package(spark, tmp_path):
+    # whichever way the capability probe lands, the behavior must be
+    # deterministic: absent connector → RuntimeError naming the package
+    # to add (not a raw Py4J ClassNotFound); present → full round-trip
+    # (covered by the parametrized round-trip above)
+    src = load_table(spark, SF, "events").limit(5)
+    if avro_available(spark):
+        path = str(tmp_path / "ev_avro")
+        write_dataset(src, path, "avro")
+        back = read_dataset(spark, path, "avro")
+        assert back.count() == 5
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_dataset(src, str(tmp_path / "x"), "avro")
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_dataset(spark, str(tmp_path / "x"), "avro")
 
 
 @pytest.mark.parametrize("fmt", ("parquet", "orc", "json"))

@@ -669,3 +669,33 @@ class TestRetrievalPlans:
         # gated subset, not raw documents)
         below_window = plan.split("Window")[-1]
         assert "0.45" in below_window
+
+
+class TestRound6Plans:
+    """Plan audits for round-6 additions: zone-map stats, blocked
+    near-dup, and the FMA-immune probe family."""
+
+    def test_zone_map_single_partial_aggregate(self, spark, registry):
+        # the stats pass must be ONE two-phase aggregate: exactly one
+        # exchange (on zone), partial min/max/count map-side, all codegen
+        plan = plan_of(q(registry, "zone_map_pruning", spark))
+        assert plan.count("Exchange") == 1
+        assert "partial_" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_near_dup_blocked_no_cartesian(self, spark, registry):
+        # candidate generation must be the (band, bucket) equi-join —
+        # never a cross/cartesian pair enumeration; the exact-collapse
+        # window and expansions are equi-joins too
+        plan = plan_of(q(registry, "embedding_near_dup", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_money_bits_probe_scan_only(self, spark, registry):
+        # the per-row fingerprint probe must be a pure projected scan:
+        # no exchange, no python, no join
+        plan = plan_of(q(registry, "probe_money_bits", spark))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan

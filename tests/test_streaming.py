@@ -684,6 +684,35 @@ def test_cdc_snapshot_sink_matches_batch_latest(spark, tmp_path, sf_dir):
     assert got == expect
 
 
+def test_cdc_snapshot_replayed_batch_is_noop(spark, tmp_path, sf_dir):
+    # foreachBatch is at-least-once: a crash between _publish and the
+    # checkpoint commit re-delivers the same batch_id. The replay must be
+    # a no-op (the pointer already names v{batch_id}) — without the guard
+    # the rerun overwrites the directory it is lazily reading, which
+    # Spark rejects, wedging recovery permanently.
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.snapshot import (
+        merge_batch,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    snap_dir = str(tmp_path / "snapshot_replay")
+    import os as _os
+
+    _os.makedirs(snap_dir, exist_ok=True)
+    merge_batch(b0, 0, snap_dir)
+    merge_batch(b1, 1, snap_dir)
+    before = {tuple(r) for r in read_snapshot(spark, snap_dir).collect()}
+    merge_batch(b1, 1, snap_dir)  # replay: must not raise, must not change
+    after = {tuple(r) for r in read_snapshot(spark, snap_dir).collect()}
+    assert after == before
+
+
 def test_mg_heavy_hitters_containment_guarantee(spark, tmp_path, sf_dir):
     # Misra–Gries contract on the streamed summary: every key with true
     # count > N/k must be in the final candidate set, and every stored

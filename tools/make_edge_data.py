@@ -37,6 +37,20 @@ EDGE_DOCS = [
 # round() (binary value); floor(x*100 + 0.5) must agree on both
 HALF_CENTS = (1.115, 2.675, 0.005, 1234.565)
 
+# arbitrary-mantissa doubles (VERDICT r5 #8): values whose full 52-bit
+# mantissa is populated — not representable as any short decimal — the
+# one input class where an engine whose expression pipeline contracts
+# a*b+c into fma(a,b,c) could flip floor(x*100 + 0.5) while short
+# decimals never would. Generated once from a fixed seed and inlined so
+# the file stays deterministic without importing numpy.
+FULL_MANTISSA = (
+    7.146936801276823,      # 0x401C966B06A3D566
+    1234.5678901234567,     # populated low mantissa bits
+    0.014999999999999999,   # nearest-double just below 0.015
+    2.2250738585072014e-2,  # scaled min-normal mantissa pattern
+    993.1150999999999,      # carries into the .5 boundary after *100
+)
+
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_edge"
@@ -57,7 +71,13 @@ def main() -> None:
         "(99001, TIMESTAMP '1970-01-01 00:00:00', 9001, 'view', -1.005, '{}'),"
         "(99002, TIMESTAMP '2024-02-29 23:59:59.999999', 9001, 'click',"
         " 12345678.005, NULL),"
-        "(99003, TIMESTAMP '2024-03-01 00:00:00', 9002, 'purchase', NULL, '{}')"
+        "(99003, TIMESTAMP '2024-03-01 00:00:00', 9002, 'purchase', NULL, '{}'),"
+        # full-mantissa value: the window_functions run_cents /
+        # group_linreg y quantization input class
+        f"(99004, TIMESTAMP '2024-03-01 00:00:01', 9002, 'view',"
+        f" {FULL_MANTISSA[0]!r}, '{{}}'),"
+        f"(99005, TIMESTAMP '2024-03-01 00:00:02', 9002, 'click',"
+        f" {FULL_MANTISSA[4]!r}, '{{}}')"
     )
     con.sql(f"COPY e TO '{out}/events.parquet'")
 
@@ -67,7 +87,10 @@ def main() -> None:
         f"(990001, 1, 'O', {HALF_CENTS[0]!r}, TIMESTAMP '1996-01-01 00:00:00',"
         " '1-URGENT'),"
         f"(990002, 2, 'F', {HALF_CENTS[1]!r},"
-        " TIMESTAMP '1995-12-31 23:59:59.999999', '5-LOW')"
+        " TIMESTAMP '1995-12-31 23:59:59.999999', '5-LOW'),"
+        # parent of the full-mantissa lineitems, full-mantissa total
+        f"(990003, 3, 'O', {FULL_MANTISSA[1]!r},"
+        " TIMESTAMP '1996-06-01 00:00:00', '2-HIGH')"
     )
     con.sql(f"COPY o TO '{out}/orders.parquet'")
 
@@ -81,7 +104,15 @@ def main() -> None:
         f"(990001, 2, 2, 2, 0.0, {HALF_CENTS[3]!r}, 0.0, 0.0, 'R', 'F',"
         " TIMESTAMP '1996-01-31 00:00:00.000001'),"
         f"(990002, 3, 3, 1, 51.0, {HALF_CENTS[0]!r}, 0.15, 0.08, 'A', 'F',"
-        " TIMESTAMP '1996-01-30 23:59:59.999999')"
+        " TIMESTAMP '1996-01-30 23:59:59.999999'),"
+        # full-mantissa money values: every quantization (decimal cents,
+        # binary bits probe) must agree on doubles with no short decimal
+        f"(990003, 1, 4, 2, 3.0, {FULL_MANTISSA[0]!r}, {FULL_MANTISSA[2]!r},"
+        " 0.01, 'N', 'O', TIMESTAMP '1996-06-15 12:00:00'),"
+        f"(990003, 2, 5, 3, 7.0, {FULL_MANTISSA[1]!r}, {FULL_MANTISSA[3]!r},"
+        " 0.03, 'R', 'F', TIMESTAMP '1996-07-01 00:00:00'),"
+        f"(990003, 3, 6, 1, 11.0, {FULL_MANTISSA[4]!r}, 0.07,"
+        " 0.04, 'A', 'F', TIMESTAMP '1996-08-20 06:30:00')"
     )
     con.sql(f"COPY l TO '{out}/lineitem.parquet'")
     print(f"wrote edge tables to {out}")
