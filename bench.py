@@ -104,7 +104,7 @@ def main() -> None:
         sf_val = sf
 
     # Full per-query maps go to a committed local artifact, not stdout.
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r05")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r06")
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_{rnd}.json"
     )

@@ -91,3 +91,24 @@ def test_schema_required_for_schema_poor_formats(spark, tmp_path):
     write_dataset(src, path, "json")
     with pytest.raises(ValueError, match="explicit schema"):
         read_dataset(spark, path, "json")
+
+
+def test_protobuf_gate_is_deterministic(spark):
+    # same contract as avro: absent connector → RuntimeError naming the
+    # package; present → the wrapper defers to the real codec (no further
+    # assertion possible without a descriptor set)
+    from pyspark.sql import functions as F
+
+    from data_pipelines_worker_spark.functions.proto import (
+        from_protobuf_column,
+        protobuf_available,
+        to_protobuf_column,
+    )
+
+    col = F.lit(b"\x00")
+    if protobuf_available(spark):
+        pytest.skip("connector present; decode needs a descriptor set")
+    with pytest.raises(RuntimeError, match="spark-protobuf"):
+        from_protobuf_column(spark, col, "M", "/tmp/nonexistent.desc")
+    with pytest.raises(RuntimeError, match="spark-protobuf"):
+        to_protobuf_column(spark, col, "M", "/tmp/nonexistent.desc")
