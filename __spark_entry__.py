@@ -57,6 +57,12 @@ _DRIVER_PRIORITY = (
     "q12_ship_delay_priority",
     "media_video_pipeline",  # oracle DECIMAL(21,1) → DOUBLE, same class
     "zone_map_pruning",  # new r06 (never driver-checked)
+    # --- new r06 family (never driver-checked) ----------------------
+    "entity_resolution",
+    "decontaminate_minhash",
+    "ewma_events",
+    "cube_segment_metrics",
+    "kmv_set_intersection",
     # --- slots 13-50: r03-stale family, oldest first ----------------
     "asof_join",
     "date_functions",

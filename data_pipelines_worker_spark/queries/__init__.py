@@ -47,5 +47,6 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     from . import retrieval_queries  # noqa: F401
     from . import profiling_queries  # noqa: F401
     from . import warehouse_queries  # noqa: F401
+    from . import matching_queries  # noqa: F401
 
     return REGISTRY

@@ -720,3 +720,88 @@ def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_q"),
         F.max("quality").alias("max_q"),
     ).select(F.col("phase").cast("long"), "n_docs", "sum_tokens", "min_q", "max_q")
+
+
+# --- MinHash fuzzy decontamination (round 6) ---------------------------------
+
+
+def _decon_mh_oracle() -> str:
+    from ..operators.dedup import PERM_A, PERM_B
+
+    mins = ", ".join(
+        f"min((code * {PERM_A[i]} + {PERM_B[i]}) % {ta.MOD}) AS m{i}"
+        for i in range(64)
+    )
+    matches = " + ".join(
+        f"CASE WHEN c.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(64)
+    )
+    return f"""
+WITH codes AS (
+  SELECT DISTINCT doc_id,
+         CAST(ascii(w[1]) + length(w) AS BIGINT) AS code
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+sig AS (SELECT doc_id, {mins} FROM codes GROUP BY doc_id),
+bench AS (SELECT * FROM sig WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM sig WHERE doc_id % 97 <> 0)
+SELECT c.doc_id,
+       CAST(coalesce(max({matches}), 0) AS BIGINT) AS max_match_perms,
+       CAST(CASE WHEN coalesce(max({matches}), 0) >= 32 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM corpus c LEFT JOIN bench b ON true
+GROUP BY c.doc_id
+"""
+
+
+@register("decontaminate_minhash", _decon_mh_oracle())
+def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag corpus documents whose
+    MinHash-estimated Jaccard against ANY benchmark document is >= 0.5
+    (32 of 64 agreeing permutation minima) — the near-duplicate
+    complement of ``decontaminate_ngram``'s exact-gram containment test
+    (GPT-3/PaLM-style fuzzy decontamination).
+
+    Scale shape: the benchmark suite is *small by construction* (eval
+    sets, not corpora), so its 64-long signatures broadcast and the
+    corpus makes one pass — corpus x |bench| signature comparisons with
+    |bench| bounded, never corpus x corpus. Signatures are the same
+    affine-mod-Mersenne family as the dedup operators
+    (operators/dedup.py:35), 64 longs per doc on the wire, map-side
+    combined. The deliberate BroadcastNestedLoopJoin here is the right
+    plan: the inner side is the broadcast-sized benchmark, and a band
+    pre-filter would break the exact ">= 32 of 64" contract the oracle
+    pins (32 agreements need not concentrate 8 in one band).
+    """
+    from ..operators.dedup import PERM_A, PERM_B
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+    code = (F.ascii(F.substring("w", 1, 1)) + F.length("w")).cast("long")
+    codes = w.select("doc_id", code.alias("code")).distinct()
+    sig = codes.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("code") * PERM_A[i] + PERM_B[i], F.lit(ta.MOD))).alias(
+                f"m{i}"
+            )
+            for i in range(64)
+        ]
+    )
+    bench = sig.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(64)],
+    )
+    corpus = sig.filter(F.col("doc_id") % 97 != 0)
+    match = sum(
+        (F.when(F.col(f"m{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(64)),
+        F.lit(0),
+    )
+    scored = corpus.join(F.broadcast(bench), F.lit(True), "left").select(
+        "doc_id", match.alias("mp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.coalesce(F.max("mp"), F.lit(0)).cast("long").alias("max_match_perms"))
+        .withColumn(
+            "contaminated", (F.col("max_match_perms") >= 32).cast("long")
+        )
+    )

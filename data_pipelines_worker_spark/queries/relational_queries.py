@@ -1050,3 +1050,54 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_us") - F.lag("ts_us").over(wu)).cast("long").alias("gap_us"),
         F.row_number().over(wu).cast("long").alias("seq"),
     )
+
+
+# --- CUBE / grouping-sets profile (round 6) ----------------------------------
+
+_CUBE_ORACLE = """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(GROUPING(c.c_mktsegment, o.o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+"""
+
+
+@register("cube_segment_metrics", _CUBE_ORACLE)
+def q_cube_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (market segment, order priority): every rollup
+    level — per cell, per segment, per priority, grand total — in one
+    pass, disambiguated by ``grouping_id`` (bit order verified equal to
+    DuckDB's ``GROUPING(a, b)`` — leftmost column is the high bit in
+    both engines).
+
+    Scale shape: Catalyst plans CUBE as one Expand (4 grouping-set
+    replicas of each input row) feeding a single partial+final hash
+    aggregate — one shuffle keyed on (segment, priority, gid) whose
+    cardinality is the cube lattice (|segments|+1)x(|priorities|+1),
+    tiny regardless of fact size; the customer dim broadcasts into the
+    fact join. Money sums travel as exact int64 cents (cents()), so the
+    4x row replication never touches double association order.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderpriority", cents(F.col("o_totalprice")).alias("tc")
+    )
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("tc").alias("total_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            F.col("gid").cast("long"),
+            F.col("n_orders").cast("long"),
+            F.col("total_cents").cast("long"),
+        )
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.text_analysis import MOD
+from ..session import load_table
 from . import register
 
 # --- HyperLogLog ------------------------------------------------------------
@@ -597,4 +598,155 @@ def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_exact",
         F.when(within, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("within_3rsd"),
+    )
+
+
+# --- KMV distinct-set intersection (round 6) --------------------------------
+
+KMV_K = 128  # sketch size: rsd ~ 1/sqrt(k-1) ~ 9 %
+
+
+def _kmv_oracle() -> str:
+    mix = _hll_mix_sql("(user_id * 100000 + (epoch_us(ts) // 86400000000))")
+    est1 = f"CASE WHEN p.n1 < {KMV_K} THEN p.n1 ELSE (CAST({KMV_K - 1} AS BIGINT) * {MOD}) // p.hk1 END"
+    est2 = f"CASE WHEN p.n2 < {KMV_K} THEN p.n2 ELSE (CAST({KMV_K - 1} AS BIGINT) * {MOD}) // p.hk2 END"
+    estu = f"CASE WHEN u.nu < {KMV_K} THEN u.nu ELSE (CAST({KMV_K - 1} AS BIGINT) * {MOD}) // u.hku END"
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {mix} AS hv FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT event_type, hv FROM ranked WHERE rn <= {KMV_K}),
+kth AS (SELECT event_type, max(hv) AS hk, count(*) AS n FROM sk GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         a.hk AS hk1, a.n AS n1, b.hk AS hk2, b.n AS n2
+  FROM kth a JOIN kth b ON a.event_type < b.event_type
+),
+uni AS (
+  SELECT p.t1, p.t2, s.hv
+  FROM pairs p JOIN sk s ON s.event_type IN (p.t1, p.t2)
+  GROUP BY 1, 2, 3
+),
+unir AS (
+  SELECT t1, t2, hv,
+         row_number() OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn
+  FROM uni
+),
+uk AS (SELECT t1, t2, hv FROM unir WHERE rn <= {KMV_K}),
+ukth AS (SELECT t1, t2, max(hv) AS hku, count(*) AS nu FROM uk GROUP BY 1, 2),
+rho AS (
+  SELECT u.t1, u.t2, count(*) AS rho
+  FROM uk u
+  JOIN sk sa ON sa.event_type = u.t1 AND sa.hv = u.hv
+  JOIN sk sb ON sb.event_type = u.t2 AND sb.hv = u.hv
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2,
+       CAST({est1} AS BIGINT) AS est_card_1,
+       CAST({est2} AS BIGINT) AS est_card_2,
+       CAST({estu} AS BIGINT) AS est_union,
+       CAST(coalesce(r.rho, 0) AS BIGINT) AS rho,
+       CAST(coalesce(r.rho, 0) * ({estu}) // u.nu AS BIGINT) AS est_intersection
+FROM pairs p
+JOIN ukth u ON u.t1 = p.t1 AND u.t2 = p.t2
+LEFT JOIN rho r ON r.t1 = p.t1 AND r.t2 = p.t2
+"""
+
+
+@register("kmv_set_intersection", _kmv_oracle())
+def q_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketches with set-intersection
+    estimation (Beyer et al., "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations", SIGMOD'07): per event type, keep the
+    KMV_K smallest avalanche-hashed (user, day) elements; cardinality is
+    (k-1)*M/h_k once the sketch fills (exact count below k — both
+    branches exercised across SFs); the union sketch of a pair is the k
+    smallest of the merged element sets, and the intersection estimate
+    is rho/k' of the union estimate where rho counts union-sketch
+    elements present in BOTH per-type sketches.
+
+    Everything is integer arithmetic on the engine-portable avalanche
+    hash (the HLL family's mix), so the oracle pins sketch contents and
+    estimates exactly — including the integer-division estimator.
+
+    Scale shape: the only data-sized stage is the DISTINCT on
+    (event_type, hash) — map-side combined, shuffle carries distinct
+    longs. Each per-type top-k is a WindowGroupLimit rank (k rows per
+    partition pre-shuffle); every stage after kth/sk is sketch-sized
+    (types x k rows), so pairwise set algebra over any number of
+    segments costs O(|pairs| * k) regardless of corpus size — the whole
+    point of sketch-mergeable distinct state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    elem = F.col("user_id") * 100000 + F.expr("unix_micros(ts) div 86400000000")
+    h = ev.select("event_type", _hll_mix_col(elem).alias("hv")).distinct()
+    w_t = W.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hv")
+    )
+    kth = sk.groupBy("event_type").agg(
+        F.max("hv").alias("hk"), F.count("*").alias("n")
+    )
+    a, b = kth.alias("a"), kth.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("t1"),
+        F.col("b.event_type").alias("t2"),
+        F.col("a.hk").alias("hk1"),
+        F.col("a.n").alias("n1"),
+        F.col("b.hk").alias("hk2"),
+        F.col("b.n").alias("n2"),
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (sk["event_type"] == F.col("t1")) | (sk["event_type"] == F.col("t2")),
+        )
+        .select("t1", "t2", "hv")
+        .distinct()
+    )
+    w_p = W.partitionBy("t1", "t2").orderBy("hv")
+    uk = (
+        uni.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= KMV_K)
+        .select("t1", "t2", "hv")
+    )
+    ukth = uk.groupBy("t1", "t2").agg(
+        F.max("hv").alias("hku"), F.count("*").alias("nu")
+    )
+    sa = sk.select(F.col("event_type").alias("sa_t"), F.col("hv").alias("sa_h"))
+    sb = sk.select(F.col("event_type").alias("sb_t"), F.col("hv").alias("sb_h"))
+    rho = (
+        uk.join(sa, (F.col("sa_t") == F.col("t1")) & (F.col("sa_h") == F.col("hv")))
+        .join(sb, (F.col("sb_t") == F.col("t2")) & (F.col("sb_h") == F.col("hv")))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("rho"))
+    )
+
+    def est(n, hk):
+        return F.when(n < KMV_K, n).otherwise(
+            F.expr(f"({KMV_K - 1} * {MOD}L) div {hk}")
+        )
+
+    out = (
+        pairs.join(ukth, ["t1", "t2"])
+        .join(rho, ["t1", "t2"], "left")
+        .withColumn("rho", F.coalesce(F.col("rho"), F.lit(0)))
+        .withColumn("est_union_i", est(F.col("nu"), "hku"))
+    )
+    return out.select(
+        "t1",
+        "t2",
+        est(F.col("n1"), "hk1").cast("long").alias("est_card_1"),
+        est(F.col("n2"), "hk2").cast("long").alias("est_card_2"),
+        F.col("est_union_i").cast("long").alias("est_union"),
+        F.col("rho").cast("long").alias("rho"),
+        F.expr("(rho * est_union_i) div nu").cast("long").alias("est_intersection"),
     )

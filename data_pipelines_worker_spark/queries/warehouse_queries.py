@@ -297,3 +297,60 @@ def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return range_scan_flags(maps, "price_c", 1_000_000, 5_000_000)
+
+
+# --- EWMA smoothing (round 6) ------------------------------------------------
+
+_EWMA_ORACLE = """
+SELECT user_id,
+       CAST(floor(list_reduce(
+              list_prepend(0.0, list(value ORDER BY epoch_us(ts), event_id)),
+              (acc, x) -> acc * 0.5 + x * 0.5) * 34359738368) AS BIGINT)
+         AS ewma_bits,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("ewma_events", _EWMA_ORACLE)
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 1/2) of
+    event values in (ts, event_id) order — the classic smoothing
+    recursion s_i = alpha*x_i + (1-alpha)*s_{i-1}, evaluated as a strict
+    left fold so both engines perform the identical IEEE operation
+    sequence. alpha = 0.5 keeps every multiply an exact exponent shift
+    (only the adds round), and the result travels as 2^35-scaled
+    integer bits, the same FMA/representation-immune quantization as
+    the probe family (probe_queries.probe_money_bits).
+
+    Scale shape: one key-hashed shuffle carrying (ts_us, event_id,
+    value) triples; per-user state is that user's event list — the same
+    bound every ordered-fold feature (group_linreg, rolling_features)
+    already carries. The streaming twin would fold incrementally with
+    O(1) state per key; batch recomputes because the fold is
+    associative only in its prefix form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("value").alias("value"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("s"))
+    )
+    fold = F.aggregate(
+        F.col("s"),
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(0.5) + x["value"] * F.lit(0.5),
+    )
+    return seq.select(
+        "user_id",
+        F.floor(fold * F.lit(34359738368)).cast("long").alias("ewma_bits"),
+        F.size("s").cast("long").alias("n_events"),
+    )

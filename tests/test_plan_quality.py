@@ -180,6 +180,11 @@ class TestCodegenHygiene:
         "corpus_prep",
         "q14_promo_revenue",
         "q18_large_orders",
+        "entity_resolution",
+        "decontaminate_minhash",
+        "ewma_events",
+        "cube_segment_metrics",
+        "kmv_set_intersection",
     ]
 
     def test_no_python_eval_in_hot_paths(self, spark, registry):
@@ -191,16 +196,24 @@ class TestCodegenHygiene:
         assert not offenders, f"Python in hot path: {offenders}"
 
     def test_embedding_near_dup_is_executor_side(self, spark, registry):
-        # the all-pairs matmul must run as a grouped-pandas stage on
-        # executors — no driver collect/broadcast of the embedding table
+        # r06: the query runs the blocked variant — SRP-band equi-join
+        # candidate generation, never a cross join, and no driver
+        # collect/broadcast of the embedding table
         import inspect
 
         from data_pipelines_worker_spark.operators import similarity
 
-        src = inspect.getsource(similarity.embedding_near_dup_pairs)
-        assert "toPandas" not in src and ".collect(" not in src
+        for fn in (
+            similarity.embedding_near_dup_pairs,
+            similarity.embedding_near_dup_blocked,
+        ):
+            src = inspect.getsource(fn)
+            assert "toPandas" not in src and ".collect(" not in src
         plan = plan_of(q(registry, "embedding_near_dup", spark))
-        assert "FlatMapGroupsInPandas" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # candidate stage joins on the (band, bucket) key
+        assert "band" in plan and "bucket" in plan
 
     def test_corpus_prep_single_shuffle(self, spark, registry):
         # the composed prep pass: all text features are projections; the
