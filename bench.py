@@ -15,6 +15,7 @@ nothing collected to the driver).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -84,6 +85,9 @@ def main() -> None:
             # round-over-round comparison wants. clearCache sits outside
             # both timing windows, matching tools/check_oracle.py.
             spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            gc.collect()
             t1 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -94,6 +98,18 @@ def main() -> None:
             cold.setdefault(name, -1.0)
         finally:
             spark.catalog.clearCache()
+            # clearCache only drops SQL-cached plans; localCheckpoint
+            # blocks from iterative queries (CC loops, pagerank, k-means)
+            # stay pinned in the block manager until Python's GC releases
+            # the py4j handles and the ContextCleaner runs — across ~310
+            # executions the leaked blocks build eviction pressure that
+            # lands on whichever iterative query runs next (observed:
+            # one ~5 s CC query ballooning to 21-34 s per run, a
+            # different victim each time). Unpersist completed queries'
+            # RDD blocks deterministically, outside the timing windows.
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     cold_total = round(sum(t for t in cold.values() if t >= 0), 3)

@@ -18,7 +18,7 @@ All built from pyspark.sql.functions only — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import MOD, word_codes
@@ -99,15 +99,35 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    # Compute-bound stage: input splits are sized by bytes
-    # (files.maxPartitionBytes), which under-parallelizes expression-heavy
-    # work on small-ish text files — one 128 MB split of documents is hours
-    # of shingling. Repartition on the id to use every core/executor.
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    """(doc, sh: array<bigint>) — distinct hashed k-shingles per document.
+
+    Exploded-pipeline form (r06): posexplode the token stream, build each
+    gram with two window ``lead``s, hash, and re-assemble with
+    ``collect_set``. Same value set as :func:`hashed_shingles` (equality
+    property-tested), but every per-token step is a flat JVM projection —
+    the earlier ``transform(sequence, …)`` lambda chain evaluated ~2
+    interpreted higher-order closures *per shingle* (no whole-stage
+    codegen for lambda functions), measured 3-4× slower at sf0.1. The one
+    exchange (window/agg, keyed on doc) also decouples compute
+    parallelism from the scan's input-split count — a single small file
+    no longer serializes shingling on one core, and at 100 TB the
+    doc-keyed shuffle of the token stream is the standard shingling
+    shape. sort_array makes the assembled array deterministic.
+    """
     words = F.split(F.col(text_col), " ", -1)
+    wpos = df.select(F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w"))
+    win = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(" ", *[
+        F.col("w") if j == 0 else F.lead("w", j).over(win) for j in range(k)
+    ])
+    last = F.lead("w", k - 1).over(win)
+    grams = (
+        wpos.select("doc", last.alias("_last"), F.xxhash64(gram).alias("h"))
+        .where(F.col("_last").isNotNull())
+    )
     return (
-        df.repartition(n, F.col(id_col))
-        .select(F.col(id_col).alias("doc"), hashed_shingles(words, k).alias("sh"))
+        grams.groupBy("doc")
+        .agg(F.sort_array(F.collect_set("h")).alias("sh"))
         .where(F.size("sh") > 0)
     )
 

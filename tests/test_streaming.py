@@ -825,3 +825,106 @@ def test_mg_stream_equals_sequential_model_single_trigger(spark, tmp_path, sf_di
     assert set(got) <= set(by_type)
     for et, model in by_type.items():
         assert got.get(et, {}) == model
+
+
+def test_ewma_stream_matches_batch_fold(spark, tmp_path, sf_dir):
+    # streamed O(1)-state EWMA ≡ the batch strict fold, bit-for-bit,
+    # when events arrive in (ts, event_id) order (single sorted source);
+    # multi-trigger chopping must not change the fold
+    from data_pipelines_worker_spark.queries.warehouse_queries import (
+        q_ewma_events,
+    )
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.ewma import ewma_stream
+
+    batch = {
+        r.user_id: (r.ewma_bits, r.n_events)
+        for r in q_ewma_events(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+        .orderBy("ts_us", "event_id")
+        .coalesce(1)
+    )
+    src = tmp_path / "ewma_events"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "user_id long, ts_us long, event_id long, value double"
+    ).parquet(str(src))
+    q = (
+        ewma_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.ewma_bits, r.n_events, r.n_late)
+            for r in spark.sql("SELECT * FROM ewma_out").collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == len(batch)
+    for uid, (bits, n) in batch.items():
+        g_bits, g_n, g_late = got[uid]
+        assert (g_bits, g_n) == (bits, n), uid
+        assert g_late == 0
+
+
+def test_ewma_stream_late_rows_counted_not_folded(spark, tmp_path):
+    # a row at-or-before the last folded (ts, event_id) is excluded from
+    # the fold and surfaces in n_late — never silently absorbed out of
+    # order
+    from data_pipelines_worker_spark.session import local_df
+    from data_pipelines_worker_spark.streaming.ewma import ewma_stream
+
+    src = tmp_path / "ewma_late_src"
+    cols = "user_id long, ts_us long, event_id long, value double"
+    first = local_df(
+        spark,
+        [(1, 1000, 1, 10.0), (1, 2000, 2, 20.0)],
+        cols,
+    )
+    first.coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second file: one late row (ts 1500 < last folded 2000), one fresh
+        late = local_df(
+            spark,
+            [(1, 1500, 3, 99.0), (1, 3000, 4, 40.0)],
+            cols,
+        )
+        late.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM ewma_late ORDER BY n_events DESC LIMIT 1"
+        ).collect()
+    finally:
+        q.stop()
+    import math
+
+    expect = ((10.0 * 0.5) * 0.5 + 20.0 * 0.5) * 0.5 + 40.0 * 0.5
+    r = rows[0]
+    assert r.n_events == 3
+    assert r.n_late == 1
+    assert r.ewma_bits == math.floor(expect * 34359738368)

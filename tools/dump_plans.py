@@ -62,6 +62,11 @@ HEADLINERS = {
     "dq_checks": "five count-only expectation legs, one union plan",
     "zone_map_pruning": "one partial-combined min/max/count agg, literal prune verdict",
     "embedding_near_dup": "exact-collapse window → SRP band equi-join → strict-fold verify → linear expand",
+    "entity_resolution": "blocked equi-join candidates, in-codegen levenshtein, rank-1 WindowGroupLimit",
+    "decontaminate_minhash": "64-min signature agg, broadcast benchmark side, corpus x |bench| bounded",
+    "ewma_events": "one user-keyed exchange, strict-fold in codegen aggregate",
+    "cube_segment_metrics": "Expand lattice over broadcast-dim join, partial+final agg",
+    "kmv_set_intersection": "distinct-hash agg → WindowGroupLimit top-k → sketch-sized set algebra",
 }
 
 
