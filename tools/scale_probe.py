@@ -60,6 +60,19 @@ def build_replica(spark, src_dir: str, out_dir: str, n_copies: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
 
 
+def _hygiene(spark) -> None:
+    """Same inter-query hygiene as bench.py: SQL cache + leaked
+    localCheckpoint RDD blocks + py4j handle GC, outside timing windows —
+    600+ timed executions otherwise build eviction pressure that lands on
+    whichever iterative query runs next and corrupts its ratio."""
+    import gc
+
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    gc.collect()
+
+
 def time_warm(spark, fn, sf_dir: str) -> tuple[float, float]:
     """(cold, warm) seconds via noop write — bench.py's protocol."""
     t0 = time.perf_counter()
@@ -98,7 +111,9 @@ def main() -> int:
         fn, _ = registry[name]
         try:
             _, w1 = time_warm(spark, fn, src)
+            _hygiene(spark)
             _, wN = time_warm(spark, fn, out)
+            _hygiene(spark)
             print(
                 f"{name:32s} {w1:8.2f} {wN:8.2f} {wN / max(w1, 1e-9):5.1f}x",
                 flush=True,
