@@ -30,12 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver records at most ~50 rows, taking them in dict
-# order. Round-6 rotation map (VERDICT r5 #1/#4): slots 1–12 are the
+# order. Round-6 rotation map (VERDICT r5 #1/#4): slots 1–13 are the
 # HUGEINT-diagnosis gate — the three new per-row probes (money bits,
 # events.value bits, orders priority), the four standing probes, and
 # the five rows red r02–r05 whose oracle SQL returned DuckDB HUGEINT/
 # DECIMAL columns (diagnosis + fix: queries/probe_queries.py module
-# docstring, tests/test_oracle_type_parity.py). Slots 13–50 are the
+# docstring, tests/test_oracle_type_parity.py). Slots 14–19 are the
+# six new r06 queries (never driver-checked). Slots 20–50 are the
 # staleness rotation: the family whose last driver hash-check was r03
 # (asof_join, date_functions, q1/q3/q5/q6/q14/q18, sessionization,
 # set_ops, …), oldest-first, so no query's driver check ages past two
@@ -63,6 +64,7 @@ _DRIVER_PRIORITY = (
     "ewma_events",
     "cube_segment_metrics",
     "kmv_set_intersection",
+    "session_window_stats",
     # --- slots 13-50: r03-stale family, oldest first ----------------
     "asof_join",
     "date_functions",

@@ -742,7 +742,8 @@ WITH codes AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
 ),
 sig AS (SELECT doc_id, {mins} FROM codes GROUP BY doc_id),
-bench AS (SELECT * FROM sig WHERE doc_id % 97 = 0),
+bench AS (SELECT * FROM sig WHERE doc_id % 97 = 0
+          ORDER BY doc_id LIMIT 64),
 corpus AS (SELECT * FROM sig WHERE doc_id % 97 <> 0)
 SELECT c.doc_id,
        CAST(coalesce(max({matches}), 0) AS BIGINT) AS max_match_perms,
@@ -761,10 +762,13 @@ def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of ``decontaminate_ngram``'s exact-gram containment test
     (GPT-3/PaLM-style fuzzy decontamination).
 
-    Scale shape: the benchmark suite is *small by construction* (eval
-    sets, not corpora), so its 64-long signatures broadcast and the
-    corpus makes one pass — corpus x |bench| signature comparisons with
-    |bench| bounded, never corpus x corpus. Signatures are the same
+    Scale shape: the benchmark suite is *fixed-size by construction*
+    (an eval set, not a corpus) — modeled here as the 64 lowest
+    qualifying doc ids, so its signatures broadcast and the corpus makes
+    one pass: corpus x 64 signature comparisons, linear in the corpus at
+    any scale (the un-capped form measured 10.7x at the 10x probe
+    because the synthetic benchmark grew with the corpus — exactly the
+    quadratic a real decontamination run never pays). Signatures are the same
     affine-mod-Mersenne family as the dedup operators
     (operators/dedup.py:35), 64 longs per doc on the wire, map-side
     combined. The deliberate BroadcastNestedLoopJoin here is the right
@@ -786,9 +790,14 @@ def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]
     )
-    bench = sig.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"m{i}").alias(f"b{i}") for i in range(64)],
+    bench = (
+        sig.filter(F.col("doc_id") % 97 == 0)
+        .orderBy("doc_id")
+        .limit(64)
+        .select(
+            F.col("doc_id").alias("b_id"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(64)],
+        )
     )
     corpus = sig.filter(F.col("doc_id") % 97 != 0)
     match = sum(

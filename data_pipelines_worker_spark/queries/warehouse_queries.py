@@ -354,3 +354,54 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(fold * F.lit(34359738368)).cast("long").alias("ewma_bits"),
         F.size("s").cast("long").alias("n_events"),
     )
+
+
+# --- native session-window stats (round 6) -----------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+                        BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+  FROM g
+)
+SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+       CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM s GROUP BY user_id, sno
+"""
+
+
+@register("session_window_stats", _SESSION_WINDOW_ORACLE)
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregates via the NATIVE ``F.session_window``
+    operator (30-min inactivity gap): one row per session with its
+    micros-exact [start, last_event + gap) envelope, event count, and
+    exact-cents value sum. The oracle rebuilds sessions with the
+    half-open break semantics session_window actually implements (a gap
+    of exactly the threshold starts a NEW session — ``>=``, unlike the
+    lag-based ``sessionization`` query's strict ``>``), so the operator's
+    boundary behavior itself is hash-pinned, not just its happy path.
+
+    Scale shape: session_window plans as a single user-keyed exchange +
+    sort + merging session aggregate — state is one open session per
+    key; the streaming twin (streaming/windows.py, the identical
+    expression) evicts it by watermark. This is the engine-native
+    alternative to the applyInPandasWithState sessionizer for
+    per-session KPIs.
+    """
+    from ..streaming.windows import session_windowed_stats
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    return session_windowed_stats(ev)

@@ -147,6 +147,14 @@ class TestAggregation:
         assert plan.count("Exchange") == 1
         assert plan.count("Sort ") <= 2  # ntile/cume_dist may resort frame
 
+    def test_session_window_single_exchange_merging_agg(self, spark, registry):
+        # native session_window must plan as ONE user-keyed exchange
+        # feeding the session-merging aggregate (state: one open session
+        # per key) — not a window-function resort or a second shuffle
+        plan = plan_of(q(registry, "session_window_stats", spark))
+        assert "session_window" in plan.lower()
+        assert plan.count("Exchange hashpartitioning") == 1
+
     def test_grouping_sets_single_scan(self, spark, registry):
         plan = plan_of(q(registry, "grouping_sets", spark))
         assert "Expand" in plan
@@ -185,6 +193,7 @@ class TestCodegenHygiene:
         "ewma_events",
         "cube_segment_metrics",
         "kmv_set_intersection",
+        "session_window_stats",
     ]
 
     def test_no_python_eval_in_hot_paths(self, spark, registry):

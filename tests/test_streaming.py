@@ -928,3 +928,84 @@ def test_ewma_stream_late_rows_counted_not_folded(spark, tmp_path):
     assert r.n_events == 3
     assert r.n_late == 1
     assert r.ewma_bits == math.floor(expect * 34359738368)
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path, sf_dir):
+    # native session_window aggregation ≡ its batch evaluation; append
+    # mode only emits sessions fully past the watermark, so emitted rows
+    # must be a consistent subset
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.windows import (
+        session_windowed_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    batch = {
+        (r.session_start, r.user_id): (r.session_end, r.n_events, r.value_cents)
+        for r in session_windowed_stats(ev).collect()
+    }
+    src = tmp_path / "sess_win_events"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(str(src))
+    q = (
+        session_windowed_stats(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.session_start, r.user_id): (r.session_end, r.n_events, r.value_cents)
+            for r in spark.sql("SELECT * FROM sess_win_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+
+
+def test_session_window_break_definition_matches_sessionizer(spark, sf_dir):
+    # per-user session COUNTS agree between the native session_window
+    # aggregate and the lag-based batch sessionization. The two differ
+    # only at exact-boundary gaps (session_window half-open interval
+    # breaks at gap >= 30 min; the lag query at gap > 30 min), so the
+    # equality assertion first proves no exact-boundary gap exists in
+    # this dataset — if one ever appears, the test fails loudly here
+    # rather than with a confusing count mismatch
+    from pyspark.sql import functions as FF
+
+    from data_pipelines_worker_spark.queries.relational_queries import (
+        q_sessionization,
+    )
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.windows import (
+        session_windowed_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    native = {
+        r.user_id: r.n
+        for r in session_windowed_stats(ev)
+        .groupBy("user_id")
+        .agg(FF.count("*").alias("n"))
+        .collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = FF.col("ts").cast("double") - FF.lag(FF.col("ts").cast("double")).over(w)
+    exact_boundary = ev.withColumn("g", gap).where(FF.col("g") == 1800.0).count()
+    assert exact_boundary == 0, "dataset has an exact 30-min gap; semantics diverge"
+    lag = {
+        r.user_id: r.n
+        for r in q_sessionization(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(FF.countDistinct("session_no").alias("n"))
+        .collect()
+    }
+    assert native == lag

@@ -67,6 +67,7 @@ HEADLINERS = {
     "ewma_events": "one user-keyed exchange, strict-fold in codegen aggregate",
     "cube_segment_metrics": "Expand lattice over broadcast-dim join, partial+final agg",
     "kmv_set_intersection": "distinct-hash agg → WindowGroupLimit top-k → sketch-sized set algebra",
+    "session_window_stats": "native session_window merging aggregate, one user-keyed exchange",
 }
 
 
