@@ -35,8 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # events.value bits, orders priority), the four standing probes, and
 # the five rows red r02–r05 whose oracle SQL returned DuckDB HUGEINT/
 # DECIMAL columns (diagnosis + fix: queries/probe_queries.py module
-# docstring, tests/test_oracle_type_parity.py). Slots 14–19 are the
-# six new r06 queries (never driver-checked). Slots 20–50 are the
+# docstring, tests/test_oracle_type_parity.py). Slots 14–21 are the
+# eight new r06 queries (never driver-checked). Slots 22–50 are the
 # staleness rotation: the family whose last driver hash-check was r03
 # (asof_join, date_functions, q1/q3/q5/q6/q14/q18, sessionization,
 # set_ops, …), oldest-first, so no query's driver check ages past two
@@ -65,7 +65,9 @@ _DRIVER_PRIORITY = (
     "cube_segment_metrics",
     "kmv_set_intersection",
     "session_window_stats",
-    # --- slots 13-50: r03-stale family, oldest first ----------------
+    "gopher_quality_rules",
+    "c4_line_filters",
+    # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",
     "q1_pricing_summary",

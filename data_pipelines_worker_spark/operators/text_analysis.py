@@ -186,6 +186,81 @@ def normalize_text(text: Column) -> Column:
     return F.trim(t)
 
 
+# --- Gopher-style document filter rules ------------------------------------
+
+#: the Gopher repetition/quality paper's required-stopword list (Rae et
+#: al. 2021 §A1.1: a doc must contain >= 2 of these to pass)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def token_occurrences(text: Column, token: str) -> Column:
+    """Exact whitespace-token occurrence count as pure string arithmetic
+    (no explode, no higher-order lambda — stays in whole-stage codegen).
+
+    Doubling every delimiter space first gives each token its OWN
+    flanking spaces, so counting non-overlapping ``' tok '`` matches via
+    the replace-length difference is exact even for adjacent repeats
+    ("the the the" counts 3, where single-space padding would count 2:
+    leftmost non-overlapping matches consume the shared delimiter)."""
+    padded = F.concat(F.lit(" "), F.replace(text, F.lit(" "), F.lit("  ")), F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def gopher_rule_columns(text: Column) -> dict[str, Column]:
+    """The five Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) document
+    quality rules as integer-pure column expressions — every comparison is
+    on exact int64 arithmetic (counts cross-multiplied against rational
+    thresholds), so both engines evaluate bit-identical booleans with no
+    float division anywhere.
+
+    Scale shape: one codegen projection, zero shuffles, zero higher-order
+    lambdas — at 100 TB this is a scan-bound map stage. Word counts come
+    from ``size(split)``; alpha-word and symbol counts from JVM regex /
+    replace-length differences; stopword occurrences from
+    :func:`token_occurrences`.
+    """
+    n_words = F.size(F.split(text, " ", -1)).cast("long")
+    # total word chars: delimiters removed (exact under repeated spaces,
+    # unlike the length-minus-(n_words-1) shortcut)
+    wchars = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("long")
+    # words containing >= 1 alphabetic char: greedy [^ ]* absorbs the
+    # whole token, so each qualifying token matches exactly once
+    alpha_words = F.size(
+        F.regexp_extract_all(text, F.lit("[^ ]*[a-zA-Z][^ ]*"), F.lit(0))
+    ).cast("long")
+    sw_occ = sum(
+        (token_occurrences(text, w) for w in GOPHER_STOPWORDS), F.lit(0).cast("long")
+    ).cast("long")
+    hash_cnt = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    ellipsis_cnt = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    return {
+        "n_words": n_words,
+        "wchars": wchars,
+        "alpha_words": alpha_words,
+        "sw_occ": sw_occ,
+        # 50 <= words <= 100k
+        "rule_word_count": (n_words >= 50) & (n_words <= 100_000),
+        # 3 <= mean word length <= 10, as cross-multiplied integers
+        "rule_mean_word_length": (wchars >= 3 * n_words) & (wchars <= 10 * n_words),
+        # > 80% of words contain an alphabetic character
+        "rule_alpha_words": 5 * alpha_words >= 4 * n_words,
+        # >= 2 of the 8 required stopwords (with multiplicity)
+        "rule_stopwords": sw_occ >= 2,
+        # '#' + '...' symbols per word <= 0.1
+        "rule_symbol_ratio": 10 * (hash_cnt + ellipsis_cnt) <= n_words,
+    }
+
+
 # --- BPE-style subword tokenization ----------------------------------------
 
 #: Greedy longest-match subword vocabulary (BPE-style merges over common

@@ -576,3 +576,140 @@ def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_ppm"),
     )
+
+
+def _gopher_oracle() -> str:
+    from ..operators.text_analysis import GOPHER_STOPWORDS
+
+    sw_terms = " + ".join(
+        f"(length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH padded AS (
+      SELECT doc_id, text,
+             ' ' || replace(text, ' ', '  ') || ' ' AS p
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+             CAST(len(regexp_extract_all(text, '[^ ]*[a-zA-Z][^ ]*')) AS BIGINT)
+               AS alpha_words,
+             CAST({sw_terms} AS BIGINT) AS sw_occ,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS hash_cnt,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+               AS ellipsis_cnt
+      FROM padded
+    )
+    SELECT doc_id, n_words, wchars, alpha_words, sw_occ,
+           n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+           wchars >= 3 * n_words AND wchars <= 10 * n_words
+             AS rule_mean_word_length,
+           5 * alpha_words >= 4 * n_words AS rule_alpha_words,
+           sw_occ >= 2 AS rule_stopwords,
+           10 * (hash_cnt + ellipsis_cnt) <= n_words AS rule_symbol_ratio,
+           (n_words >= 50 AND n_words <= 100000
+            AND wchars >= 3 * n_words AND wchars <= 10 * n_words
+            AND 5 * alpha_words >= 4 * n_words
+            AND sw_occ >= 2
+            AND 10 * (hash_cnt + ellipsis_cnt) <= n_words) AS passes
+    FROM b
+    """
+
+
+@register("gopher_quality_rules", _gopher_oracle())
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) per doc — word-count bounds, mean-word-length
+    bounds, alpha-word fraction, required-stopword presence, symbol
+    ratio — plus the conjunction verdict, all as exact int64 arithmetic
+    (cross-multiplied rational thresholds; no float division), so the
+    oracle pins every rule boolean bit-exactly.
+
+    Scale shape: a single whole-stage-codegen projection over the scan —
+    zero shuffles, zero exploded rows, zero higher-order lambdas (the
+    stopword counter is replace-length differencing on a space-doubled
+    copy; see ``operators/text_analysis.py:token_occurrences``). At
+    100 TB this is a scan-bound map stage that composes into
+    ``corpus_prep``-style one-pass curation for free.
+    """
+    from ..operators.text_analysis import gopher_rule_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = gopher_rule_columns(F.col("text"))
+    passes = (
+        cols["rule_word_count"]
+        & cols["rule_mean_word_length"]
+        & cols["rule_alpha_words"]
+        & cols["rule_stopwords"]
+        & cols["rule_symbol_ratio"]
+    )
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()], passes.alias("passes")
+    )
+
+
+_C4_LINE_ORACLE = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+), k AS (
+  SELECT doc_id, line,
+         CASE WHEN len(string_split(line, ' ')) >= 5
+               AND (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+                    OR line LIKE '%"')
+               AND line NOT LIKE '%{%'
+               AND NOT contains(lower(line), 'lorem ipsum')
+               AND NOT contains(lower(line), 'javascript')
+          THEN 1 ELSE 0 END AS kept
+  FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept = 1 THEN length(line) ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM k GROUP BY doc_id
+"""
+
+
+@register("c4_line_filters", _C4_LINE_ORACLE)
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level filtering (Raffel et al. 2020 §2.2): a line
+    survives iff it has >= 5 words, ends in terminal punctuation, and
+    contains no '{', 'lorem ipsum', or 'javascript' marker. Emits per-doc
+    line counts and surviving-character mass — the shape a cleaning
+    pipeline feeds to a rebuild step (``dup_span_removal`` is the
+    sibling that actually reassembles text).
+
+    Scale shape: posexplode lines → per-line booleans in codegen → one
+    doc-keyed hash aggregate (map-side combined). Line work is linear in
+    corpus chars; the only exchange carries (doc_id, 3 longs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.col("line")
+    kept = (
+        (F.size(F.split(line, " ", -1)) >= 5)
+        & (
+            line.endswith(".")
+            | line.endswith("!")
+            | line.endswith("?")
+            | line.endswith('"')
+        )
+        & ~line.contains("{")
+        & ~F.lower(line).contains("lorem ipsum")
+        & ~F.lower(line).contains("javascript")
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split("text", "\n", -1)).alias("line"))
+        .select("doc_id", kept.alias("kept"), F.length("line").alias("lc"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("lc")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )

@@ -194,6 +194,8 @@ class TestCodegenHygiene:
         "cube_segment_metrics",
         "kmv_set_intersection",
         "session_window_stats",
+        "gopher_quality_rules",
+        "c4_line_filters",
     ]
 
     def test_no_python_eval_in_hot_paths(self, spark, registry):
@@ -536,6 +538,25 @@ class TestRetrievalPlans:
         assert "BroadcastExchange" in plan
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_gopher_rules_shuffle_free_scan(self, spark, registry):
+        # all five Gopher rule booleans are one codegen projection over
+        # the scan: no exchange, no explode, no Python, no higher-order
+        # ArrayFilter (the stopword counter is replace-length
+        # differencing, not a lambda)
+        plan = plan_of(q(registry, "gopher_quality_rules", spark))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Generate" not in plan  # no explode
+        assert plan.lstrip().startswith("*(1) Project")  # one codegen'd stage
+
+    def test_c4_line_filters_one_exchange_partial_agg(self, spark, registry):
+        # posexplode lines -> codegen booleans -> ONE doc-keyed exchange
+        # with map-side combine; the shuffle carries (doc_id, 3 longs)
+        plan = plan_of(q(registry, "c4_line_filters", spark))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_" in plan
+        assert "BatchEvalPython" not in plan
 
     def test_quality_logit_is_shuffle_free_scan(self, spark, registry):
         # the classifier is a pure expression over one scan: no exchange,

@@ -138,3 +138,41 @@ def test_bpe_train_stops_early_when_pairs_exhausted(spark):
     docs2 = local_df(spark, [(1, "ab ab")], "doc_id long, text string")
     rules = bpe_train_merges(docs2, 3).collect()
     assert len(rules) == 1 and rules[0]["pair"] == "a b"
+
+
+def test_token_occurrences_adjacent_repeats(spark):
+    # space-doubling gives each token its own flanking delimiters: the
+    # naive single-pad count would see "the the the" as 2 (non-overlapping
+    # ' the ' matches share the middle spaces); the operator must say 3
+    c = ta.token_occurrences(F.col("t"), "the")
+    assert one(spark, c, "the the the") == 3
+    assert one(spark, c, "the") == 1
+    assert one(spark, c, "other theory the") == 1  # no substring hits
+    assert one(spark, c, "") == 0
+    assert one(spark, c, "a  the  b") == 1  # repeated delimiter spaces
+
+
+def test_gopher_rules_known_documents(spark):
+    rules = ta.gopher_rule_columns(F.col("t"))
+
+    def row(text):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(*[c.alias(n) for n, c in rules.items()]).first()
+
+    good = row("the quick brown fox and the lazy dog " * 6 + "end of tale")
+    assert good.rule_word_count  # 50 <= 50 words
+    assert good.rule_mean_word_length
+    assert good.rule_alpha_words
+    assert good.rule_stopwords  # 'the' x12 + 'and' x6
+    assert good.rule_symbol_ratio
+
+    short = row("too few words")
+    assert not short.rule_word_count
+
+    symbols = row("### ### ### to the of and...")
+    # 9 hashes + 1 ellipsis over 7 words: ratio 10/7 > 0.1
+    assert symbols.sw_occ == 3 and not symbols.rule_symbol_ratio
+
+    numeric = row(" ".join(str(i) for i in range(60)))
+    assert numeric.rule_word_count and not numeric.rule_alpha_words
+    assert not numeric.rule_stopwords

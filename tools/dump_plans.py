@@ -68,6 +68,8 @@ HEADLINERS = {
     "cube_segment_metrics": "Expand lattice over broadcast-dim join, partial+final agg",
     "kmv_set_intersection": "distinct-hash agg → WindowGroupLimit top-k → sketch-sized set algebra",
     "session_window_stats": "native session_window merging aggregate, one user-keyed exchange",
+    "gopher_quality_rules": "five rule booleans in one shuffle-free codegen projection",
+    "c4_line_filters": "line explode → codegen booleans → one doc-keyed partial agg",
 }
 
 

@@ -30,6 +30,23 @@ EDGE_DOCS = [
     (9003, "a a a a a a a a a a", "en", "src_edge", 19),
     (9004, "a  b   c", "en", "src_edge", 8),  # repeated spaces → '' tokens
     (9005, "the quick " * 400 + "end", "en", "src_edge", 4003),
+    # multi-line, punctuation-rich docs: the standard corpus is
+    # single-line lowercase word soup, so without these the C4
+    # line-filter booleans (terminal punctuation, '{', lorem ipsum,
+    # javascript markers) and the Gopher symbol-ratio rule never flip
+    (
+        9006,
+        "the quick brown fox jumps over it.\nshort line\n"
+        "this one has braces { inside } and enough words here\n"
+        'a full sentence of five words ends with a quote"\n'
+        "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+        "enable JavaScript to view this page properly today!",
+        "en",
+        "src_edge",
+        255,
+    ),
+    (9007, "### ### ### to the of and...", "en", "src_edge", 28),
+    (9008, "one two three four.\n\nsix seven eight nine ten?", "en", "src_edge", 46),
 ]
 
 # half-cent doubles whose shortest decimal repr sits on .xx5 — the class
