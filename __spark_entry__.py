@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = (
     "session_window_stats",
     "gopher_quality_rules",
     "c4_line_filters",
+    "corpus_snapshot_diff",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

@@ -405,3 +405,67 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
     return session_windowed_stats(ev)
+
+
+# --- corpus snapshot diff (round 6) ------------------------------------------
+
+_CORPUS_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 3
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 13 <> 5
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.fp <> v2.fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       v1.fp AS fp_old, v2.fp AS fp_new
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
+@register("corpus_snapshot_diff", _CORPUS_DIFF_ORACLE)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content diff between two corpus snapshots: every doc labeled
+    added / removed / changed / unchanged by comparing content
+    fingerprints across versions (the audit step a training-corpus
+    release pipeline runs before re-triggering downstream dedup /
+    decontamination on only the delta — `incremental_dedup` is the
+    consumer of the 'added'+'changed' slice). Versions are derived
+    deterministically from the shared table (v2 drops the %13 slice,
+    adds the %11 slice, rewrites the %7 slice) so the oracle sees the
+    identical pair.
+
+    Scale shape: fingerprints are scan-bound projections; the diff is
+    ONE doc_id-keyed full outer join — with both snapshots bucketed by
+    doc_id (the layout `bucketed_join_agg` demonstrates) the exchange
+    disappears entirely and the diff is a zero-shuffle zip of
+    co-located partitions. Shuffle payload is (doc_id, 32-char fp),
+    never document bodies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    v2 = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), on="doc_id", how="full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("a.fp").isNull(), "added")
+        .when(F.col("b.fp").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.col("a.fp").alias("fp_old"),
+        F.col("b.fp").alias("fp_new"),
+    )

@@ -95,3 +95,36 @@ def test_char_coverage_total_is_million_ppm(spark):
     assert all(
         rows[i].cum_ppm <= rows[i + 1].cum_ppm for i in range(len(rows) - 1)
     )
+
+
+def test_corpus_snapshot_diff_partitions_and_reconstructs(spark):
+    # the four statuses partition the union of both versions, and the
+    # labeled deltas reconstruct the set-algebra of the two snapshots
+    rows = _q("corpus_snapshot_diff", spark).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.status, set()).add(r.doc_id)
+    assert set(by) <= {"added", "removed", "changed", "unchanged"}
+    # a doc appears exactly once
+    assert sum(len(s) for s in by.values()) == len(rows)
+    # added rows have no old fingerprint; removed rows have no new one
+    for r in rows:
+        if r.status == "added":
+            assert r.fp_old is None and r.fp_new is not None
+        elif r.status == "removed":
+            assert r.fp_new is None and r.fp_old is not None
+        elif r.status == "changed":
+            assert r.fp_old is not None and r.fp_new != r.fp_old
+        else:
+            assert r.fp_new == r.fp_old
+    # the %7==2 rewrite slice is labeled changed wherever both versions
+    # carry the doc; %11==3 (absent from v1) is added, %13==5 removed
+    for r in rows:
+        if r.doc_id % 11 == 3:
+            assert r.status == "added"
+        elif r.doc_id % 13 == 5:
+            assert r.status == "removed"
+        elif r.doc_id % 7 == 2:
+            assert r.status == "changed"
+        else:
+            assert r.status == "unchanged"
