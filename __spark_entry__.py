@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = (
     "gopher_quality_rules",
     "c4_line_filters",
     "corpus_snapshot_diff",
+    "containment_dedup",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

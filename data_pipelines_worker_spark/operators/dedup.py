@@ -298,6 +298,92 @@ def _expand_member_pairs(rp: DataFrame, members: DataFrame, d: DataFrame) -> Dat
     return cross.unionByName(within)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    df_cap: int | str = "auto",
+) -> DataFrame:
+    """Asymmetric n-gram *containment* dedup: a document is flagged when a
+    larger (or equal-sized, smaller-id) document covers ≥ ``threshold`` of
+    its shingle set — the RefinedWeb/CCNet-style rule that catches quotes,
+    mirrored excerpts, and pages republished inside larger pages, which
+    symmetric Jaccard misses (a short doc fully inside a long one has low
+    J but containment 1.0). Reference scope analogue: the reference
+    pipelines dedup only exactly (stage-store content hash); containment
+    is part of this engine's training-data extension surface.
+
+    Semantics: with ``sh(x)`` the distinct hashed k-shingles of ``x``,
+    ``C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|``. Eligible containers for ``a``
+    are docs ``b`` with ``|sh(b)| > |sh(a)|``, or ``|sh(b)| = |sh(a)|``
+    and ``b.id < a.id`` (strict order — no mutual removal, no cycles).
+    Emitted: one row per contained doc — its best container by
+    ``(C desc, container_id asc)`` — so downstream can drop flagged rows
+    and keep an audit pointer.
+
+    Scale shape (mirrors :func:`jaccard_pairs`'s capped path): candidate
+    pairs come from the hot-shingle-capped inverted index
+    (Σ_s min(df,cap)² bound); verification uses FULL shingle sets via one
+    ``array_intersect`` per candidate, so reported containment values are
+    exact; the final per-doc argmax is a WindowGroupLimit-prunable
+    rank-1 window. Compose :func:`exact_dedup`'s collapse first when the
+    corpus carries byte-identical dups — identical texts have identical
+    shingle sets, so rep-level containment transfers to members verbatim.
+    """
+    import math
+
+    d = _doc_shingles(df, id_col, text_col, k).persist()
+    if df_cap == "auto":
+        cap = max(JACCARD_DF_FLOOR, math.ceil(JACCARD_DF_FRAC * d.count()))
+    else:
+        cap = int(df_cap)
+    inv = d.select("doc", F.explode("sh").alias("s"))
+    hot = inv.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > cap)
+    invc = inv.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    a, b = invc.alias("a"), invc.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    sb = d.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    v = (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("common"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+        )
+    )
+    # both directions of each unordered pair, container strictly greater
+    # in the (set size, -id) order; d1 < d2 by construction.
+    dir1 = v.where(F.col("n1") >= F.col("n2")).select(
+        F.col("d2").alias("doc_id"),
+        F.col("d1").alias("container_id"),
+        (F.col("common") / F.col("n2")).alias("c"),
+    )
+    dir2 = v.where(F.col("n2") > F.col("n1")).select(
+        F.col("d1").alias("doc_id"),
+        F.col("d2").alias("container_id"),
+        (F.col("common") / F.col("n1")).alias("c"),
+    )
+    dirs = dir1.unionByName(dir2).where(F.col("c") >= threshold)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("container_id").asc()
+    )
+    return (
+        dirs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "container_id", F.round("c", 6).alias("containment"))
+    )
+
+
 def minhash_signature(sh: Column) -> Column:
     """64-permutation MinHash signature of a *hashed* shingle array
     (:func:`hashed_shingles` output — xxhash64 longs).

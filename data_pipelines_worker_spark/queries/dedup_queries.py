@@ -423,3 +423,59 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_df = docs.where(F.col("doc_id") % 10 == 0)
     idx_df = docs.where(F.col("doc_id") % 10 != 0)
     return dedup.incremental_near_dup(new_df, idx_df, "doc_id", "text")
+
+
+#: Asymmetric-containment oracle — mirrors operators/dedup.py
+#: containment_pairs clause by clause: capped inverted-index candidates
+#: (same d/inv/cap/hot/invc CTEs as the Jaccard oracle), full-set verify,
+#: per-pair direction pick (container = larger set, ties to smaller id),
+#: per-contained-doc argmax by (containment desc, container asc).
+_CONTAINMENT_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in generate_series(1, len(words) - 2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  WHERE len(words) >= 3
+),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+cap AS (
+  SELECT greatest(50, CAST(ceil(0.01 * count(*)) AS BIGINT)) AS v FROM d
+),
+hot AS (SELECT s FROM inv GROUP BY s HAVING count(*) > (SELECT v FROM cap)),
+invc AS (SELECT doc_id, s FROM inv WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM invc a JOIN invc b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT d1, d2,
+         len(list_intersect(da.sh, db.sh)) AS common,
+         len(da.sh) AS n1, len(db.sh) AS n2
+  FROM cand JOIN d da ON da.doc_id = d1 JOIN d db ON db.doc_id = d2
+),
+dirs AS (
+  SELECT d2 AS doc_id, d1 AS container_id, common / CAST(n2 AS DOUBLE) AS c
+  FROM v WHERE n1 >= n2
+  UNION ALL
+  SELECT d1, d2, common / CAST(n1 AS DOUBLE) FROM v WHERE n2 > n1
+),
+r AS (
+  SELECT doc_id, container_id, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, container_id ASC) AS rn
+  FROM dirs WHERE c >= 0.8
+)
+SELECT doc_id, container_id, round(c, 6) AS containment FROM r WHERE rn = 1
+"""
+
+
+@register("containment_dedup", _CONTAINMENT_ORACLE)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment dedup (RefinedWeb-style): flag docs
+    ≥80%-covered by a strictly larger (or equal-size, smaller-id) doc and
+    point each at its best container. Catches short-inside-long
+    duplication that symmetric Jaccard scores low. See
+    :func:`..operators.dedup.containment_pairs`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", threshold=0.8, k=3)

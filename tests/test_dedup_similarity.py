@@ -462,3 +462,43 @@ class TestLogStarCC:
             for r in connected_components_logstar(pairs).collect()
         }
         assert a == b
+
+
+def test_containment_short_inside_long_flagged(spark):
+    # doc 2 is a verbatim excerpt of doc 1: containment 1.0 even though
+    # symmetric Jaccard is low (~8/28); doc 3 shares nothing.
+    long_doc = " ".join(f"w{i}" for i in range(30))
+    short_doc = " ".join(f"w{i}" for i in range(10, 20))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "q0 q1 q2 q3 q4")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.containment_pairs(df, "doc_id", "text", 0.8).collect()}
+    assert set(out) == {2}
+    assert out[2].container_id == 1
+    assert out[2].containment == 1.0
+    jac = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert not any({r.d1, r.d2} == {1, 2} for r in jac)  # Jaccard misses it
+
+
+def test_containment_equal_size_ties_to_smaller_id(spark):
+    # identical shingle sets: container must be the smaller id; only the
+    # larger id is flagged (strict order — no mutual removal).
+    t = "a b c d e f"
+    df = spark.createDataFrame([(7, t), (4, t)], "doc_id long, text string")
+    out = dedup.containment_pairs(df, "doc_id", "text", 0.8).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 7 and out[0].container_id == 4
+    assert out[0].containment == 1.0
+
+
+def test_containment_best_container_argmax(spark):
+    # doc 30's shingles: covered 100% by doc 10 and also 100% by doc 20;
+    # tie broken to the smaller container id.
+    a = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(10, a + " x1 x2"), (20, a + " y1 y2"), (30, a)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.containment_pairs(df, "doc_id", "text", 0.8).collect()}
+    assert out[30].container_id == 10 and out[30].containment == 1.0
