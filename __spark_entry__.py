@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = (
     "c4_line_filters",
     "corpus_snapshot_diff",
     "containment_dedup",
+    "shingle_novelty",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

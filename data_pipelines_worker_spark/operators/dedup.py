@@ -384,6 +384,50 @@ def containment_pairs(
     )
 
 
+def shingle_novelty(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty against the corpus in id order — the
+    incremental-crawl signal "how much of this document is new text":
+    ``novelty = |{s ∈ sh(doc) : min_doc(s) = doc}| / |sh(doc)|`` where
+    ``min_doc(s)`` is the smallest doc id containing shingle ``s``.
+    Recrawls, boilerplate-heavy pages, and syndicated copies score near
+    0; genuinely new content scores near 1 — a cheap pre-dedup router
+    (docs at novelty ≈ 0 go straight to the near-dup verifier; docs at
+    1.0 skip it).
+
+    Scale shape: explode (doc, shingle-hash) pairs (8-byte keys), one
+    map-side-combined ``min(doc)`` per shingle, one co-keyed join back,
+    one per-doc count aggregate — two shuffles total, both on longs,
+    nothing quadratic. In a snapshotted corpus the ``min(doc)`` table is
+    the standing index; a new crawl increment joins against it and
+    appends only its genuinely-new shingles (same increment shape as
+    :func:`incremental_near_dup`).
+
+    Only docs with ≥ k words are scored (no shingles → no denominator).
+    """
+    d = _doc_shingles(df, id_col, text_col, k)
+    inv = d.select("doc", F.explode("sh").alias("s"))
+    first = inv.groupBy("s").agg(F.min("doc").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("doc") == F.col("first_doc"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        inv.join(first, "s")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
 def minhash_signature(sh: Column) -> Column:
     """64-permutation MinHash signature of a *hashed* shingle array
     (:func:`hashed_shingles` output — xxhash64 longs).

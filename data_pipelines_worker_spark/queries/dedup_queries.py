@@ -479,3 +479,32 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..operators.dedup.containment_pairs`."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, "doc_id", "text", threshold=0.8, k=3)
+
+
+_NOVELTY_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in generate_series(1, len(words) - 2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  WHERE len(words) >= 3
+),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
+first AS (SELECT s, min(doc_id) AS first_doc FROM inv GROUP BY s)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM inv JOIN first USING (s)
+GROUP BY doc_id
+"""
+
+
+@register("shingle_novelty", _NOVELTY_ORACLE)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-seen shingle novelty in crawl (id) order — recrawl
+    and syndication router. See :func:`..operators.dedup.shingle_novelty`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_novelty(docs, "doc_id", "text", k=3)

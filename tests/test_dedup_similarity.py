@@ -502,3 +502,29 @@ def test_containment_best_container_argmax(spark):
     )
     out = {r.doc_id: r for r in dedup.containment_pairs(df, "doc_id", "text", 0.8).collect()}
     assert out[30].container_id == 10 and out[30].containment == 1.0
+
+
+def test_shingle_novelty_copy_scores_zero(spark):
+    # doc 2 copies doc 1 verbatim: every shingle first appears in doc 1,
+    # so doc 2's novelty is 0; doc 1 and the unrelated doc 3 score 1.0.
+    t = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "q0 q1 q2 q3")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.shingle_novelty(df, "doc_id", "text").collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    assert out[3].novelty == 1.0
+    assert out[1].n_shingles == 6  # 8 words -> 6 distinct 3-grams
+
+
+def test_shingle_novelty_partial_overlap(spark):
+    # doc 2 = 5 novel words + doc 1's text: its copied shingles are old,
+    # its fresh ones new; exact fraction checked.
+    a = "a b c d e"          # doc 1: shingles {abc bcd cde}
+    b = "p q r s t a b c d e"  # doc 2: 8 shingles, 3 old (abc bcd cde)... 
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.shingle_novelty(df, "doc_id", "text").collect()}
+    assert out[2].n_shingles == 8
+    assert out[2].n_novel == 5  # pqr qrs rst sta tab (tab? t a b) -- 5 fresh
+    assert out[2].novelty == 0.625
