@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = (
     "corpus_snapshot_diff",
     "containment_dedup",
     "shingle_novelty",
+    "top_p_selection",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

@@ -814,3 +814,90 @@ def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated", (F.col("max_match_perms") >= 32).cast("long")
         )
     )
+
+
+# --- nucleus (top-p) selection by quality ----------------------------------
+
+def _top_p_oracle() -> str:
+    all_sw = "[" + ", ".join(
+        f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws
+    ) + "]"
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           0.4 * (1.0 - least(abs((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
+         + 0.3 * least(CAST(len(list_filter(string_split(text, ' '),
+                          w -> list_contains({all_sw}, w))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
+         + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE))
+         END AS q
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_tokens, q,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens,
+         sum(n_tokens) OVER (PARTITION BY source) AS total_tokens
+  FROM scored
+)
+SELECT source, doc_id, CAST(rank AS BIGINT) AS rank, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens, round(q, 6) AS quality
+FROM ranked
+WHERE 2 * cum_tokens <= total_tokens OR rank = 1
+"""
+
+
+@register("top_p_selection", _top_p_oracle())
+def q_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style data selection: per source, keep the highest-quality
+    documents until half the source's token mass is selected (the data-
+    mixing move "top-p of each domain by quality" — a budgeted
+    alternative to hard score thresholds, robust to per-source score
+    scale differences). Ordering key is the unrounded quality score
+    (:func:`..operators.text_analysis.quality_score`, hash-green on both
+    engines) with doc_id tie-break; the budget test is pure-integer
+    (``2·cum ≤ total``), and the source's top-1 doc is always kept so no
+    source empties.
+
+    Scale shape: one scan computes tokens + score as a map stage; one
+    source-keyed exchange feeds BOTH windows (rank/cumsum and the
+    per-source total — same partition key, Catalyst reuses the sort); no
+    join, no second scan. At 1000 sources × TB each, the per-source
+    window is the natural parallel unit; a skewed mega-source bounds a
+    single task only in the sort, which AQE splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        ta.quality_score(F.col("text")).alias("q"),
+    )
+    wo = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    wcum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wtot = W.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "q",
+        F.row_number().over(wo).cast("long").alias("rank"),
+        F.sum("n_tokens").over(wcum).cast("long").alias("cum_tokens"),
+        F.sum("n_tokens").over(wtot).alias("total_tokens"),
+    )
+    return ranked.where(
+        (2 * F.col("cum_tokens") <= F.col("total_tokens")) | (F.col("rank") == 1)
+    ).select(
+        "source",
+        "doc_id",
+        "rank",
+        "n_tokens",
+        "cum_tokens",
+        F.round("q", 6).alias("quality"),
+    )

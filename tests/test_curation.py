@@ -131,3 +131,28 @@ def test_greedy_packing_respects_budget(spark, sf_dir):
     assert agg
     for r in agg:
         assert r.tot <= PACK_BUDGET or r.n == 1, (r.stream, r.pack_id, r.tot, r.n)
+
+
+def test_top_p_selection_budget_and_top1(spark, sf_dir):
+    from data_pipelines_worker_spark.queries.curation_queries import q_top_p_selection
+
+    out = q_top_p_selection(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "selection must be non-empty"
+    # per source: ranks are 1..n_selected contiguous, budget respected
+    # except possibly the always-kept rank-1 row
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0].rank == 1  # top-1 always kept
+        # cum_tokens strictly increasing with rank
+        cums = [r.cum_tokens for r in rs]
+        assert cums == sorted(cums)
+        # quality non-increasing with rank
+        qs = [r.quality for r in rs]
+        assert all(a >= b for a, b in zip(qs, qs[1:]))
