@@ -323,18 +323,33 @@ def containment_pairs(
     ``(C desc, container_id asc)`` — so downstream can drop flagged rows
     and keep an audit pointer.
 
-    Scale shape (mirrors :func:`jaccard_pairs`'s capped path): candidate
-    pairs come from the hot-shingle-capped inverted index
-    (Σ_s min(df,cap)² bound); verification uses FULL shingle sets via one
-    ``array_intersect`` per candidate, so reported containment values are
-    exact; the final per-doc argmax is a WindowGroupLimit-prunable
-    rank-1 window. Compose :func:`exact_dedup`'s collapse first when the
-    corpus carries byte-identical dups — identical texts have identical
-    shingle sets, so rep-level containment transfers to members verbatim.
+    Scale shape (mirrors :func:`jaccard_pairs`'s capped path, all three
+    layers):
+
+    1. **exact-collapse** — byte-identical texts group on ``md5(text)``;
+       only the min-id representative of each group shingles and enters
+       candidate generation. Crawled corpora are exact-dup-heavy, and
+       without this layer N copies of a page inflate every shared
+       shingle's df by N and the candidate join by N² (measured 19.5× at
+       the 10× replica probe; 1.3× with the collapse).
+    2. **df-cap** over *unique texts* bounds candidate pair work at
+       Σ_s min(df,cap)²; verification uses FULL shingle sets
+       (one ``array_intersect`` per candidate) so containment values are
+       exact.
+    3. **canonical-first lift** back to members (output-linear): every
+       non-representative member is emitted as contained in its group's
+       representative at containment 1.0 exactly (byte-identical text —
+       the natural audit pointer); every *representative* covered at the
+       text level is emitted with its best covering representative.
+       Container eligibility at the text level is (bigger shingle set),
+       or (equal size, smaller rep id) — a strict order, so no mutual
+       removal and no cycles.
     """
     import math
 
-    d = _doc_shingles(df, id_col, text_col, k).persist()
+    members = _text_group_members(df, id_col, text_col)
+    reps = members.select(F.col("rep").alias(id_col)).distinct()
+    d = _doc_shingles(df.join(reps, id_col), id_col, text_col, k).persist()
     if df_cap == "auto":
         cap = max(JACCARD_DF_FLOOR, math.ceil(JACCARD_DF_FRAC * d.count()))
     else:
@@ -377,11 +392,25 @@ def containment_pairs(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("c").desc(), F.col("container_id").asc()
     )
-    return (
+    rep_best = (
         dirs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "container_id", F.round("c", 6).alias("containment"))
     )
+    # layer 3: lift to members. Non-representative members are contained
+    # in their representative at exactly 1.0 (byte-identical text); only
+    # groups whose representative shingled (≥ k words) emit.
+    shingled = d.select(F.col("doc").alias("rep")).distinct()
+    within = (
+        members.where(F.col("doc") != F.col("rep"))
+        .join(shingled, "rep")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("rep").alias("container_id"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return rep_best.unionByName(within)
 
 
 def shingle_novelty(

@@ -426,17 +426,25 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Asymmetric-containment oracle — mirrors operators/dedup.py
-#: containment_pairs clause by clause: capped inverted-index candidates
-#: (same d/inv/cap/hot/invc CTEs as the Jaccard oracle), full-set verify,
-#: per-pair direction pick (container = larger set, ties to smaller id),
-#: per-contained-doc argmax by (containment desc, container asc).
+#: containment_pairs clause by clause, all three scale layers: exact-
+#: collapse byte-identical texts to a min-id representative; capped
+#: inverted-index candidates over unique texts (same cap rule as the
+#: Jaccard oracle), full-set verify, per-pair direction pick (container =
+#: larger set, ties to smaller id), per-contained-rep argmax by
+#: (containment desc, container asc); then the member lift — every
+#: non-representative member is contained in its representative at
+#: exactly 1.0 (byte-identical text), emitted only when the rep shingled.
 _CONTAINMENT_ORACLE = """
-WITH d AS (
+WITH grp AS (SELECT doc_id AS doc, md5(text) AS gid FROM documents),
+rep AS (SELECT gid, min(doc) AS rep FROM grp GROUP BY gid),
+members AS (SELECT g.doc, r.rep FROM grp g JOIN rep r ON r.gid = g.gid),
+d AS (
   SELECT doc_id,
          list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
                         for i in generate_series(1, len(words) - 2)]) AS sh
   FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
   WHERE len(words) >= 3
+    AND doc_id IN (SELECT rep FROM rep)
 ),
 inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
 cap AS (
@@ -467,6 +475,10 @@ r AS (
   FROM dirs WHERE c >= 0.8
 )
 SELECT doc_id, container_id, round(c, 6) AS containment FROM r WHERE rn = 1
+UNION ALL
+SELECT m.doc AS doc_id, m.rep AS container_id, 1.0 AS containment
+FROM members m
+WHERE m.doc != m.rep AND m.rep IN (SELECT doc_id FROM d)
 """
 
 

@@ -742,3 +742,32 @@ class TestRound6Plans:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "Join" not in plan
+
+    def test_containment_no_cartesian_hot_set_broadcast(self, spark, registry):
+        # candidate generation must stay the shingle equi-join (never a
+        # cross join); the hot-shingle exclusion must be a broadcast
+        # anti-join (the hot set is tiny by construction); the final
+        # best-container pick is a rank-1 window (WindowGroupLimit prunes)
+        plan = plan_of(q(registry, "containment_dedup", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "LeftAnti, BuildRight" in plan  # broadcast hot-set anti-join
+        assert "WindowGroupLimit" in plan
+
+    def test_shingle_novelty_long_keys_only(self, spark, registry):
+        # both shuffles ride 8-byte shingle hashes; no python, no
+        # cartesian, and the min-per-shingle aggregate partial-combines
+        plan = plan_of(q(registry, "shingle_novelty", spark))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "partial_min" in plan  # map-side combine before the s-shuffle
+
+    def test_top_p_single_source_exchange(self, spark, registry):
+        # one scan, one source-keyed exchange reused by both windows —
+        # no join and no second scan of documents
+        plan = plan_of(q(registry, "top_p_selection", spark))
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning(source") <= 1
+        assert plan.count("FileScan parquet") == 1
