@@ -71,6 +71,11 @@ _DRIVER_PRIORITY = (
     "containment_dedup",
     "shingle_novelty",
     "top_p_selection",
+    "pivot_event_type",
+    "range_interval_window",
+    "length_quantile_filter",
+    "oov_rate",
+    "embedding_outliers",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

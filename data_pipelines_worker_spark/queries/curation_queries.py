@@ -901,3 +901,63 @@ def q_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         F.round("q", 6).alias("quality"),
     )
+
+
+# --- per-source length-quantile filter (round 6) -----------------------------
+
+_LEN_QUANTILE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+bounds AS (
+  SELECT source,
+         min(CASE WHEN rk = CAST(ceil(n * 0.05) AS BIGINT)
+                  THEN n_chars END) AS lo_chars,
+         min(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT)
+                  THEN n_chars END) AS hi_chars
+  FROM ranked GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, b.lo_chars, b.hi_chars
+FROM documents d JOIN bounds b ON b.source = d.source
+WHERE d.n_chars BETWEEN b.lo_chars AND b.hi_chars
+"""
+
+
+@register("length_quantile_filter", _LEN_QUANTILE_ORACLE)
+def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-percentile gate: keep documents whose length
+    falls inside that source's [p5, p95] — the outlier trim a curation
+    pipeline runs per domain so one boilerplate-heavy host doesn't set
+    the global cutoffs. Percentiles are *discrete* (the value at rank
+    ``ceil(q·n)`` under the total order (n_chars, doc_id)) — integers
+    end to end, no interpolation, so both engines agree bit-exactly;
+    ``n·0.05`` is one correctly-rounded IEEE multiply on both sides.
+
+    Scale shape: one exchange on source ranks each source's docs; the
+    bounds table collapses to |sources| rows and broadcasts back —
+    nothing quadratic, no driver collect, no full sort. Contrast with
+    percentile_approx: this is exact, and the rank window is the same
+    shuffle the approx version would need anyway."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    lo_rk = F.ceil(F.col("n") * 0.05)
+    hi_rk = F.ceil(F.col("n") * 0.95)
+    bounds = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rk") == lo_rk, F.col("n_chars"))).alias("lo_chars"),
+        F.min(F.when(F.col("rk") == hi_rk, F.col("n_chars"))).alias("hi_chars"),
+    )
+    return docs.join(F.broadcast(bounds), "source").where(
+        F.col("n_chars").between(F.col("lo_chars"), F.col("hi_chars"))
+    ).select("doc_id", "source", "n_chars", "lo_chars", "hi_chars")

@@ -1101,3 +1101,107 @@ def q_cube_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_cents").cast("long"),
         )
     )
+
+
+# --- pivot / wide-table reshape (round 6) ------------------------------------
+
+#: The five event types are a closed enum in the generator; pinning them
+#: keeps the pivot single-pass (no extra distinct-values job) and the
+#: output schema stable — the production posture for any bounded enum.
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN v_c END) AS BIGINT) AS click_c,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN v_c END) AS BIGINT) AS error_c,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN v_c END) AS BIGINT) AS purchase_c,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN v_c END) AS BIGINT) AS signup_c,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN v_c END) AS BIGINT) AS view_c
+FROM (SELECT user_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events)
+GROUP BY user_id
+"""
+
+
+@register("pivot_event_type", _PIVOT_ORACLE)
+def q_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide reshape: per-user event-value totals pivoted to one
+    column per event type (the feature-matrix export shape). Values are
+    explicitly pinned so Spark skips the distinct-values pre-job and the
+    schema is static; a user with no events of a type gets NULL, exactly
+    like the oracle's CASE-without-ELSE.
+
+    Scale shape: ONE hash aggregate over user_id with five conditional
+    sum states — a single exchange, partial-combined map-side. This is
+    deliberately NOT `RelationalGroupedDataset.pivot`, which Catalyst
+    compiles to TWO aggregates ((user_id, event_type) pre-sum, then a
+    `pivotfirst` re-shuffle on user_id) — double the exchanges for the
+    same wide rows; with the enum pinned, conditional aggregation is the
+    strictly better plan at scale. Money rides as exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    v_c = cents(F.col("value"))
+    return (
+        ev.select("user_id", "event_type", v_c.alias("v_c"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, F.col("v_c")))
+                .cast("long")
+                .alias(f"{t}_c")
+                for t in _EVENT_TYPES
+            ]
+        )
+    )
+
+
+# --- range-frame (interval) window (round 6) ----------------------------------
+
+_RANGE_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER wh AS BIGINT) AS n_1h,
+       CAST(sum(v_c) OVER wh AS BIGINT) AS sum_1h_c
+FROM e
+WINDOW wh AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("range_interval_window", _RANGE_WINDOW_ORACLE)
+def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour RANGE frame per user: how many events and how
+    much value in the hour ending at each event — the time-decayed
+    feature `rolling_features`' ROWS frames can't express (a RANGE frame
+    bounds by *value distance* on the order key, so sparse and bursty
+    users get the same one-hour semantics). Order key is integer epoch
+    micros; RANGE mode includes ts peers on both engines by the SQL
+    standard, so ties need no tie-break column.
+
+    Scale shape: one hash exchange on user_id, one sort, O(frame) running
+    state — Spark's window operator advances two pointers over the sorted
+    run; nothing rescans. 100 TB: identical plan per user shard; skewed
+    users are bounded by their own event rate × 1 h."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        cents(F.col("value")).alias("v_c"),
+    )
+    wh = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(wh).cast("long").alias("n_1h"),
+        F.sum("v_c").over(wh).cast("long").alias("sum_1h_c"),
+    )

@@ -685,3 +685,102 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf_served(
         spark, index_dir, queries, k=5, n_probe=_N_PROBE
     )
+
+
+# --- centroid-distance outliers (round 6) ------------------------------------
+
+_EMB_OUTLIER_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+cen AS (
+  SELECT label, dim,
+         CAST(sum(q) AS BIGINT) AS qsum,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, dim
+),
+dist AS (
+  SELECT ex.vec_id, ex.label,
+         CAST(sum(CAST(floor(
+           (CAST(ex.q AS DOUBLE) / 1000000.0
+             - CAST(cen.qsum AS DOUBLE) / CAST(cen.n AS DOUBLE) / 1000000.0)
+           * (CAST(ex.q AS DOUBLE) / 1000000.0
+             - CAST(cen.qsum AS DOUBLE) / CAST(cen.n AS DOUBLE) / 1000000.0)
+           * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS ssum
+  FROM ex JOIN cen ON cen.label = ex.label AND cen.dim = ex.dim
+  GROUP BY ex.vec_id, ex.label
+)
+SELECT label, vec_id,
+       round(sqrt(CAST(ssum AS DOUBLE) / 1000000000000.0), 6) AS dist,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT label, vec_id, ssum,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY ssum DESC, vec_id) AS rk
+  FROM dist
+) WHERE rk <= 5
+"""
+
+
+@register("embedding_outliers", _EMB_OUTLIER_ORACLE)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anomaly scan: the 5 vectors farthest (L2) from their
+    label's centroid — mislabeled or corrupted embeddings surface here
+    before they poison contrastive training. All cross-row arithmetic is
+    integer (per-component micro-quantization before the centroid sum,
+    pico-quantized squared diffs before the distance sum, integer-keyed
+    rank), so both engines agree bit-exactly despite double inputs —
+    the money-math discipline applied to geometry.
+
+    Scale shape: posexplode to (label, dim, component) longs → one
+    map-side-combined aggregate builds centroids (|labels|·d rows —
+    broadcast back) → one doc-keyed aggregate folds the 64 per-dim terms
+    → rank-1..5 per label prunes under WindowGroupLimit. Two long-keyed
+    shuffles, nothing quadratic, no driver collect. The columnar
+    alternative (strict-fold Pandas UDF over a broadcast centroid map,
+    as `embedding_stats` does for norms) trades the explode for Arrow
+    batches when d is large."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("val") * 1_000_000 + 0.5).cast("long").alias("q"),
+    )
+    cen = ex.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("qsum"),
+        F.count("*").cast("long").alias("n"),
+    )
+    x = F.col("q").cast("double") / 1_000_000.0
+    c = F.col("qsum").cast("double") / F.col("n").cast("double") / 1_000_000.0
+    term = F.floor((x - c) * (x - c) * 1_000_000_000_000 + 0.5).cast("long")
+    dist = (
+        ex.join(F.broadcast(cen), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term).cast("long").alias("ssum"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label").orderBy(F.desc("ssum"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            F.round(
+                F.sqrt(F.col("ssum").cast("double") / 1_000_000_000_000.0), 6
+            ).alias("dist"),
+            F.col("rk").cast("long").alias("rank"),
+        )
+    )

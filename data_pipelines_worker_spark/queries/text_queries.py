@@ -713,3 +713,71 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+# --- tokenizer OOV rate against a corpus-fit vocabulary (round 6) -------------
+
+_OOV_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+t AS (SELECT doc_id, word FROM tok WHERE word != ''),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS n FROM t GROUP BY word
+    ORDER BY n DESC, word LIMIT 50
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM t LEFT JOIN vocab v USING (word)
+GROUP BY doc_id
+"""
+
+
+@register("oov_rate", _OOV_ORACLE)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit signal: per-document out-of-vocabulary rate against
+    the corpus's own top-50 word vocabulary (frequency desc, word asc —
+    a deterministic cut). High-OOV documents are the ones a fixed
+    tokenizer will shred into bytes: the standard pre-train diagnostic
+    for whether a corpus slice matches the tokenizer's training
+    distribution.
+
+    Scale shape: vocabulary fitting is the two-phase heavy-hitters
+    aggregate (`word_frequencies`); the 50-row vocab broadcasts into a
+    LEFT join against the exploded token stream — token instances never
+    shuffle on the word, only on doc_id for the final per-doc aggregate,
+    and that aggregate partial-combines map-side. A real tokenizer swaps
+    the vocab table for its merges file; the plumbing is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(ta.tokenize_ws(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    vocab = (
+        t.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        t.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

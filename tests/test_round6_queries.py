@@ -147,3 +147,142 @@ class TestKmvSetIntersection:
         # per-type top-k must keep k rows per partition pre-shuffle
         assert "WindowGroupLimit" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPivotEventType:
+    def test_totals_match_groupby(self, spark, registry):
+        # the wide row set re-aggregates to the same per-type totals as
+        # the long groupBy — pivot must not drop or double-count
+        wide = q(registry, "pivot_event_type", spark)
+        ev = load_table(spark, SF, "events")
+        long = {
+            r.event_type: r.s
+            for r in ev.groupBy("event_type")
+            .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("s"))
+            .collect()
+        }
+        got = wide.agg(
+            *[F.sum(f"{t}_c").alias(t) for t in long]
+        ).collect()[0]
+        assert {t: got[t] for t in long} == long
+
+    def test_plan_single_aggregate_no_distinct_job(self, spark, registry):
+        # pinned pivot values: ONE hash aggregate on user_id, no second
+        # scan to discover the enum, no python
+        plan = plan_of(q(registry, "pivot_event_type", spark))
+        assert plan.count("FileScan parquet") == 1
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+class TestRangeIntervalWindow:
+    def test_frame_matches_self_join_on_sample(self, spark, registry):
+        # for one user, the RANGE frame equals the brute-force
+        # "events within the trailing hour" self-count
+        out = q(registry, "range_interval_window", spark)
+        ev = load_table(spark, SF, "events").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        )
+        uid = ev.limit(1).collect()[0].user_id
+        mine = ev.where(F.col("user_id") == uid).collect()
+        by_id = {r.event_id: r.ts_us for r in mine}
+        got = {
+            r.event_id: r.n_1h
+            for r in out.where(F.col("user_id") == uid).collect()
+        }
+        for eid, ts in by_id.items():
+            expect = sum(1 for t in by_id.values() if ts - 3_600_000_000 <= t <= ts)
+            assert got[eid] == expect
+
+    def test_plan_one_exchange_one_sort(self, spark, registry):
+        plan = plan_of(q(registry, "range_interval_window", spark))
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+        assert "BatchEvalPython" not in plan
+
+
+class TestLengthQuantileFilter:
+    def test_bounds_are_discrete_order_stats(self, spark, registry):
+        # every survivor sits inside its source's [p5, p95] and the
+        # bounds are actual member values of that source's lengths
+        rows = q(registry, "length_quantile_filter", spark).collect()
+        assert rows
+        docs = load_table(spark, SF, "documents").collect()
+        by_src = {}
+        for d in docs:
+            by_src.setdefault(d.source, []).append(d.n_chars)
+        import math
+
+        for r in rows:
+            assert r.lo_chars <= r.n_chars <= r.hi_chars
+            vals = sorted(by_src[r.source])
+            n = len(vals)
+            assert r.lo_chars == vals[math.ceil(n * 0.05) - 1]
+            assert r.hi_chars == vals[math.ceil(n * 0.95) - 1]
+
+    def test_plan_bounds_broadcast_back(self, spark, registry):
+        plan = plan_of(q(registry, "length_quantile_filter", spark))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestOovRate:
+    def test_vocab_words_score_zero_against_pure_vocab_doc(self, spark, registry):
+        # rate bounds + exact complement: n_oov tokens are exactly the
+        # tokens outside the corpus top-50
+        rows = q(registry, "oov_rate", spark).collect()
+        assert all(0.0 <= r.oov_rate <= 1.0 for r in rows)
+        assert all(r.n_oov <= r.n_tokens for r in rows)
+        docs = load_table(spark, SF, "documents").collect()
+        from collections import Counter
+
+        cnt = Counter()
+        for d in docs:
+            cnt.update(w for w in d.text.split(" ") if w)
+        vocab = {
+            w
+            for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        }
+        by_id = {r.doc_id: r for r in rows}
+        for d in docs[:20]:
+            toks = [w for w in d.text.split(" ") if w]
+            expect = sum(1 for w in toks if w not in vocab)
+            assert by_id[d.doc_id].n_oov == expect
+
+    def test_plan_vocab_broadcast_left_join(self, spark, registry):
+        plan = plan_of(q(registry, "oov_rate", spark))
+        assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestEmbeddingOutliers:
+    def test_topk_matches_numpy_centroid_distance(self, spark, registry):
+        rows = q(registry, "embedding_outliers", spark).collect()
+        import numpy as np
+
+        emb = load_table(spark, SF, "embeddings").collect()
+        by_label = {}
+        for r in emb:
+            by_label.setdefault(r.label, []).append(
+                (r.vec_id, np.floor(np.array(r.embedding, dtype=np.float64) * 1e6 + 0.5) / 1e6)
+            )
+        got = {}
+        for r in rows:
+            got.setdefault(r.label, []).append((r.rank, r.vec_id, r.dist))
+        for label, vecs in by_label.items():
+            c = np.mean([v for _, v in vecs], axis=0)
+            dists = sorted(
+                ((float(np.linalg.norm(v - c)), vid) for vid, v in vecs),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            expect = [vid for _, vid in dists]
+            assert [vid for _, vid, _ in sorted(got[label])] == expect
+            for (rk, vid, d), (ed, evid) in zip(sorted(got[label]), dists):
+                assert abs(d - ed) < 1e-4
+
+    def test_plan_centroid_broadcast_rank_pruned(self, spark, registry):
+        plan = plan_of(q(registry, "embedding_outliers", spark))
+        assert "BroadcastHashJoin" in plan
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
