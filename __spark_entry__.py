@@ -76,6 +76,9 @@ _DRIVER_PRIORITY = (
     "length_quantile_filter",
     "oov_rate",
     "embedding_outliers",
+    "funnel_conversion",
+    "retention_cohorts",
+    "lang_confusion",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

@@ -781,3 +781,64 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+# --- language-ID confusion matrix (round 6) -----------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    sw = _sw_sql()
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), w -> list_contains({arr}, w)))"
+        for lang, arr in sw.items()
+    }
+    return f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE
+               WHEN {score['en']} >= {score['es']} AND {score['en']} >= {score['de']}
+                    AND {score['en']} >= {score['fr']} THEN 'en'
+               WHEN {score['es']} >= {score['de']} AND {score['es']} >= {score['fr']} THEN 'es'
+               WHEN {score['de']} >= {score['fr']} THEN 'de'
+               ELSE 'fr'
+             END AS lang_pred
+      FROM documents
+    )
+    SELECT lang, lang_pred,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                                 AS DOUBLE), 6) AS share
+    FROM pred GROUP BY lang, lang_pred
+    """
+
+
+@register("lang_confusion", _lang_confusion_oracle())
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the generator's
+    ground-truth ``lang`` column against the stopword-vote classifier
+    (`lang_id`), with per-true-language share — the calibration readout
+    that decides whether the cheap classifier is good enough to route
+    documents or a model-based one is needed.
+
+    Scale shape: the classifier is pure column expressions inside the
+    scan stage (no UDF, machine-asserted by the lang_id plan test); the
+    matrix aggregate shuffles |langs|² tiny rows; the share divides
+    counts inside one window over the |matrix|-row result — nothing
+    touches the token stream twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", ta.lang_id(ta.tokenize_ws(F.col("text"))).alias("lang_pred")
+    )
+    n_lang = Window.partitionBy("lang")
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(n_lang).cast("double"), 6
+            ).alias("share"),
+        )
+    )
