@@ -79,6 +79,8 @@ _DRIVER_PRIORITY = (
     "funnel_conversion",
     "retention_cohorts",
     "lang_confusion",
+    "activity_streaks",
+    "rolling_active_users",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

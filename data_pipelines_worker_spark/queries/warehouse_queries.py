@@ -611,3 +611,132 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --- activity streaks: gaps & islands (round 6) --------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+              AS BIGINT) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+"""
+
+
+@register("activity_streaks", _STREAKS_ORACLE)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user: longest run of consecutive active days,
+    number of distinct runs, and total active days — the classic
+    streak/retention feature, computed with the canonical
+    ``day − row_number()`` island key (consecutive days share the
+    difference; any gap shifts it). Days are integer epoch-day indexes —
+    timezone-free, bit-identical on both engines.
+
+    Scale shape: dedup to (user, day) first (map-side combine — the
+    event stream never reaches the window), then ONE user_id exchange
+    serves the row_number sort and both stacked aggregates (islands,
+    then per-user rollup) — Catalyst keeps the partitioning, so three
+    logical steps ride one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / 86_400_000_000.0).cast("long")
+    days = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+# --- rolling distinct actives: DAU / trailing-7-day WAU (round 6) ---------------
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0)
+              AS BIGINT) AS day
+  FROM events
+),
+fanout AS (
+  SELECT user_id, day + i AS target_day, day = day + i AS is_today
+  FROM days, LATERAL unnest(generate_series(0, 6)) AS t(i)
+),
+grid AS (SELECT DISTINCT day FROM days)
+SELECT f.target_day AS day,
+       CAST(count(DISTINCT CASE WHEN f.is_today THEN f.user_id END)
+            AS BIGINT) AS dau,
+       CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau_7d
+FROM fanout f JOIN grid g ON g.day = f.target_day
+GROUP BY f.target_day
+"""
+
+
+@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users (DAU / WAU) — the
+    headline engagement metrics. Exact rolling COUNT DISTINCT cannot ride
+    a window frame (distinct state doesn't merge by subtraction), so both
+    engines use the standard fan-out: each (user, active-day) pair
+    contributes to the 7 target days it covers, and the per-day aggregate
+    counts distinct contributors. Days observed with no grid row (pure
+    future fan-out) are clipped to real days.
+
+    Scale shape: dedup to (user, day) map-side first — the 7× fan-out
+    multiplies the *deduped* activity table, not the raw event stream;
+    the distinct-count aggregate partial-combines per day. At 100 TB the
+    fan-out factor is the window length, a constant — contrast a naive
+    self-join over the day range, which rescans activity per day. The
+    approximate alternative (mergeable HLL registers per day, union over
+    the window) is `hll_registers`; this is the exact path."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / 86_400_000_000.0).cast("long")
+    days = ev.select("user_id", day.alias("day")).distinct()
+    fanout = days.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+            "target_day"
+        ),
+        "day",
+    ).select(
+        "user_id",
+        "target_day",
+        (F.col("day") == F.col("target_day")).alias("is_today"),
+    )
+    grid = days.select("day").distinct()
+    return (
+        fanout.join(
+            F.broadcast(grid),
+            fanout["target_day"] == grid["day"],
+        )
+        .groupBy("target_day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("is_today"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.count_distinct("user_id").cast("long").alias("wau_7d"),
+        )
+        .select(F.col("target_day").alias("day"), "dau", "wau_7d")
+    )

@@ -377,3 +377,61 @@ class TestLangConfusion:
         plan = plan_of(q(registry, "lang_confusion", spark))
         assert "BatchEvalPython" not in plan
         assert plan.count("FileScan parquet") == 1
+
+
+class TestActivityStreaks:
+    def test_streaks_match_bruteforce(self, spark, registry):
+        rows = {r.user_id: r for r in q(registry, "activity_streaks", spark).collect()}
+        ev = load_table(spark, SF, "events").select(
+            "user_id", F.floor(F.unix_micros("ts") / 86_400_000_000.0).alias("day")
+        ).collect()
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r.user_id, set()).add(r.day)
+        for uid, days in by_user.items():
+            ds = sorted(days)
+            runs, cur = [], 1
+            for a, b in zip(ds, ds[1:]):
+                if b == a + 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            r = rows[uid]
+            assert r.longest_streak == max(runs)
+            assert r.n_streaks == len(runs)
+            assert r.n_active_days == len(ds)
+
+    def test_plan_one_user_exchange_serves_window_and_rollups(self, spark, registry):
+        plan = plan_of(q(registry, "activity_streaks", spark))
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+class TestRollingActiveUsers:
+    def test_wau_matches_bruteforce_window(self, spark, registry):
+        rows = {r.day: r for r in q(registry, "rolling_active_users", spark).collect()}
+        ev = load_table(spark, SF, "events").select(
+            "user_id", F.floor(F.unix_micros("ts") / 86_400_000_000.0).alias("day")
+        ).collect()
+        active = {}
+        for r in ev:
+            active.setdefault(r.day, set()).add(r.user_id)
+        for d, users in active.items():
+            week = set()
+            for k in range(7):
+                week |= active.get(d - k, set())
+            assert rows[d].dau == len(users)
+            assert rows[d].wau_7d == len(week)
+        assert set(rows) == set(active)  # future-only fan-out days clipped
+
+    def test_plan_dedup_before_fanout(self, spark, registry):
+        # the 7x explode must sit above the (user, day) distinct, not the
+        # raw scan: assert one distinct aggregate below the generator
+        plan = plan_of(q(registry, "rolling_active_users", spark))
+        assert "BatchEvalPython" not in plan
+        gen = plan.index("Generate explode")
+        agg = plan.index("HashAggregate")
+        assert "FileScan" in plan[gen:]  # generator reads from below
+        assert plan[gen:].count("HashAggregate(keys=[user_id") >= 1
