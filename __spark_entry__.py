@@ -76,8 +76,6 @@ _DRIVER_PRIORITY = (
     "length_quantile_filter",
     "oov_rate",
     "embedding_outliers",
-    "funnel_conversion",
-    "retention_cohorts",
     "lang_confusion",
     "activity_streaks",
     "rolling_active_users",

@@ -365,7 +365,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list (no extra pass to discover values —
-    at 100 TB the implicit-distinct pivot is a full extra job)."""
+    at 100 TB the implicit-distinct pivot is a full extra job). Exercises
+    the `RelationalGroupedDataset.pivot` API surface; its `pivotfirst`
+    plan costs a second exchange — see `pivot_event_type` for the
+    conditional-aggregation form that pivots values in one."""
     ev = load_table(spark, sf_dir, "events")
     kinds = ["click", "view", "purchase", "signup", "error"]
     df = (
@@ -1138,7 +1141,9 @@ def q_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiles to TWO aggregates ((user_id, event_type) pre-sum, then a
     `pivotfirst` re-shuffle on user_id) — double the exchanges for the
     same wide rows; with the enum pinned, conditional aggregation is the
-    strictly better plan at scale. Money rides as exact integer cents."""
+    strictly better plan at scale. Money rides as exact integer cents.
+    `pivot_event_counts` keeps the `.pivot()` API form for the count
+    variant — the pair documents the API-vs-plan trade."""
     ev = load_table(spark, sf_dir, "events")
     v_c = cents(F.col("value"))
     return (

@@ -471,148 +471,6 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ordered funnel conversion (round 6) --------------------------------------
-
-_FUNNEL_ORACLE = """
-WITH e AS (
-  SELECT user_id, event_type,
-         CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
-  FROM events
-),
-u AS (
-  SELECT user_id, t1, t2, t3 FROM (
-    SELECT DISTINCT user_id,
-      min(CASE WHEN event_type = 'view' THEN ts_us END)
-        OVER (PARTITION BY user_id) AS t1,
-      min(CASE WHEN event_type = 'click' THEN ts_us END)
-        OVER (PARTITION BY user_id) AS t2x,
-      min(CASE WHEN event_type = 'purchase' THEN ts_us END)
-        OVER (PARTITION BY user_id) AS t3x
-    FROM e
-  ) raw,
-  LATERAL (SELECT
-    CASE WHEN raw.t2x > raw.t1 THEN raw.t2x END AS t2,
-    CASE WHEN raw.t3x > raw.t2x AND raw.t2x > raw.t1 THEN raw.t3x END AS t3)
-)
-SELECT step, n_users, round(n_users / CAST(base AS DOUBLE), 6) AS conversion
-FROM (
-  SELECT 1 AS step, CAST(count(t1) AS BIGINT) AS n_users,
-         count(t1) AS base FROM u
-  UNION ALL
-  SELECT 2, CAST(count(t2) AS BIGINT), (SELECT count(t1) FROM u) FROM u
-  UNION ALL
-  SELECT 3, CAST(count(t3) AS BIGINT), (SELECT count(t1) FROM u) FROM u
-)
-"""
-
-
-@register("funnel_conversion", _FUNNEL_ORACLE)
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel: a user advances to a step only
-    if its *first* event of that type happens strictly after the first
-    event of the previous step (the product-analytics definition — a
-    purchase before ever viewing doesn't convert the funnel). Emits one
-    row per step with user count and conversion vs step 1.
-
-    Simplification used by both engines: with per-type first-times
-    t_view/t_click/t_purchase, "ordered completion" is t_view < t_click <
-    t_purchase — for the 3-step strictly-ordered funnel over first
-    occurrences this equals the sequential-scan definition, and it needs
-    only ONE pass: per-user conditional mins (one user_id exchange, all
-    three as window states over the same sort-free partition), then a
-    3-row rollup. At 100 TB: no per-user event history is ever
-    materialized — three longs per user leave the first aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
-    )
-    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts_us")))
-    u = e.groupBy("user_id").agg(
-        first("view").alias("t1"),
-        first("click").alias("t2x"),
-        first("purchase").alias("t3x"),
-    ).select(
-        "t1",
-        F.when(F.col("t2x") > F.col("t1"), F.col("t2x")).alias("t2"),
-        F.when(
-            (F.col("t3x") > F.col("t2x")) & (F.col("t2x") > F.col("t1")),
-            F.col("t3x"),
-        ).alias("t3"),
-    )
-    counts = u.agg(
-        F.count("t1").alias("n1"),
-        F.count("t2").alias("n2"),
-        F.count("t3").alias("n3"),
-    )
-    rows = counts.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit(1).alias("step"), F.col("n1").alias("n_users")),
-                F.struct(F.lit(2).alias("step"), F.col("n2").alias("n_users")),
-                F.struct(F.lit(3).alias("step"), F.col("n3").alias("n_users")),
-            )
-        ).alias("s"),
-        F.col("n1"),
-    )
-    return rows.select(
-        F.col("s.step").cast("int").alias("step"),
-        F.col("s.n_users").cast("long").alias("n_users"),
-        F.round(F.col("s.n_users") / F.col("n1").cast("double"), 6).alias(
-            "conversion"
-        ),
-    )
-
-
-# --- weekly retention cohorts (round 6) ---------------------------------------
-
-_RETENTION_ORACLE = """
-WITH e AS (
-  SELECT user_id,
-         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000.0)
-              AS BIGINT) AS wk
-  FROM events
-),
-c AS (
-  SELECT user_id, wk,
-         min(wk) OVER (PARTITION BY user_id) AS cohort_wk
-  FROM e
-)
-SELECT cohort_wk, CAST(wk - cohort_wk AS BIGINT) AS week_offset,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM c
-GROUP BY cohort_wk, wk
-"""
-
-
-@register("retention_cohorts", _RETENTION_ORACLE)
-def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention triangle: users grouped by first-activity week
-    (cohort), counted in each subsequent week they return — the
-    engagement table every growth dashboard is built on. Weeks are
-    integer epoch-week indexes (floor of epoch-micros / one week), so
-    the bucketing is timezone-free and bit-identical across engines.
-
-    Scale shape: one user_id exchange assigns cohorts (min-over-partition
-    window — no sort needed for an unbounded-frame min), then one
-    (cohort, week) exchange with map-side-combined distinct counting.
-    Cohort keys are small integers; skew is bounded by launch-week
-    spikes, which AQE splits."""
-    ev = load_table(spark, sf_dir, "events")
-    wk = F.floor(F.unix_micros(F.col("ts")) / 604_800_000_000.0).cast("long")
-    e = ev.select("user_id", wk.alias("wk"))
-    w = Window.partitionBy("user_id")
-    c = e.select("user_id", "wk", F.min("wk").over(w).alias("cohort_wk"))
-    return (
-        c.groupBy("cohort_wk", "wk")
-        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
-        .select(
-            "cohort_wk",
-            (F.col("wk") - F.col("cohort_wk")).cast("long").alias("week_offset"),
-            "n_users",
-        )
-    )
-
-
 # --- activity streaks: gaps & islands (round 6) --------------------------------
 
 _STREAKS_ORACLE = """

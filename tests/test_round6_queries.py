@@ -288,67 +288,6 @@ class TestEmbeddingOutliers:
         assert "BatchEvalPython" not in plan
 
 
-class TestFunnelConversion:
-    def test_ordered_semantics_vs_bruteforce(self, spark, registry):
-        rows = {r.step: r for r in q(registry, "funnel_conversion", spark).collect()}
-        assert set(rows) == {1, 2, 3}
-        ev = load_table(spark, SF, "events").select(
-            "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
-        ).collect()
-        firsts = {}
-        for r in ev:
-            d = firsts.setdefault(r.user_id, {})
-            if r.event_type not in d or r.ts_us < d[r.event_type]:
-                d[r.event_type] = r.ts_us
-        n1 = sum(1 for d in firsts.values() if "view" in d)
-        n2 = sum(
-            1
-            for d in firsts.values()
-            if "view" in d and "click" in d and d["click"] > d["view"]
-        )
-        n3 = sum(
-            1
-            for d in firsts.values()
-            if "view" in d
-            and "click" in d
-            and "purchase" in d
-            and d["view"] < d["click"] < d["purchase"]
-        )
-        assert (rows[1].n_users, rows[2].n_users, rows[3].n_users) == (n1, n2, n3)
-        assert rows[1].conversion == 1.0
-        assert rows[2].n_users >= rows[3].n_users
-
-    def test_plan_single_user_exchange_no_python(self, spark, registry):
-        plan = plan_of(q(registry, "funnel_conversion", spark))
-        assert plan.count("Exchange hashpartitioning(user_id") == 1
-        assert "BatchEvalPython" not in plan
-        assert plan.count("FileScan parquet") == 1
-
-
-class TestRetentionCohorts:
-    def test_triangle_shape_and_week0_totals(self, spark, registry):
-        rows = q(registry, "retention_cohorts", spark).collect()
-        assert rows
-        assert all(r.week_offset >= 0 for r in rows)
-        # every user appears in their cohort's week 0 row
-        ev = load_table(spark, SF, "events").select(
-            "user_id", F.floor(F.unix_micros("ts") / 604_800_000_000.0).alias("wk")
-        ).collect()
-        first = {}
-        for r in ev:
-            first[r.user_id] = min(first.get(r.user_id, r.wk), r.wk)
-        from collections import Counter
-
-        week0 = Counter(first.values())
-        got0 = {r.cohort_wk: r.n_users for r in rows if r.week_offset == 0}
-        assert got0 == dict(week0)
-
-    def test_plan_no_python_two_exchanges_max(self, spark, registry):
-        plan = plan_of(q(registry, "retention_cohorts", spark))
-        assert "BatchEvalPython" not in plan
-        assert plan.count("Exchange") <= 3  # user_id window + distinct expand
-
-
 class TestLangConfusion:
     def test_diagonal_dominates_and_shares_sum_to_one(self, spark, registry):
         rows = q(registry, "lang_confusion", spark).collect()

@@ -70,6 +70,17 @@ HEADLINERS = {
     "session_window_stats": "native session_window merging aggregate, one user-keyed exchange",
     "gopher_quality_rules": "five rule booleans in one shuffle-free codegen projection",
     "c4_line_filters": "line explode → codegen booleans → one doc-keyed partial agg",
+    "containment_dedup": "exact-collapse → capped candidates → full-set verify → member lift",
+    "shingle_novelty": "long-keyed min-per-shingle agg, two shuffles, map-side combine",
+    "top_p_selection": "one source-keyed exchange reused by both windows, single scan",
+    "pivot_event_type": "one conditional aggregate (not pivotfirst's two exchanges)",
+    "range_interval_window": "trailing-1h RANGE frame, one exchange + sort",
+    "length_quantile_filter": "rank-window order stats, |sources|-row bounds broadcast back",
+    "oov_rate": "two-phase vocab heavy-hitters, broadcast LEFT join over tokens",
+    "embedding_outliers": "posexplode → centroid agg broadcast back → WindowGroupLimit top-5",
+    "lang_confusion": "classifier in scan stage, |langs|² matrix agg + share window",
+    "activity_streaks": "(user, day) dedup below the island window, one user exchange",
+    "rolling_active_users": "dedup-then-fanout ×7, distinct partial-combine per day",
 }
 
 
