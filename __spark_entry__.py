@@ -35,12 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # events.value bits, orders priority), the four standing probes, and
 # the five rows red r02–r05 whose oracle SQL returned DuckDB HUGEINT/
 # DECIMAL columns (diagnosis + fix: queries/probe_queries.py module
-# docstring, tests/test_oracle_type_parity.py). Slots 14–21 are the
-# eight new r06 queries (never driver-checked). Slots 22–50 are the
-# staleness rotation: the family whose last driver hash-check was r03
-# (asof_join, date_functions, q1/q3/q5/q6/q14/q18, sessionization,
-# set_ops, …), oldest-first, so no query's driver check ages past two
-# rounds. The r04/r05-green families cycle behind; the committed
+# docstring, tests/test_oracle_type_parity.py). Slots 14–34 are the
+# twenty-one r06 queries (never driver-checked): the nine early-round
+# additions (entity resolution … corpus_snapshot_diff) plus the twelve
+# late-round ones (containment/novelty/top-p, pivot, range window,
+# quantile gate, oov, outliers, confusion, streaks, DAU/WAU). Slots
+# 35–50 take the r03-stale family oldest-first (asof_join,
+# date_functions, q1/q3/q5/q6/q14/q18, sessionization, set_ops,
+# agg_distinct, the ann_cosine trio, ass_time_format,
+# bpe_train_merges); the remainder of that family leads the r07 list
+# so no query's driver check ages past two rounds. The r04/r05-green families cycle behind; the committed
 # tools/check_oracle.py runs (ORACLE_LOCAL/_EDGE: full registry,
 # 0 failures) remain the auditable backstop for the dropped tail.
 _DRIVER_PRIORITY = (
