@@ -382,3 +382,104 @@ class TestAnomalyMomentIdentity:
         col = sum((F.size(ws) - F.size(F.array_remove(ws, w))) for w in sw)
         got = df.select(col.alias("c")).collect()[0].c
         assert got == sum(1 for w in words if w in sw)
+
+
+class TestRound6KernelProperties:
+    """Model-based checks for the round-6 containment/novelty kernels.
+    Texts are sampled from a small pool so byte-identical duplicates are
+    common — the exact-collapse layer is exercised, not just the
+    unique-text fast path."""
+
+    # a handful of base word-soups; lists sample WITH repetition so the
+    # same text appears under several doc ids
+    _POOL = [
+        "a b c d e f g",
+        "a b c d",
+        "x y z w v",
+        "a b c d e f g h i j",
+        "p q r",
+        "x y z",
+    ]
+    TEXTS = st.lists(st.sampled_from(_POOL), min_size=1, max_size=10)
+
+    @staticmethod
+    def _shingles(text: str, k: int = 3) -> frozenset:
+        ws = text.split(" ")
+        return frozenset(
+            " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+        )
+
+    @SPARK_FAST
+    @given(texts=TEXTS)
+    def test_containment_matches_python_model(self, spark, texts):
+        from data_pipelines_worker_spark.operators import dedup
+        from data_pipelines_worker_spark.session import local_df
+
+        thr = 0.8
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = local_df(spark, rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["container_id"], r["containment"])
+            for r in dedup.containment_pairs(df, "doc_id", "text", thr).collect()
+        }
+
+        # model: exact-collapse to min-id rep, rep-level containment over
+        # full shingle sets (the df-cap floor of 50 never binds at this
+        # size), argmax (c desc, container asc), then the member lift
+        reps: dict[str, int] = {}
+        for i, t in rows:
+            reps[t] = min(reps.get(t, i), i)
+        sh = {
+            i: self._shingles(t)
+            for t, i in reps.items()
+            if len(t.split(" ")) >= 3
+        }
+        want: dict[int, tuple[int, float]] = {}
+        for a, sa in sh.items():
+            best = None
+            for b, sb in sh.items():
+                if b == a:
+                    continue
+                bigger = len(sb) > len(sa) or (len(sb) == len(sa) and b < a)
+                if not (bigger and (sa & sb)):
+                    continue
+                c = len(sa & sb) / len(sa)
+                if c >= thr and (
+                    best is None or (-c, b) < (-best[1], best[0])
+                ):
+                    best = (b, c)
+            if best is not None:
+                want[a] = (best[0], round(best[1], 6))
+        for i, t in rows:
+            r = reps[t]
+            if r != i and r in sh:
+                want[i] = (r, 1.0)
+        assert got == want
+
+    @SPARK_FAST
+    @given(texts=TEXTS)
+    def test_shingle_novelty_matches_python_model(self, spark, texts):
+        from data_pipelines_worker_spark.operators import dedup
+        from data_pipelines_worker_spark.session import local_df
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = local_df(spark, rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+            for r in dedup.shingle_novelty(df, "doc_id", "text").collect()
+        }
+
+        sh = {
+            i: self._shingles(t)
+            for i, t in rows
+            if len(t.split(" ")) >= 3
+        }
+        first: dict[str, int] = {}
+        for i in sorted(sh):
+            for s in sh[i]:
+                first.setdefault(s, i)
+        want = {}
+        for i, ss in sh.items():
+            novel = sum(1 for s in ss if first[s] == i)
+            want[i] = (len(ss), novel, round(novel / len(ss), 6))
+        assert got == want
