@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = (
     "lang_confusion",
     "activity_streaks",
     "rolling_active_users",
+    "ks_drift_check",
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

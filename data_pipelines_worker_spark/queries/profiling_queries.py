@@ -313,3 +313,102 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ref_l)
         .select("r.check_name", "r.n_checked", "r.n_violations")
     )
+
+
+# --- two-sample KS drift check (round 6) ---------------------------------------
+
+_KS_ORACLE = """
+WITH e AS (
+  SELECT event_type, value,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, value,
+         CAST(sum(is_a) AS BIGINT) AS a,
+         CAST(sum(1 - is_a) AS BIGINT) AS b
+  FROM e GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type,
+         CAST(sum(a) OVER wv AS BIGINT) AS cum_a,
+         CAST(sum(b) OVER wv AS BIGINT) AS cum_b,
+         CAST(sum(a) OVER wt AS BIGINT) AS n_a,
+         CAST(sum(b) OVER wt AS BIGINT) AS n_b
+  FROM g
+  WINDOW wv AS (PARTITION BY event_type ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)
+)
+SELECT event_type, n_a, n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+       CASE WHEN n_a * n_b > 0
+            THEN round(max(abs(cum_a * n_b - cum_b * n_a))
+                       / CAST(n_a * n_b AS DOUBLE), 6)
+       END AS ks
+FROM c GROUP BY event_type, n_a, n_b
+"""
+
+
+@register("ks_drift_check", _KS_ORACLE)
+def q_ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check per event type: the KS
+    statistic ``max_v |ECDF_A(v) − ECDF_B(v)|`` between the even- and
+    odd-user populations — the standard "did this segment's value
+    distribution shift" gate a data-quality pipeline runs between
+    cohorts, releases, or time slices (swap the parity split for the
+    cohort of interest). The statistic is computed in *integer* form —
+    ``max |cum_a·n_b − cum_b·n_a|`` over the merged value grid, divided
+    once at the end — so both engines agree bit-exactly; exactness holds
+    while n_a·n_b < 2⁶³ (≈3·10⁹ rows per side); beyond that, run it on
+    the deterministic-hash sample (`stratified_sample`) first.
+
+    Scale shape: one (type, value) aggregate collapses the stream to
+    the distinct-value grid, then ONE event_type exchange serves the
+    value-ordered cumulative window, the per-type totals window, AND
+    the final max aggregate — two exchanges total, state O(distinct
+    values). Nothing sorts the raw stream; ECDFs are never
+    materialized per event."""
+    ev = load_table(spark, sf_dir, "events")
+    is_a = F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+    g = (
+        # NULL values carry no ECDF position — excluded on both engines
+        # (also dodges the Spark-NULLS-FIRST vs DuckDB-NULLS-LAST window
+        # order divergence an unfiltered cumsum would hit)
+        ev.where(F.col("value").isNotNull())
+        .select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("is_a").cast("long").alias("a"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("b"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wv = wt.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "event_type",
+        F.sum("a").over(wv).cast("long").alias("cum_a"),
+        F.sum("b").over(wv).cast("long").alias("cum_b"),
+        F.sum("a").over(wt).cast("long").alias("n_a"),
+        F.sum("b").over(wt).cast("long").alias("n_b"),
+    )
+    diff = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return (
+        c.groupBy("event_type", "n_a", "n_b")
+        .agg(F.max(diff).cast("long").alias("ks_num"))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.when(
+                F.col("n_a") * F.col("n_b") > 0,
+                F.round(
+                    F.col("ks_num")
+                    / (F.col("n_a") * F.col("n_b")).cast("double"),
+                    6,
+                ),
+            ).alias("ks"),
+        )
+    )

@@ -81,6 +81,7 @@ HEADLINERS = {
     "lang_confusion": "classifier in scan stage, |langs|² matrix agg + share window",
     "activity_streaks": "(user, day) dedup below the island window, one user exchange",
     "rolling_active_users": "dedup-then-fanout ×7, distinct partial-combine per day",
+    "ks_drift_check": "value-grid collapse, one type-keyed exchange serves cumsum+totals+max",
 }
 
 
