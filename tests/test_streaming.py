@@ -1009,3 +1009,74 @@ def test_session_window_break_definition_matches_sessionizer(spark, sf_dir):
         .collect()
     }
     assert native == lag
+
+
+def test_streaming_drift_histograms_match_batch_and_bound_exact_ks(
+    spark, tmp_path, sf_dir
+):
+    # stateful half: the streamed (window, type, bin) histogram equals
+    # batch bucketing bit-for-bit (counts are additive); analytic half:
+    # binned KS from the shared step is a lower bound of the exact
+    # per-type KS the registered batch query computes over the full grid
+    from data_pipelines_worker_spark.queries import load_all
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.drift import (
+        binned_population_counts,
+        ks_from_binned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
+
+    src = tmp_path / "drift_stream"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double, user_id long"
+    ).parquet(str(src))
+    q = (
+        binned_population_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_hist")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.bucket_hour, r.bin): (r.a, r.b)
+            for r in spark.table("drift_hist").collect()
+        }
+        want = {
+            (r.event_type, r.bucket_hour, r.bin): (r.a, r.b)
+            for r in binned_population_counts(ev).collect()
+        }
+        assert got  # append mode emitted the watermark-closed windows
+        for k, v in got.items():
+            assert want[k] == v
+        missing = set(want) - set(got)
+        max_hour = max(h for _, h, _ in want)
+        assert all(h >= max_hour - 2 for _, h, _ in missing)  # 2 h watermark
+    finally:
+        q.stop()
+
+    # binned KS (whole table as one window: bucket the full frame) is a
+    # lower bound of the exact registered statistic per event_type
+    whole = binned_population_counts(
+        ev.withColumn("ts", F.lit("2020-01-01 00:00:00").cast("timestamp"))
+    )
+    binned = {
+        r.event_type: (r.ks_num, r.n_a, r.n_b)
+        for r in ks_from_binned(whole).collect()
+    }
+    exact_fn, _ = load_all()["ks_drift_check"]
+    exact = {
+        r.event_type: (r.ks_num, r.n_a, r.n_b)
+        for r in exact_fn(spark, sf_dir).collect()
+    }
+    assert set(binned) == set(exact)
+    for et, (kb, na, nb) in binned.items():
+        ke, ena, enb = exact[et]
+        assert (na, nb) == (ena, enb)  # same populations
+        assert kb <= ke  # coarsening never raises the statistic
+        assert kb >= 0
