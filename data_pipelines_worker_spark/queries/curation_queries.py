@@ -938,8 +938,13 @@ def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n·0.05`` is one correctly-rounded IEEE multiply on both sides.
 
     Scale shape: one exchange on source ranks each source's docs; the
-    bounds table collapses to |sources| rows and broadcasts back —
-    nothing quadratic, no driver collect, no full sort. Contrast with
+    bounds table collapses to |sources| rows and joins back — nothing
+    quadratic, no driver collect, no full sort. The join strategy is
+    deliberately LEFT TO CATALYST (no broadcast hint): at test scale the
+    size estimate picks BroadcastHashJoin (plan-asserted); at web scale
+    (10M+ hosts) a forced broadcast of the bounds table would OOM the
+    driver, while the planner's fallback SMJ is already co-partitioned
+    on source by the rank window's exchange. Contrast with
     percentile_approx: this is exact, and the rank window is the same
     shuffle the approx version would need anyway."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -958,6 +963,6 @@ def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rk") == lo_rk, F.col("n_chars"))).alias("lo_chars"),
         F.min(F.when(F.col("rk") == hi_rk, F.col("n_chars"))).alias("hi_chars"),
     )
-    return docs.join(F.broadcast(bounds), "source").where(
+    return docs.join(bounds, "source").where(
         F.col("n_chars").between(F.col("lo_chars"), F.col("hi_chars"))
     ).select("doc_id", "source", "n_chars", "lo_chars", "hi_chars")
