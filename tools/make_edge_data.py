@@ -47,6 +47,15 @@ EDGE_DOCS = [
     ),
     (9007, "### ### ### to the of and...", "en", "src_edge", 28),
     (9008, "one two three four.\n\nsix seven eight nine ten?", "en", "src_edge", 46),
+    # round-6 quantile/containment edges: a source whose lengths are ALL
+    # identical (discrete p5 = p95 — the degenerate-bounds case of
+    # length_quantile_filter, which must keep every doc), including two
+    # byte-identical texts (exact-collapse inside the degenerate source),
+    # and a single-document source (rank 1 is both bounds).
+    (9010, "aa bb cc dd", "en", "src_same", 11),
+    (9011, "ee ff gg hh", "en", "src_same", 11),
+    (9012, "ee ff gg hh", "en", "src_same", 11),  # byte-identical to 9011
+    (9013, "lonely single document here", "en", "src_solo", 27),
 ]
 
 # half-cent doubles whose shortest decimal repr sits on .xx5 — the class
@@ -94,7 +103,20 @@ def main() -> None:
         f"(99004, TIMESTAMP '2024-03-01 00:00:01', 9002, 'view',"
         f" {FULL_MANTISSA[0]!r}, '{{}}'),"
         f"(99005, TIMESTAMP '2024-03-01 00:00:02', 9002, 'click',"
-        f" {FULL_MANTISSA[4]!r}, '{{}}')"
+        f" {FULL_MANTISSA[4]!r}, '{{}}'),"
+        # round-6 KS edge: an event_type whose population is entirely
+        # even-user (n_b = 0) — ks_drift_check must emit NULL ks on both
+        # engines instead of dividing by zero
+        "(99006, TIMESTAMP '2024-03-02 00:00:00', 9002, 'edge_onesided',"
+        " 1.5, '{}'),"
+        "(99007, TIMESTAMP '2024-03-02 01:00:00', 9004, 'edge_onesided',"
+        " 2.5, '{}'),"
+        # round-6 streak edges: user 9005 active on exactly consecutive
+        # days (one unbroken island), user 9007 once (streak of 1)
+        "(99008, TIMESTAMP '2024-04-01 12:00:00', 9005, 'view', 1.0, '{}'),"
+        "(99009, TIMESTAMP '2024-04-02 12:00:00', 9005, 'view', 1.0, '{}'),"
+        "(99010, TIMESTAMP '2024-04-03 12:00:00', 9005, 'view', 1.0, '{}'),"
+        "(99011, TIMESTAMP '2024-04-10 09:00:00', 9007, 'view', 1.0, '{}')"
     )
     con.sql(f"COPY e TO '{out}/events.parquet'")
 
