@@ -84,6 +84,9 @@ _DRIVER_PRIORITY = (
     "activity_streaks",
     "rolling_active_users",
     "ks_drift_check",
+    "zorder_layout",  # late-r06: Z-order vs natural layout manifest
+    "bootstrap_ci",  # late-r06: one-pass Poisson bootstrap
+    "lsh_parameter_sweep",  # late-r06: banding S-curve tuning table
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

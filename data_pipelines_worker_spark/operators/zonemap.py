@@ -53,3 +53,31 @@ def range_scan_flags(maps: DataFrame, name: str, lo, hi) -> DataFrame:
         "would_scan",
         F.when(skippable, F.lit(0)).otherwise(F.lit(1)).cast("int"),
     )
+
+
+def zorder_key(x: Column, y: Column, bits: int) -> Column:
+    """Morton/Z-order interleave of two non-negative ``bits``-wide integer
+    keys: bit i of ``x`` lands at position 2i, bit i of ``y`` at 2i+1.
+
+    This is the clustering key behind multi-dimensional file layout
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``): sorting by the interleaved key
+    makes file min/max envelopes tight in BOTH dimensions at once, so a
+    box predicate prunes multiplicatively instead of on one axis only.
+    Pure shift/mask/add integer arithmetic — exact on any engine; the
+    terms occupy disjoint bit positions, so ``+`` is exactly ``|``."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def zorder_key_sql(x: str, y: str, bits: int) -> str:
+    """The DuckDB twin of :func:`zorder_key`, generated from the same loop
+    so the two expressions can never drift."""
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return "(" + " + ".join(terms) + ")"

@@ -520,3 +520,237 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     and syndication router. See :func:`..operators.dedup.shingle_novelty`."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.shingle_novelty(docs, "doc_id", "text", k=3)
+
+
+# --- LSH banding parameter sweep (round 6, late) ------------------------------
+
+#: (bands, rows_per_band) grid, all slicing the same 64-permutation
+#: signature. The S-curve P(candidate) = 1 - (1 - J^r)^b steepens with r:
+#: 32x2 is the high-recall/high-noise end, 4x16 the precision end.
+_SWEEP_CONFIGS = ((32, 2), (16, 4), (8, 8), (4, 16))
+
+
+def _sweep_oracle() -> str:
+    from ..operators.dedup import MERSENNE, N_PERM, PERM_A, PERM_B
+
+    mins = ",\n             ".join(
+        f"min((h * {PERM_A[i]} + {PERM_B[i]}) % {MERSENNE}) AS m{i}"
+        for i in range(N_PERM)
+    )
+    band_selects = []
+    for b, r in _SWEEP_CONFIGS:
+        for i in range(b):
+            key = ", ".join(f"m{i * r + j}" for j in range(r))
+            band_selects.append(
+                f"SELECT doc, {b} AS bands, {i} AS band,"
+                f" concat_ws(',', {key}) AS bkey FROM sig"
+            )
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    configs = ", ".join(f"({b}, {r})" for b, r in _SWEEP_CONFIGS)
+    return f"""
+    WITH grp AS (SELECT doc_id AS doc, md5(text) AS gid FROM documents),
+    rep AS (SELECT min(doc) AS doc FROM grp GROUP BY gid),
+    d AS (
+      SELECT doc_id AS doc,
+             list_distinct([
+               (CAST(concat('0x', substr(md5(words[i] || ' ' || words[i+1]
+                                          || ' ' || words[i+2]), 1, 15))
+                     AS BIGINT)) % {MERSENNE}
+               for i in generate_series(1, len(words) - 2)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE doc_id IN (SELECT doc FROM rep))
+      WHERE len(words) >= 3
+    ),
+    inv AS (SELECT doc, unnest(sh) AS h FROM d),
+    sig AS (
+      SELECT doc,
+             {mins}
+      FROM inv GROUP BY doc
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.bands, a.doc AS d1, c.doc AS d2
+      FROM bands a JOIN bands c
+        ON a.bands = c.bands AND a.band = c.band AND a.bkey = c.bkey
+       AND a.doc < c.doc
+    ),
+    common AS (
+      SELECT a.doc AS d1, c.doc AS d2, CAST(count(*) AS BIGINT) AS nc
+      FROM inv a JOIN inv c ON a.h = c.h AND a.doc < c.doc
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT d1, d2
+      FROM common JOIN d da ON da.doc = d1 JOIN d db ON db.doc = d2
+      WHERE 3 * nc >= len(da.sh) + len(db.sh)
+    ),
+    per_cfg AS (
+      SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_caught
+      FROM cand LEFT JOIN truth t USING (d1, d2)
+      GROUP BY bands
+    ),
+    n_true AS (SELECT CAST(count(*) AS BIGINT) AS v FROM truth)
+    SELECT cfg.bands, cfg.rows_per_band,
+           COALESCE(p.n_candidates, 0) AS n_candidates,
+           (SELECT v FROM n_true) AS n_true,
+           COALESCE(p.n_caught, 0) AS n_caught,
+           (SELECT v FROM n_true) - COALESCE(p.n_caught, 0) AS n_missed
+    FROM (VALUES {configs}) AS cfg(bands, rows_per_band)
+    LEFT JOIN per_cfg p ON p.bands = cfg.bands
+    """
+
+
+@register("lsh_parameter_sweep", _sweep_oracle())
+def q_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding sweep: the measured S-curve that picks (bands,
+    rows-per-band) before committing a config at corpus scale.
+
+    All four configs slice the SAME 64-permutation signature (computed
+    once), so the sweep costs one signature pass plus one bucket
+    self-join over docs x 60 band rows. Per config the query reports the
+    candidate-pair count, the true J >= 1/2 pair count (exact, shared
+    across configs), how many true pairs the banding caught, and how
+    many it missed — recall rises and precision falls as bands go
+    32x2 -> 4x16, exactly the 1-(1-J^r)^b trade. Signatures ride an
+    engine-portable shingle hash (md5 hex folded to 60 bits, reduced mod
+    2^31-1) so the oracle reproduces every minimum bit-for-bit
+    (operators/dedup.py:minhash_signature is the xxhash64 production
+    twin; reference behavior: firewut/data-pipelines-worker has no LSH —
+    this is a beyond-reference scale operator).
+
+    Scale shape: signatures partial-aggregate map-side (64 mins per
+    doc); the band fan-out is docs x 60 rows of (config, band, 8-byte-ish
+    key) — never bodies; candidate generation is an equi-join on
+    (config, band, key); truth verification is the standard
+    inverted-index intersection count, exact-collapsed to unique texts.
+    At 100 TB one runs this sweep on a sampled slice to choose the
+    config, then the chosen (b, r) drives dedup_minhash_lsh.
+    """
+    from ..operators.dedup import MERSENNE, N_PERM, PERM_A, PERM_B
+    from ..session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        docs.groupBy(F.md5("text").alias("gid"))
+        .agg(F.min("doc_id").alias("doc"))
+        .select("doc")
+    )
+    base = docs.join(reps, docs["doc_id"] == reps["doc"], "left_semi")
+    words = F.split(F.col("text"), " ", -1)
+    wpos = base.where(F.size(words) >= 3).select(
+        F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"),
+        F.lit(MERSENNE),
+    )
+    inv = (
+        wpos.select(
+            "doc", F.lead("w", 2).over(win).alias("_last"), h.alias("h")
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc", "h")
+        .distinct()
+    )
+    sig = inv.groupBy("doc").agg(
+        *[
+            F.min(F.pmod(F.col("h") * PERM_A[i] + PERM_B[i], F.lit(MERSENNE))).alias(
+                f"m{i}"
+            )
+            for i in range(N_PERM)
+        ]
+    )
+    band_structs = []
+    for b, r in _SWEEP_CONFIGS:
+        for i in range(b):
+            key = F.concat_ws(
+                ",", *[F.col(f"m{i * r + j}") for j in range(r)]
+            )
+            band_structs.append(
+                F.struct(
+                    F.lit(b).cast("long").alias("bands"),
+                    F.lit(i).cast("long").alias("band"),
+                    key.alias("bkey"),
+                )
+            )
+    bands = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("s")
+    ).select("doc", "s.bands", "s.band", "s.bkey")
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.bands") == F.col("c.bands"))
+            & (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bkey") == F.col("c.bkey"))
+            & (F.col("a.doc") < F.col("c.doc")),
+        )
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc").alias("d1"),
+            F.col("c.doc").alias("d2"),
+        )
+        .distinct()
+    )
+    ia, ic = inv.alias("ia"), inv.alias("ic")
+    common = (
+        ia.join(
+            ic,
+            (F.col("ia.h") == F.col("ic.h"))
+            & (F.col("ia.doc") < F.col("ic.doc")),
+        )
+        .groupBy(F.col("ia.doc").alias("d1"), F.col("ic.doc").alias("d2"))
+        .agg(F.count("*").cast("long").alias("nc"))
+    )
+    sizes = inv.groupBy("doc").agg(F.count("*").cast("long").alias("n"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    truth = (
+        common.join(sa, F.col("d1") == F.col("sa.doc"))
+        .join(sb, F.col("d2") == F.col("sb.doc"))
+        .where(3 * F.col("nc") >= F.col("sa.n") + F.col("sb.n"))
+        .select("d1", "d2")
+    )
+    per_cfg = (
+        cand.join(truth.withColumn("_t", F.lit(1)), ["d1", "d2"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias(
+                "n_caught"
+            ),
+        )
+    )
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    cfg = local_df(
+        spark,
+        [(b, r) for b, r in _SWEEP_CONFIGS],
+        "bands long, rows_per_band long",
+    )
+    return (
+        cfg.join(F.broadcast(per_cfg), "bands", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.col("n_true").cast("long"),
+            F.coalesce(F.col("n_caught"), F.lit(0)).cast("long").alias(
+                "n_caught"
+            ),
+            (F.col("n_true") - F.coalesce(F.col("n_caught"), F.lit(0)))
+            .cast("long")
+            .alias("n_missed"),
+        )
+    )

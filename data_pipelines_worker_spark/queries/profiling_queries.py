@@ -412,3 +412,173 @@ def q_ks_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+# --- one-pass Poisson bootstrap (round 6, late) -------------------------------
+
+#: Replicates per group. The fan-out multiplies scan rows by R inside the
+#: scan stage; the shuffle carries |event_types| x R partial rows.
+_BOOT_R = 16
+
+#: Poisson(1) inverse-CDF thresholds scaled to the avalanche-hash range
+#: [0, 2^31-1): P(X<=k) for k = 0..4; weights above the last are 5.
+#: Computed once here and embedded as literals in BOTH engines' plans.
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _bootstrap_oracle() -> str:
+    from .sketch_queries import _hll_mix_sql
+    from ..operators.text_analysis import MOD
+
+    t = [int(c * MOD) for c in _POIS_CUM]
+    h = _hll_mix_sql(f"(event_id * {_BOOT_R} + r + 1)")
+    w = (
+        f"CASE WHEN {h} < {t[0]} THEN 0 WHEN {h} < {t[1]} THEN 1 "
+        f"WHEN {h} < {t[2]} THEN 2 WHEN {h} < {t[3]} THEN 3 "
+        f"WHEN {h} < {t[4]} THEN 4 ELSE 5 END"
+    )
+    return f"""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ),
+    fan AS (
+      SELECT event_id, event_type, vc, r, {w} AS w
+      FROM src CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r)
+    ),
+    reps AS (
+      SELECT event_type, r,
+             CAST(sum(w * vc) AS BIGINT) AS swc,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(vc) AS BIGINT) AS sc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM fan GROUP BY event_type, r
+    ),
+    means AS (
+      SELECT event_type, r, sc, n,
+             (swc - ((swc % sw) + sw) % sw) // sw AS mean_c
+      FROM reps WHERE sw > 0
+    ),
+    ranked AS (
+      SELECT event_type, mean_c, sc, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_c, r) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_boot
+      FROM means
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max((sc - ((sc % n) + n) % n) // n) AS BIGINT)
+             AS point_mean_c,
+           CAST(max(n_boot) AS BIGINT) AS n_boot,
+           CAST(max(CASE WHEN rn = greatest(1, (n_boot * 2) // {_BOOT_R})
+                         THEN mean_c END) AS BIGINT) AS boot_lo_c,
+           CAST(max(CASE WHEN rn = n_boot + 1
+                              - greatest(1, (n_boot * 2) // {_BOOT_R})
+                         THEN mean_c END) AS BIGINT) AS boot_hi_c
+    FROM ranked
+    GROUP BY event_type
+    """
+
+
+@register("bootstrap_ci", _bootstrap_oracle())
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap: a ~87% confidence interval for the
+    per-event-type mean value, from 16 resampling replicates computed in
+    a SINGLE scan of the data.
+
+    The classic bootstrap draws n rows with replacement per replicate —
+    at 100 TB that is 16 extra passes. The streaming form (Oza & Russell
+    2001; Kleiner et al. "poor man's bootstrap") observes that each
+    row's multiplicity in one replicate is Poisson(1), independent per
+    (row, replicate) — so each row can emit its 16 weights as it streams
+    by. Weights come from the engine-portable avalanche hash of
+    (event_id, replicate) inverted through the Poisson(1) CDF (integer
+    thresholds above); replicate means are exact integer cents via the
+    remainder-subtraction floor division (exact under every engine's
+    division semantics because the adjusted dividend is an exact
+    multiple). The CI is the (2nd, 15th) order statistic of the 16
+    replicate means — rank-picked deterministically, tie-broken by
+    replicate id; replicates that drew an empty resample (possible for
+    tiny groups) are excluded, with ranks rescaled by the formula in
+    the plan and the surviving count reported as ``n_boot``.
+
+    Scale shape: explode x16 inside the scan stage, ONE partial-combined
+    aggregate keyed (event_type, r) — the shuffle carries 16 rows per
+    type — then a window over those 16-row groups. No second scan, no
+    join, no driver loop.
+    """
+    from ..operators.text_analysis import MOD
+    from .sketch_queries import _hll_mix_col
+
+    t = [int(c * MOD) for c in _POIS_CUM]
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    src = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    fan = src.select(
+        "event_id",
+        "event_type",
+        "vc",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    )
+    h = _hll_mix_col(F.col("event_id") * _BOOT_R + F.col("r") + 1)
+    w = (
+        F.when(h < t[0], 0)
+        .when(h < t[1], 1)
+        .when(h < t[2], 2)
+        .when(h < t[3], 3)
+        .when(h < t[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    reps = fan.withColumn("w", w).groupBy("event_type", "r").agg(
+        F.sum(F.col("w") * F.col("vc")).cast("long").alias("swc"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("vc").cast("long").alias("sc"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+    def _floordiv(a, b):
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    means = reps.where(F.col("sw") > 0).select(
+        "event_type",
+        "r",
+        "sc",
+        "n",
+        _floordiv(F.col("swc"), F.col("sw")).alias("mean_c"),
+    )
+    win = Window.partitionBy("event_type")
+    ranked = means.select(
+        "event_type",
+        "mean_c",
+        "sc",
+        "n",
+        F.row_number().over(win.orderBy("mean_c", "r")).alias("rn"),
+        F.count("*").over(win).alias("n_boot"),
+    )
+    k_lo = F.greatest(F.lit(1), (F.col("n_boot") * 2 - F.pmod(F.col("n_boot") * 2, F.lit(_BOOT_R))) / _BOOT_R)
+    k_lo = k_lo.cast("long")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(_floordiv(F.col("sc"), F.col("n"))).cast("long").alias(
+            "point_mean_c"
+        ),
+        F.max("n_boot").cast("long").alias("n_boot"),
+        F.max(F.when(F.col("rn") == k_lo, F.col("mean_c"))).cast("long").alias(
+            "boot_lo_c"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.col("n_boot") + 1 - k_lo, F.col("mean_c"))
+        ).cast("long").alias("boot_hi_c"),
+    )

@@ -598,3 +598,148 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("target_day").alias("day"), "dau", "wau_7d")
     )
+
+
+# --- Z-order layout effectiveness (round 6, late) ----------------------------
+
+#: 10-bit keys: hour-of-epoch and user id, both folded into [0, 1024).
+_ZBITS = 10
+#: Box predicate: one day of hours x one 16-user band (half-open).
+#: The user band starts at 0 so every SF (sf0.001 has users 0-14) selects
+#: rows and the two layouts' scan costs are both exercised.
+_ZX0, _ZX1, _ZY0, _ZY1 = 288, 312, 0, 16
+#: File granularity: natural files hold 128 consecutive event_ids; z-order
+#: files are z-prefix blocks of 2^9 cells (32 hours x 16 users).
+_NAT_SHIFT, _Z_SHIFT = 7, 9
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zonemap import zorder_key_sql
+
+    zexpr = zorder_key_sql("x", "y", _ZBITS)
+    sel = f"x >= {_ZX0} AND x < {_ZX1} AND y >= {_ZY0} AND y < {_ZY1}"
+    skip = (
+        f"max_x < {_ZX0} OR min_x >= {_ZX1} OR max_y < {_ZY0} OR min_y >= {_ZY1}"
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id,
+             ((CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0)
+                    AS BIGINT) % 1024) + 1024) % 1024 AS x,
+             ((user_id % 1024) + 1024) % 1024 AS y
+      FROM events
+    ),
+    bz AS (SELECT event_id, x, y, {zexpr} AS z FROM base),
+    files AS (
+      SELECT layout, file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y,
+             CAST(sum(CASE WHEN {sel} THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+      FROM (
+        SELECT 'natural' AS layout, (event_id >> {_NAT_SHIFT}) AS file_id, x, y
+        FROM bz
+        UNION ALL
+        SELECT 'zorder', (z >> {_Z_SHIFT}), x, y FROM bz
+      )
+      GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(scan) AS BIGINT) AS files_scanned,
+           CAST(sum(scan * n_rows) AS BIGINT) AS rows_scanned,
+           CAST(sum(n_sel) AS BIGINT) AS rows_selected,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total
+    FROM (
+      SELECT layout, n_rows, n_sel,
+             CASE WHEN COALESCE({skip}, FALSE) THEN 0 ELSE 1 END AS scan
+      FROM files
+    )
+    GROUP BY layout
+    """
+
+
+@register("zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs natural file layout, measured as a skipping manifest —
+    the decision table behind ``OPTIMIZE ZORDER BY`` (Delta/Iceberg).
+
+    Events get two 10-bit cluster keys (hour-of-epoch and user id, both
+    folded to [0, 1024)); the Morton interleave
+    (``operators/zonemap.py:zorder_key``) is computed per row, and the
+    table is "laid out" twice: natural files of 128 consecutive
+    event_ids (insertion order — time-correlated, user-oblivious) and
+    z-prefix files (``z >> 9``: 32-hour x 16-user blocks). For a
+    day x 16-user box predicate the query emits, per layout, the file
+    count and how many files/rows a min/max-envelope reader must scan —
+    natural layout prunes on time only, z-order prunes both axes
+    multiplicatively.
+
+    Scale shape: ONE scan — each row fans out to its (layout, file_id)
+    pair inside the scan stage — then one partial-combined aggregate
+    keyed (layout, file_id) whose shuffle carries one row per file
+    (manifest-sized), and a second aggregate over the file table. No
+    window, no join, no sort. A real rewrite would
+    ``repartitionByRange(zorder_key)`` and write; this query is the
+    planner evidence for paying that sort, and the z-prefix file id is
+    exactly what range partitioning on z produces. NULL-enveloped files
+    are conservatively scanned (range_scan_flags discipline)."""
+    from ..operators.zonemap import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000.0).cast("long")
+    base = ev.select(
+        "event_id",
+        F.pmod(hour, F.lit(1024)).alias("x"),
+        F.pmod(F.col("user_id"), F.lit(1024)).cast("long").alias("y"),
+    ).withColumn("z", zorder_key(F.col("x"), F.col("y"), _ZBITS))
+    fan = base.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.shiftright(F.col("event_id"), _NAT_SHIFT).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("z"), _Z_SHIFT).alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+    ).select("f.layout", "f.file_id", "x", "y")
+    sel = (
+        (F.col("x") >= _ZX0)
+        & (F.col("x") < _ZX1)
+        & (F.col("y") >= _ZY0)
+        & (F.col("y") < _ZY1)
+    )
+    files = fan.groupBy("layout", "file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_sel"),
+    )
+    skippable = (
+        (F.col("max_x") < _ZX0)
+        | (F.col("min_x") >= _ZX1)
+        | (F.col("max_y") < _ZY0)
+        | (F.col("min_y") >= _ZY1)
+    )
+    scan = F.when(F.coalesce(skippable, F.lit(False)), 0).otherwise(1)
+    return (
+        files.select("layout", "n_rows", "n_sel", scan.alias("scan"))
+        .groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("scan").cast("long").alias("files_scanned"),
+            F.sum(F.col("scan") * F.col("n_rows")).cast("long").alias(
+                "rows_scanned"
+            ),
+            F.sum("n_sel").cast("long").alias("rows_selected"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+        )
+    )

@@ -771,3 +771,18 @@ class TestRound6Plans:
         assert "BatchEvalPython" not in plan
         assert plan.count("Exchange hashpartitioning(source") <= 1
         assert plan.count("FileScan parquet") == 1
+
+
+class TestLateRound6Plans:
+    """Plan audits for the late-round-6 additions."""
+
+    def test_zorder_layout_one_scan_two_aggregates(self, spark, registry):
+        # both layouts must come off ONE parquet scan (the fan-out is an
+        # in-stage explode, not a self-union), the file-stats aggregate
+        # must partial-combine, and there is no join/window/python
+        plan = plan_of(q(registry, "zorder_layout", spark))
+        assert plan.count("FileScan parquet") == 1
+        assert "partial_min" in plan or "partial_" in plan
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan

@@ -429,3 +429,77 @@ class TestKsDriftCheck:
         assert "BatchEvalPython" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
         assert plan.count("FileScan parquet") == 1
+
+
+class TestBootstrapCI:
+    def test_point_estimate_within_interval(self, spark, registry):
+        for r in q(registry, "bootstrap_ci", spark).collect():
+            assert r.boot_lo_c <= r.boot_hi_c
+            # the point estimate sits inside (or at) the bootstrap range
+            assert r.boot_lo_c <= r.point_mean_c <= r.boot_hi_c, r
+            assert 1 <= r.n_boot <= 16
+
+    def test_weights_are_poisson_1_ish(self, spark):
+        """The deterministic weight channel must behave like Poisson(1):
+        mean weight ~= 1 and P(w=0) ~= 1/e over a large draw."""
+        from data_pipelines_worker_spark.operators.text_analysis import MOD
+        from data_pipelines_worker_spark.queries.profiling_queries import (
+            _POIS_CUM,
+        )
+        from data_pipelines_worker_spark.queries.sketch_queries import (
+            _hll_mix_col,
+        )
+
+        t = [int(c * MOD) for c in _POIS_CUM]
+        n = 20000
+        df = spark.range(n).select(_hll_mix_col(F.col("id") + 1).alias("h"))
+        w = (
+            F.when(F.col("h") < t[0], 0)
+            .when(F.col("h") < t[1], 1)
+            .when(F.col("h") < t[2], 2)
+            .when(F.col("h") < t[3], 3)
+            .when(F.col("h") < t[4], 4)
+            .otherwise(5)
+        )
+        row = df.select(
+            F.avg(w).alias("mean_w"),
+            F.avg((w == 0).cast("int")).alias("p0"),
+        ).collect()[0]
+        assert abs(row.mean_w - 1.0) < 0.03, row
+        assert abs(row.p0 - 0.3679) < 0.02, row
+
+    def test_plan_one_scan_one_partial_aggregate(self, spark, registry):
+        plan = plan_of(q(registry, "bootstrap_ci", spark))
+        assert plan.count("FileScan parquet") == 1
+        assert "partial_" in plan  # map-side combine of the x16 fan-out
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestLshParameterSweep:
+    def test_s_curve_monotonicity(self, spark, registry):
+        """More bands (fewer rows per band) can only widen the candidate
+        net: n_candidates and n_caught are non-decreasing in bands, and
+        caught <= min(candidates, true) everywhere."""
+        rows = sorted(
+            q(registry, "lsh_parameter_sweep", spark).collect(),
+            key=lambda r: r.bands,
+        )
+        assert [(r.bands, r.rows_per_band) for r in rows] == [
+            (4, 16), (8, 8), (16, 4), (32, 2),
+        ]
+        for r in rows:
+            assert r.bands * r.rows_per_band == 64
+            assert r.n_caught <= r.n_candidates
+            assert r.n_caught <= r.n_true
+            assert r.n_missed == r.n_true - r.n_caught
+        for lo, hi in zip(rows, rows[1:]):
+            assert hi.n_candidates >= lo.n_candidates
+            assert hi.n_caught >= lo.n_caught
+        # identical true-pair baseline across configs
+        assert len({r.n_true for r in rows}) == 1
+
+    def test_plan_no_cartesian_no_python(self, spark, registry):
+        plan = plan_of(q(registry, "lsh_parameter_sweep", spark))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

@@ -128,3 +128,50 @@ def test_corpus_snapshot_diff_partitions_and_reconstructs(spark):
             assert r.status == "changed"
         else:
             assert r.status == "unchanged"
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """The Spark interleave and a pure-Python Morton encode agree on a
+    grid of values, and the SQL twin is generated from the same loop."""
+    import duckdb
+
+    from data_pipelines_worker_spark.operators.zonemap import (
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    def morton(x, y, bits=10):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(x, y) for x in (0, 1, 5, 150, 1023) for y in (0, 2, 77, 1023)]
+    df = spark.createDataFrame(pairs, "x long, y long").select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), 10).alias("z")
+    )
+    for row in df.collect():
+        assert row.z == morton(row.x, row.y), (row.x, row.y)
+    con = duckdb.connect()
+    for x, y in pairs:
+        (got,) = con.execute(
+            f"SELECT {zorder_key_sql(str(x), str(y), 10)}"
+        ).fetchone()
+        assert got == morton(x, y), (x, y)
+
+
+def test_zorder_layout_invariants(spark):
+    """Both layouts cover every row exactly once, select the same row
+    set, and scanned rows always contain the selected rows (no false
+    skips — the envelope test is conservative by construction)."""
+    rows = {r.layout: r for r in _q("zorder_layout", spark).collect()}
+    assert set(rows) == {"natural", "zorder"}
+    nat, zo = rows["natural"], rows["zorder"]
+    assert nat.rows_total == zo.rows_total
+    assert nat.rows_selected == zo.rows_selected
+    for r in (nat, zo):
+        assert r.rows_scanned >= r.rows_selected
+        assert r.files_scanned <= r.n_files
+    # the whole point: z-order scans no more than natural for a 2-D box
+    assert zo.rows_scanned <= nat.rows_scanned
