@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = (
     "zorder_layout",  # late-r06: Z-order vs natural layout manifest
     "bootstrap_ci",  # late-r06: one-pass Poisson bootstrap
     "lsh_parameter_sweep",  # late-r06: banding S-curve tuning table
+    "perceptron_train",  # late-r06: quality-gate distillation training
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

@@ -871,36 +871,15 @@ def q_top_p_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source total — same partition key, Catalyst reuses the sort); no
     join, no second scan. At 1000 sources × TB each, the per-source
     window is the natural parallel unit; a skewed mega-source bounds a
-    single task only in the sort, which AQE splits."""
+    single task only in the sort, which AQE splits.
+
+    The scoring map and budget rule live in ``operators/selection.py``
+    (shared verbatim with the streaming manifest maintainer
+    ``streaming/selection.py``)."""
+    from ..operators.selection import score_docs, top_p_select
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "source",
-        "doc_id",
-        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
-        ta.quality_score(F.col("text")).alias("q"),
-    )
-    wo = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
-    wcum = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
-    wtot = W.partitionBy("source")
-    ranked = scored.select(
-        "source",
-        "doc_id",
-        "n_tokens",
-        "q",
-        F.row_number().over(wo).cast("long").alias("rank"),
-        F.sum("n_tokens").over(wcum).cast("long").alias("cum_tokens"),
-        F.sum("n_tokens").over(wtot).alias("total_tokens"),
-    )
-    return ranked.where(
-        (2 * F.col("cum_tokens") <= F.col("total_tokens")) | (F.col("rank") == 1)
-    ).select(
-        "source",
-        "doc_id",
-        "rank",
-        "n_tokens",
-        "cum_tokens",
-        F.round("q", 6).alias("quality"),
-    )
+    return top_p_select(score_docs(docs))
 
 
 # --- per-source length-quantile filter (round 6) -----------------------------

@@ -819,3 +819,198 @@ def q_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim", 6).alias("sim"),
         F.row_number().over(w).cast("long").alias("rerank"),
     )
+
+
+# --- perceptron distillation of the quality gate (round 6, late) -------------
+
+#: Full-batch rounds. Round 1's update set is every row (all margins are
+#: 0 at w = 0); n_miss then collapses to the linear model's residual
+#: disagreement with the nonlinear teacher — the convergence readout.
+_PERC_ROUNDS = 3
+
+#: Teacher threshold: documents with quality_score >= this are the
+#: positive class. 0.62 splits the synthetic corpus non-degenerately
+#: (the production gate's 0.45 keeps everything at these SFs).
+_PERC_TH = 0.62
+
+#: Feature scaling: ratios quantized to integers so the whole training
+#: loop is exact int64 on both engines.
+_PERC_BIAS = 1000
+
+
+def _perceptron_oracle() -> str:
+    from ..operators import text_analysis as ta
+
+    all_sw = (
+        "[" + ", ".join(f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws) + "]"
+    )
+    quality = f"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
+       + 0.3 * least(len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({all_sw}, w)))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
+       + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                / CAST(length(text) AS DOUBLE)) END"""
+    names = ("w_bias", "w_cpw", "w_sw", "w_alpha")
+    xs = ("x0", "x1", "x2", "x3")
+    dot = lambda cte: " + ".join(f"{cte}.{n} * {x}" for n, x in zip(names, xs))
+    sums = ", ".join(
+        f"CAST(sum(y * {x}) AS BIGINT) AS {n}" for n, x in zip(names, xs)
+    )
+    parts = [
+        f"""raw AS (
+      SELECT CASE WHEN ({quality}) >= {_PERC_TH} THEN 1 ELSE -1 END AS y,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> list_contains({all_sw}, w)))
+                  AS BIGINT) AS sw,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS al
+      FROM documents
+    ),
+    feats AS (
+      SELECT y,
+             CAST({_PERC_BIAS} AS BIGINT) AS x0,
+             ((nc - (nw - 1)) * 100) // nw AS x1,
+             (sw * 1000) // nw AS x2,
+             CASE WHEN nc = 0 THEN 0 ELSE (al * 100) // nc END AS x3
+      FROM raw
+    ),
+    r1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_miss, {sums} FROM feats
+    )"""
+    ]
+    for r in range(2, _PERC_ROUNDS + 1):
+        upd = ", ".join(
+            f"r{r - 1}.{n} + COALESCE((SELECT CAST(sum(y * {x}) AS BIGINT)"
+            f" FROM m{r}), 0) AS {n}"
+            for n, x in zip(names, xs)
+        )
+        parts.append(
+            f"""m{r} AS (
+      SELECT f.* FROM feats f, r{r - 1}
+      WHERE y * ({dot(f"r{r - 1}")}) <= 0
+    ),
+    r{r} AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM m{r}) AS n_miss, {upd}
+      FROM r{r - 1}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, n_miss, {', '.join(names)} FROM r{r}"
+        for r in range(1, _PERC_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@register("perceptron_train", _perceptron_oracle())
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the nonlinear quality gate into a fast linear router by
+    full-batch perceptron training — the TRAINING half of a
+    fastText-style filter whose fixed-weight inference half is
+    ``quality_logit_filter``. The teacher label is the production
+    quality score (``operators/text_analysis.quality_score``) gated at
+    {th}; the student sees three integer ratio features (chars-per-word
+    x100, stopwords-per-1000-words, alpha-percent — the same ratios the
+    teacher combines nonlinearly) plus a scaled bias. Each round adds
+    Σ y·x over currently-misclassified rows to the weight vector;
+    everything is int64, so an *iterative training loop* sits under the
+    exact hash gate (the ``embedding_kmeans`` / ``bpe_train_merges``
+    discipline). Emitted: (round, n_miss before the update, weights
+    after it) — n_miss collapses from |corpus| (round 1, all margins 0)
+    to the linear model's small residual disagreement with the teacher,
+    then plateaus: the convergence evidence AND the honest statement of
+    what a linear student can and cannot express.
+
+    Scale shape: the feature frame is one scan-stage projection
+    (persisted: |docs| x 5 ints, never text); each round is ONE
+    partial-combined all-reduce aggregate over it, with the previous
+    round's 1-row weight frame broadcast onto the features. Rounds are a
+    small fixed constant; the driver never sees per-row data. At 100 TB
+    this is the textbook data-parallel full-batch update.
+    """
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    words = F.split(text, " ", -1)
+    sw_arr = F.array(
+        *[F.lit(w) for ws in ta.LANG_STOPWORDS.values() for w in ws]
+    )
+    nc = F.length(text).cast("long")
+    nw = F.size(words).cast("long")
+    sw = F.size(F.filter(words, lambda w: F.array_contains(sw_arr, w))).cast(
+        "long"
+    )
+    al = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+
+    def fdiv(a, b):
+        # exact integer division of non-negative exact multiples: the
+        # adjusted dividend is divisible by b, so the double divide is exact
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    y = (
+        F.when(ta.quality_score(text) >= F.lit(_PERC_TH), 1)
+        .otherwise(-1)
+        .cast("long")
+    )
+    names = ("w_bias", "w_cpw", "w_sw", "w_alpha")
+    xs = ("x0", "x1", "x2", "x3")
+    feats = docs.select(
+        y.alias("y"),
+        F.lit(_PERC_BIAS).cast("long").alias("x0"),
+        fdiv((nc - (nw - 1)) * 100, nw).alias("x1"),
+        fdiv(sw * 1000, nw).alias("x2"),
+        F.when(nc == 0, F.lit(0).cast("long"))
+        .otherwise(fdiv(al * 100, nc))
+        .alias("x3"),
+    ).persist()
+
+    r = feats.agg(
+        F.count("*").cast("long").alias("n_miss"),
+        *[
+            F.coalesce(F.sum(F.col("y") * F.col(x)), F.lit(0))
+            .cast("long")
+            .alias(n)
+            for n, x in zip(names, xs)
+        ],
+    )
+    rounds = [r]
+    for _ in range(2, _PERC_ROUNDS + 1):
+        prior = rounds[-1].select(*names)
+        margin = None
+        for n, x in zip(names, xs):
+            term = F.col(n) * F.col(x)
+            margin = term if margin is None else margin + term
+        miss = feats.crossJoin(F.broadcast(prior)).where(
+            F.col("y") * margin <= 0
+        )
+        delta = miss.agg(
+            F.count("*").cast("long").alias("n_miss"),
+            *[
+                F.coalesce(F.sum(F.col("y") * F.col(x)), F.lit(0))
+                .cast("long")
+                .alias(f"d_{n}")
+                for n, x in zip(names, xs)
+            ],
+        )
+        nxt = prior.crossJoin(F.broadcast(delta)).select(
+            F.col("n_miss"),
+            *[
+                (F.col(n) + F.col(f"d_{n}")).cast("long").alias(n)
+                for n in names
+            ],
+        )
+        rounds.append(nxt)
+    out = None
+    for i, rr in enumerate(rounds, start=1):
+        sel = rr.select(
+            F.lit(i).cast("long").alias("round"), "n_miss", *names
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+q_perceptron_train.__doc__ = q_perceptron_train.__doc__.format(th=_PERC_TH)

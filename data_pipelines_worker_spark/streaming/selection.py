@@ -1,0 +1,110 @@
+"""Streaming top-p (nucleus) selection: maintain the per-source budgeted
+quality manifest over a GROWING corpus — the streaming face of the batch
+``top_p_selection`` query, sharing its scoring/budget kernel
+(``operators/selection.py``) so the two can never fork.
+
+Why this shape: top-p selection is NOT incrementally foldable — a new
+high-quality document can both displace selected ones (it outranks them)
+and admit new ones (it grows the source's total token mass, loosening the
+half-mass budget) — so per-key O(1) state cannot be exact. What IS
+bounded is the metadata: one (source, doc_id, n_tokens, q) row per
+document ever seen — the score table a curation pipeline keeps anyway,
+~1e-4 of corpus bytes (never bodies). Each micro-batch therefore:
+
+1. appends its scored rows to the standing score store, idempotently
+   (``scores/batch=<id>`` overwritten on replay — the exactly-once
+   pattern of ``streaming/sink.py``);
+2. recomputes the selection ONLY for the sources present in the batch
+   (a micro-batch touches few sources; untouched sources' manifest rows
+   are carried over verbatim — recompute cost scales with the affected
+   slice, not the corpus);
+3. publishes the merged manifest crash-safely: fresh ``v<batch_id>``
+   directory, atomic pointer swap, replay guard — the
+   ``streaming/snapshot.py`` discipline (a replayed batch whose version
+   the pointer already names is fully applied and skipped; the standing
+   manifest directory is never overwritten while being read).
+
+At 100 TB the score store is a lakehouse table and step 2's
+``source IN (batch sources)`` filter partition-prunes it; the manifest
+swap is a table-format commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.selection import SCORE_COLS, score_docs, top_p_select
+from .snapshot import _publish, _read_pointer
+
+_SCORES = "scores"
+_MANIFEST = "manifest"
+
+
+def merge_batch(batch_df: DataFrame, batch_id: int, store_dir: str) -> None:
+    """Apply one micro-batch of documents to the published manifest
+    (module-level so the at-least-once replay path is unit-testable)."""
+    manifest_dir = os.path.join(store_dir, _MANIFEST)
+    version = f"v{batch_id}"
+    standing_path = _read_pointer(manifest_dir)
+    if standing_path is not None and os.path.basename(standing_path) == version:
+        return  # replayed, fully-applied batch
+    spark = batch_df.sparkSession
+    scored = score_docs(batch_df).select(*SCORE_COLS)
+    batch_dir = os.path.join(store_dir, _SCORES, f"batch={batch_id}")
+    scored.write.mode("overwrite").parquet(batch_dir)
+    affected = [
+        r.source
+        for r in spark.read.parquet(batch_dir).select("source").distinct().collect()
+    ]
+    standing = (
+        spark.read.parquet(os.path.join(store_dir, _SCORES))
+        .select(*SCORE_COLS)
+        .dropDuplicates(["source", "doc_id"])
+    )
+    recomputed = top_p_select(standing.where(F.col("source").isin(affected)))
+    if standing_path is not None:
+        prior = spark.read.parquet(standing_path)
+        merged = prior.where(~F.col("source").isin(affected)).unionByName(
+            recomputed
+        )
+    else:
+        merged = recomputed
+    merged.write.mode("overwrite").parquet(os.path.join(manifest_dir, version))
+    _publish(manifest_dir, version)
+    import shutil
+
+    for name in os.listdir(manifest_dir):
+        if name.startswith("v") and name != version:
+            shutil.rmtree(os.path.join(manifest_dir, name), ignore_errors=True)
+
+
+def selection_sink(
+    docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "top-p-selection",
+):
+    """Start a streaming query maintaining the top-p manifest under
+    ``store_dir`` from a document stream with columns
+    (doc_id, text, source)."""
+    os.makedirs(os.path.join(store_dir, _MANIFEST), exist_ok=True)
+
+    return (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: merge_batch(df, bid, store_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def read_manifest(spark: SparkSession, store_dir: str) -> DataFrame:
+    manifest_dir = os.path.join(store_dir, _MANIFEST)
+    path = _read_pointer(manifest_dir)
+    if path is None:
+        raise FileNotFoundError(f"no published manifest under {store_dir}")
+    return spark.read.parquet(path)

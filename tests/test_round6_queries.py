@@ -503,3 +503,74 @@ class TestLshParameterSweep:
         plan = plan_of(q(registry, "lsh_parameter_sweep", spark))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestPerceptronTrain:
+    def test_training_converges_then_plateaus(self, spark, registry):
+        rows = {r.round: r for r in q(registry, "perceptron_train", spark).collect()}
+        assert set(rows) == {1, 2, 3}
+        n = rows[1].n_miss  # round 1 updates on every row (margins all 0)
+        assert rows[2].n_miss < n // 5  # the linear student fits the gate
+        assert rows[3].n_miss <= rows[2].n_miss + n // 20  # stable residual
+
+    def test_weights_match_pure_python_perceptron(self, spark, registry):
+        """Replay the exact update rule in plain Python from the feature
+        frame and compare every round's weights and miss counts."""
+        from data_pipelines_worker_spark.queries.retrieval_queries import (
+            _PERC_BIAS,
+            _PERC_TH,
+        )
+        from data_pipelines_worker_spark.operators import text_analysis as ta
+        from data_pipelines_worker_spark.session import load_table
+
+        docs = load_table(spark, SF, "documents")
+        sw_all = {w for ws in ta.LANG_STOPWORDS.values() for w in ws}
+        import re
+
+        rows = docs.select("text").collect()
+        feats = []
+        for r in rows:
+            t = r.text
+            ws = t.split(" ")
+            nw, nc = len(ws), len(t)
+            sw = sum(1 for w in ws if w in sw_all)
+            al = len(re.sub("[^a-zA-Z]", "", t))
+            if nc == 0:
+                quality = 0.0
+            else:
+                cpw = (nc - (nw - 1)) / nw
+                quality = (
+                    0.4 * (1.0 - min(abs(cpw - 5.0) / 5.0, 1.0))
+                    + 0.3 * min(sw / nw * 4.0, 1.0)
+                    + 0.3 * (al / nc)
+                )
+            y = 1 if quality >= _PERC_TH else -1
+            x = (
+                _PERC_BIAS,
+                (nc - (nw - 1)) * 100 // nw,
+                sw * 1000 // nw,
+                (al * 100 // nc) if nc else 0,
+            )
+            feats.append((y, x))
+        w = [0, 0, 0, 0]
+        expect = {}
+        for rnd in range(1, 4):
+            miss = [
+                (y, x)
+                for y, x in feats
+                if y * sum(a * b for a, b in zip(w, x)) <= 0
+            ]
+            for y, x in miss:
+                for i in range(4):
+                    w[i] += y * x[i]
+            expect[rnd] = (len(miss), tuple(w))
+        got = {
+            r.round: (r.n_miss, (r.w_bias, r.w_cpw, r.w_sw, r.w_alpha))
+            for r in q(registry, "perceptron_train", spark).collect()
+        }
+        assert got == expect
+
+    def test_plan_no_cartesian_no_python(self, spark, registry):
+        plan = plan_of(q(registry, "perceptron_train", spark))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

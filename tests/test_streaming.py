@@ -1080,3 +1080,142 @@ def test_streaming_drift_histograms_match_batch_and_bound_exact_ks(
         assert (na, nb) == (ena, enb)  # same populations
         assert kb <= ke  # coarsening never raises the statistic
         assert kb >= 0
+
+
+def test_top_p_selection_stream_matches_batch(spark, tmp_path, sf_dir):
+    # streaming manifest maintenance (score-store append + per-affected-
+    # source recompute + crash-safe publish) ≡ the batch top_p_selection
+    # query over the same corpus, column for column
+    import __spark_entry__ as entrymod
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.selection import (
+        read_manifest,
+        selection_sink,
+    )
+
+    batch = {
+        r.doc_id: (r.source, r.rank, r.n_tokens, r.cum_tokens, r.quality)
+        for r in entrymod.queries()["top_p_selection"](spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src = tmp_path / "docs_stream"
+    # three files → three micro-batches under maxFilesPerTrigger=1
+    docs.where("doc_id % 3 = 0").write.parquet(str(src / "a"))
+    docs.where("doc_id % 3 = 1").write.parquet(str(src / "b"))
+    docs.where("doc_id % 3 = 2").write.parquet(str(src / "c"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    store = str(tmp_path / "store")
+    q = selection_sink(stream, store, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.source, r.rank, r.n_tokens, r.cum_tokens, r.quality)
+        for r in read_manifest(spark, store).collect()
+    }
+    assert got == batch
+    assert batch  # non-trivial selection
+
+
+def test_top_p_selection_replay_is_idempotent(spark, tmp_path, sf_dir):
+    # foreachBatch redelivers a batch whose publish ran but whose
+    # checkpoint commit didn't: the replay guard must skip it outright
+    # (no overwrite-while-reading, manifest unchanged)
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.selection import (
+        merge_batch,
+        read_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    store = str(tmp_path / "store")
+    merge_batch(docs.where("doc_id < 100"), 0, store)
+    merge_batch(docs.where("doc_id >= 100"), 1, store)
+    before = sorted(
+        map(tuple, read_manifest(spark, store).collect())
+    )
+    merge_batch(docs.where("doc_id >= 100"), 1, store)  # replay
+    after = sorted(map(tuple, read_manifest(spark, store).collect()))
+    assert after == before
+
+
+def test_bootstrap_stream_matches_batch_fold(spark, tmp_path, sf_dir):
+    # the 16-replicate Poisson fold is additive, so the streaming windowed
+    # aggregation must equal the same function run as a batch frame —
+    # bit-for-bit, under arbitrary trigger boundaries
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.bootstrap import (
+        windowed_bootstrap_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    batch = {
+        (r.window_start, r.event_type): tuple(r)
+        for r in windowed_bootstrap_ci(ev, window="6 hours").collect()
+    }
+
+    src = tmp_path / "ev_stream"
+    ev.where("event_id % 2 = 0").write.parquet(str(src / "a"))
+    ev.where("event_id % 2 = 1").write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        windowed_bootstrap_ci(stream, window="6 hours")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("boot_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): tuple(r)
+            for r in spark.sql("SELECT * FROM boot_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+    assert batch
+
+
+def test_bootstrap_one_big_window_matches_batch_query(spark, sf_dir):
+    # with one window spanning the whole corpus, the streaming face's
+    # integer contract must coincide with the batch bootstrap_ci query
+    # (different plan shape — window/rank vs sorted-array pick — same
+    # values; ties are value-equal under either tie-break)
+    import __spark_entry__ as entrymod
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.bootstrap import (
+        windowed_bootstrap_ci,
+    )
+
+    batch = {
+        r.event_type: (r.n, r.point_mean_c, r.n_boot, r.boot_lo_c, r.boot_hi_c)
+        for r in entrymod.queries()["bootstrap_ci"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    got = {
+        r.event_type: (r.n, r.point_mean_c, r.n_boot, r.boot_lo_c, r.boot_hi_c)
+        for r in windowed_bootstrap_ci(ev, window="3650 days").collect()
+    }
+    assert got == batch
+    assert batch
