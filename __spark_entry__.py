@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = (
     "bootstrap_ci",  # late-r06: one-pass Poisson bootstrap
     "lsh_parameter_sweep",  # late-r06: banding S-curve tuning table
     "perceptron_train",  # late-r06: quality-gate distillation training
+    "media_audio_energy",  # late-r06: real-WAV VAD segmentation
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

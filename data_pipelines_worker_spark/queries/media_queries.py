@@ -328,3 +328,155 @@ def q_media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = docs.mapInPandas(gen, schema)
     return M.image_stats(src).select("doc_id", "img_w", "img_h", "px_sum")
+
+
+# --- audio energy segmentation (VAD shape; round 6, late) ---------------------
+
+#: Real-WAV synthesis: one int16 sample per character (non-space c →
+#: 256·(1 + ord(c) % 96), space → part of the inter-word pause), plus a
+#: 16-sample silence gap after every word. Gap 16 ≥ 2 frames guarantees
+#: at least one fully-aligned silent frame between words, so segments ≡
+#: nonempty words — the closed form the oracle predicts from the text.
+_VAD_RATE = 8000
+_VAD_GAP = 16
+_VAD_FRAME = 8
+
+_VAD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+wpos AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, len(words))) AS i
+  FROM base
+),
+w AS (
+  SELECT doc_id,
+         CAST(len(words[i]) AS BIGINT) AS wl,
+         CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_sum(list_transform(words[1:i-1],
+                                 x -> len(x) + {_VAD_GAP})) AS BIGINT)
+         END AS prev
+  FROM wpos
+),
+seg AS (
+  SELECT doc_id,
+         ((prev + wl - 1) // {_VAD_FRAME}) - (prev // {_VAD_FRAME}) + 1
+           AS n_frames
+  FROM w WHERE wl > 0
+),
+en AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(1, length(text)),
+              i -> CASE WHEN text[i] = ' ' THEN CAST(0 AS BIGINT)
+                        ELSE CAST(256 * (1 + ascii(text[i]) % 96) AS BIGINT)
+                             * (256 * (1 + ascii(text[i]) % 96)) END))
+              AS BIGINT) AS total_energy
+  FROM documents WHERE length(text) > 0
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(s.n_frames) AS BIGINT) AS active_frames,
+       CAST(max(s.n_frames) AS BIGINT) AS max_segment_frames,
+       CAST(max(e.total_energy) AS BIGINT) AS total_energy
+FROM seg s JOIN en e ON e.doc_id = s.doc_id
+GROUP BY s.doc_id
+"""
+
+
+@register("media_audio_energy", _VAD_ORACLE)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio segmentation (the VAD shape): synthesize a REAL
+    PCM WAV per document (``operators/wav_codec.py`` — RIFF bytes, not a
+    fake container), decode it executor-side, compute per-frame integer
+    energy (Σ sample² over 8-sample frames, vectorized numpy inside
+    Arrow-batched ``mapInPandas``), then find voiced segments as islands
+    of consecutive active frames with the gaps-and-islands window
+    (``frame_idx − row_number``, the `activity_streaks` shape). Output
+    per doc: segment count, active-frame total, longest segment, total
+    energy — all integers; the oracle predicts every value from the text
+    in closed form because the synth is deterministic (segments ≡
+    nonempty words by the 2-frame-gap construction).
+
+    Scale shape: both Python stages are Arrow-batched codecs (the only
+    honest place for byte-level media work); the frame stream emits ONLY
+    active frames (output-linear, ~|chars|/8 rows per doc), and the one
+    exchange keys on doc_id for the island window. No driver-side
+    bytes, no per-row Python UDFs in column form."""
+    import numpy as np
+
+    from ..operators.wav_codec import wav_decode, wav_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                samples: list[int] = []
+                for word in t.split(" "):
+                    samples.extend(256 * (1 + ord(c) % 96) for c in word)
+                    samples.extend([0] * _VAD_GAP)
+                arr = np.asarray(samples, dtype=np.int16).reshape(-1, 1)
+                payloads.append(wav_encode(_VAD_RATE, arr))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload_bin": payloads}
+            )
+
+    wav = docs.mapInPandas(synth, enc_schema)
+
+    frame_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+
+    def frame_energy(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fidx: list[int] = []
+            energy: list[int] = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload_bin"]):
+                _rate, fr = wav_decode(bytes(payload))
+                s = fr[:, 0].astype(np.int64)
+                pad = (-len(s)) % _VAD_FRAME
+                if pad:
+                    s = np.concatenate([s, np.zeros(pad, np.int64)])
+                e = (s * s).reshape(-1, _VAD_FRAME).sum(axis=1)
+                act = np.nonzero(e)[0]
+                ids.extend([did] * len(act))
+                fidx.extend(act.tolist())
+                energy.extend(e[act].tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "energy": energy}
+            )
+
+    frames = wav.mapInPandas(frame_energy, frame_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    isl = (F.col("frame_idx") - F.row_number().over(w)).alias("isl")
+    segs = (
+        frames.select("doc_id", "frame_idx", "energy", isl)
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("energy").cast("long").alias("seg_energy"),
+        )
+    )
+    return segs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("n_frames").cast("long").alias("active_frames"),
+        F.max("n_frames").cast("long").alias("max_segment_frames"),
+        F.sum("seg_energy").cast("long").alias("total_energy"),
+    )

@@ -336,3 +336,72 @@ class TestRealWav:
         )
         assert [r.mime for r in rows] == ["audio/wav"] * 3
         assert W.wav_duration(bytes(rows[-1].payload_bin)) == pytest.approx(0.2)
+
+
+class TestAudioEnergySegmentation:
+    def test_segments_equal_nonempty_words(self, spark, tmp_path):
+        """The 16-sample inter-word gap (>= 2 frames) guarantees one
+        fully-silent frame between words, so segments == nonempty words;
+        a planted doc set pins the closed form."""
+        import duckdb
+
+        from data_pipelines_worker_spark.queries import load_all
+
+        docs = spark.createDataFrame(
+            [
+                (1, "hello world", "en", "s", 11),
+                (2, "a  b", "en", "s", 4),          # empty word from '  '
+                (3, "", "en", "s", 0),              # empty text: no row
+                (4, "   ", "en", "s", 3),           # spaces only: no row
+                (5, "supercalifragilistic", "en", "s", 20),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        sf = str(tmp_path)
+        docs.write.parquet(f"{sf}/documents.parquet")
+        fn, oracle = load_all()["media_audio_energy"]
+        got = {r.doc_id: r for r in fn(spark, sf).collect()}
+        assert set(got) == {1, 2, 5}
+        assert got[1].n_segments == 2
+        assert got[2].n_segments == 2
+        assert got[5].n_segments == 1
+        # 20 chars starting at sample 0 → frames 0..2 (ceil(20/8))
+        assert got[5].active_frames == 3
+        # oracle agrees on the planted set too
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf}/documents.parquet/*.parquet'"
+        )
+        ora = {r[0]: r for r in con.execute(oracle).fetchall()}
+        for k, r in got.items():
+            assert ora[k] == (
+                k,
+                r.n_segments,
+                r.active_frames,
+                r.max_segment_frames,
+                r.total_energy,
+            )
+
+    def test_payload_is_real_riff_wav(self, spark, sf_dir):
+        """The synth stage emits genuine RIFF/PCM bytes (decodable by the
+        stdlib wave module), not a fake container."""
+        from data_pipelines_worker_spark.operators import wav_codec as W
+        from data_pipelines_worker_spark.queries.media_queries import (
+            _VAD_RATE,
+        )
+
+        # rebuild the synth stage over one real doc
+        from data_pipelines_worker_spark.session import load_table
+
+        import numpy as np
+
+        doc = load_table(spark, sf_dir, "documents").select("text").first()
+        samples = []
+        for word in doc.text.split(" "):
+            samples.extend(256 * (1 + ord(c) % 96) for c in word)
+            samples.extend([0] * 16)
+        payload = W.wav_encode(_VAD_RATE, np.asarray(samples, dtype=np.int16).reshape(-1, 1))
+        assert W.is_wav(payload)
+        rate, frames = W.wav_decode(payload)
+        assert rate == _VAD_RATE and len(frames) == len(samples)
