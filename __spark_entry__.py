@@ -40,12 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions (entity resolution … corpus_snapshot_diff) plus the twelve
 # late-round ones (containment/novelty/top-p, pivot, range window,
 # quantile gate, oov, outliers, confusion, streaks, DAU/WAU). Slots
-# 35–50 take the r03-stale family oldest-first (asof_join,
-# date_functions, q1/q3/q5/q6/q14/q18, sessionization, set_ops,
-# agg_distinct, the ann_cosine trio, ass_time_format,
-# bpe_train_merges); the remainder of that family leads the r07 list
-# so no query's driver check ages past two rounds. The r04/r05-green families cycle behind; the committed
-# tools/check_oracle.py runs (ORACLE_LOCAL/_EDGE: full registry,
+# 35–42 are the eight late-session r06 queries (zorder_layout,
+# bootstrap_ci, lsh_parameter_sweep, perceptron_train,
+# media_audio_energy, bloom_zone_skipping, pareto_frontier,
+# shuffle_skew_profile). The
+# remaining slots take the r03-stale family oldest-first (asof_join,
+# date_functions, q1/q3/q5/q6/q14/q18, sessionization); the rest of
+# that family leads the r07 list so no query's driver check ages past
+# two rounds. The r04/r05-green families cycle behind; the committed
+# tools/check_oracle.py runs (ORACLE_LOCAL/_EDGE/_SF01: full registry,
 # 0 failures) remain the auditable backstop for the dropped tail.
 _DRIVER_PRIORITY = (
     # --- slots 1-12: HUGEINT-diagnosis gate -------------------------
@@ -89,6 +92,9 @@ _DRIVER_PRIORITY = (
     "lsh_parameter_sweep",  # late-r06: banding S-curve tuning table
     "perceptron_train",  # late-r06: quality-gate distillation training
     "media_audio_energy",  # late-r06: real-WAV VAD segmentation
+    "bloom_zone_skipping",  # late-r06: zone Bloom vs minmax point lookups
+    "pareto_frontier",  # late-r06: quality/cost skyline selection
+    "shuffle_skew_profile",  # late-r06: pre-flight shuffle-skew advisor
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

@@ -945,3 +945,88 @@ def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(bounds, "source").where(
         F.col("n_chars").between(F.col("lo_chars"), F.col("hi_chars"))
     ).select("doc_id", "source", "n_chars", "lo_chars", "hi_chars")
+
+
+# --- quality/cost Pareto frontier (round 6, late) -----------------------------
+
+_PARETO_QUALITY_SQL = """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
+    + 0.3 * least(len(list_filter(string_split(text, ' '),
+                                  w -> list_contains({sw}, w)))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
+    + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             / CAST(length(text) AS DOUBLE)) END"""
+
+
+def _pareto_oracle() -> str:
+    all_sw = (
+        "[" + ", ".join(f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws) + "]"
+    )
+    q = _PARETO_QUALITY_SQL.format(sw=all_sw)
+    return f"""
+    WITH scored AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {q} AS q
+      FROM documents
+    ),
+    w AS (
+      SELECT source, doc_id, n_tokens, q,
+             max(q) OVER (PARTITION BY source ORDER BY n_tokens
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cheaper_max,
+             max(q) OVER (PARTITION BY source ORDER BY n_tokens
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               AS peer_max
+      FROM scored
+    )
+    SELECT source, doc_id, n_tokens, round(q, 6) AS quality
+    FROM w
+    WHERE q = peer_max AND (cheaper_max IS NULL OR q > cheaper_max)
+    """
+
+
+@register("pareto_frontier", _pareto_oracle())
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality/cost Pareto frontier: the documents no
+    same-source document strictly dominates on (fewer tokens, higher
+    quality) — the efficient set a budget-constrained selector chooses
+    from (every other doc is strictly worse per token spent; `top_p
+    _selection` spends a budget down a 1-D ranking, this is the 2-D
+    counterpart).
+
+    The skyline is computed with TWO frames over ONE sort: a running
+    strict-predecessor max (RANGE ... 1 PRECEDING — all strictly cheaper
+    docs) and a peers max (RANGE CURRENT ROW — equal-cost docs); a doc
+    is on the frontier iff it tops its cost class and beats every
+    cheaper class. Equal (tokens, quality) twins are both kept (neither
+    strictly dominates), which the oracle's identical frames pin.
+
+    Scale shape: one scan (scoring is a codegen map), ONE source-keyed
+    exchange and ONE sort feeding both window frames — the same
+    single-exchange discipline as top_p_selection; output is
+    frontier-sized. At 100 TB the per-source window is the parallel
+    unit; no join, no second scan, no driver involvement."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        ta.quality_score(F.col("text")).alias("q"),
+    )
+    base = W.partitionBy("source").orderBy("n_tokens")
+    cheaper = base.rangeBetween(W.unboundedPreceding, -1)
+    peers = base.rangeBetween(W.currentRow, W.currentRow)
+    w = scored.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "q",
+        F.max("q").over(cheaper).alias("cheaper_max"),
+        F.max("q").over(peers).alias("peer_max"),
+    )
+    return w.where(
+        (F.col("q") == F.col("peer_max"))
+        & (F.col("cheaper_max").isNull() | (F.col("q") > F.col("cheaper_max")))
+    ).select("source", "doc_id", "n_tokens", F.round("q", 6).alias("quality"))

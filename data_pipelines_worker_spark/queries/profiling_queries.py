@@ -582,3 +582,118 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.col("n_boot") + 1 - k_lo, F.col("mean_c"))
         ).cast("long").alias("boot_hi_c"),
     )
+
+
+# --- shuffle-skew advisor (round 6, late) -------------------------------------
+
+#: Composite integer for deterministic argmax: metric = cnt·BIG − key
+#: selects the highest count, ties broken toward the smallest key —
+#: integer-portable on any engine (no struct-ordering or arg_max
+#: tie-break semantics to trust). BIG exceeds every key id, including
+#: the 10x-replica probe's +10^7-per-copy shifts.
+_SKEW_BIG = 1_000_000_000_000
+#: Salt recommendation targets the hottest key at <= 4x the mean
+#: per-reducer load.
+_SKEW_TARGET = 4
+
+_SKEW_COLS = (
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for table, col in _SKEW_COLS:
+        parts.append(f"""
+    SELECT '{table}.{col}' AS rel,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_count,
+           CAST(max(cnt) * {_SKEW_BIG} - max(cnt * {_SKEW_BIG} - k) AS BIGINT)
+             AS hot_key,
+           CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT)
+             AS top1_share_ppm,
+           CAST((max(cnt) * 100 * count(*)) // sum(cnt) AS BIGINT)
+             AS skew_x100,
+           CAST(greatest(1, (max(cnt) * count(*) + {_SKEW_TARGET} * sum(cnt) - 1)
+                            // ({_SKEW_TARGET} * sum(cnt))) AS BIGINT)
+             AS rec_salt
+    FROM (SELECT {col} AS k, CAST(count(*) AS BIGINT) AS cnt
+          FROM {table} WHERE {col} IS NOT NULL GROUP BY {col})""")
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@register("shuffle_skew_profile", _skew_oracle())
+def q_shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew advisor: for each candidate join/aggregate
+    key, the exact key-frequency profile a planner needs BEFORE running a
+    100-TB shuffle — row/key counts, the hottest key and its count, its
+    traffic share (ppm), the max/mean skew ratio (x100), and a
+    recommended salt factor that caps the hottest key at {t}x the mean
+    per-reducer load. This is the measurement side of
+    `skew_salted_join` (which demonstrates the fix) and of AQE's runtime
+    skew split (which this table predicts ahead of time). The argmax is
+    the composite-integer trick (count·10^12 − key): deterministic
+    highest-count-then-smallest-key on both engines with no struct or
+    arg_max tie-break semantics to trust.
+
+    Scale shape: per profiled column, ONE two-phase aggregate (map-side
+    combine on the key, then a second all-reduce over the per-key
+    counts) — the same cost as the groupBy it is de-risking; the three
+    profiles run as a union of independent aggregates. No window, no
+    join, no driver collect.
+    """
+    out = None
+    for table, col in _SKEW_COLS:
+        t = load_table(spark, sf_dir, table)
+        counts = (
+            t.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        metric = F.col("cnt") * _SKEW_BIG - F.col("k")
+        prof = counts.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_count"),
+            F.max(metric).alias("_m"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("rel"),
+            "n_rows",
+            "n_keys",
+            "max_count",
+            (F.col("max_count") * _SKEW_BIG - F.col("_m"))
+            .cast("long")
+            .alias("hot_key"),
+            _intdiv(F.col("max_count") * 1_000_000, F.col("n_rows")).alias(
+                "top1_share_ppm"
+            ),
+            _intdiv(
+                F.col("max_count") * 100 * F.col("n_keys"), F.col("n_rows")
+            ).alias("skew_x100"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                _intdiv(
+                    F.col("max_count") * F.col("n_keys")
+                    + _SKEW_TARGET * F.col("n_rows")
+                    - 1,
+                    _SKEW_TARGET * F.col("n_rows"),
+                ),
+            ).alias("rec_salt"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+def _intdiv(a, b):
+    """Exact non-negative integer division (both engines' `//`/`div`
+    agree on non-negative operands; the remainder subtraction keeps the
+    double divide exact)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+q_shuffle_skew_profile.__doc__ = q_shuffle_skew_profile.__doc__.format(
+    t=_SKEW_TARGET
+)

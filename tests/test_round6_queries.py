@@ -574,3 +574,76 @@ class TestPerceptronTrain:
         plan = plan_of(q(registry, "perceptron_train", spark))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestParetoFrontier:
+    def test_frontier_equals_brute_force(self, spark, registry):
+        """The window-frame skyline must equal the O(n²) definition:
+        docs not strictly dominated on (fewer tokens, higher quality)."""
+        from data_pipelines_worker_spark.operators import text_analysis as ta
+        from data_pipelines_worker_spark.session import load_table
+
+        docs = load_table(spark, SF, "documents")
+        scored = [
+            (r.source, r.doc_id, r.n_tokens, r.q)
+            for r in docs.select(
+                "source",
+                "doc_id",
+                F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+                ta.quality_score(F.col("text")).alias("q"),
+            ).collect()
+        ]
+        by_src: dict = {}
+        for s, d, t, qv in scored:
+            by_src.setdefault(s, []).append((d, t, qv))
+        expect = set()
+        for s, rows in by_src.items():
+            for d, t, qv in rows:
+                dominated = any(
+                    t2 <= t and q2 >= qv and (t2 < t or q2 > qv)
+                    for d2, t2, q2 in rows
+                    if d2 != d
+                )
+                if not dominated:
+                    expect.add((s, d))
+        got = {
+            (r.source, r.doc_id)
+            for r in q(registry, "pareto_frontier", spark).collect()
+        }
+        assert got == expect
+        assert got  # non-trivial frontier
+
+    def test_plan_single_exchange_single_sort(self, spark, registry):
+        plan = plan_of(q(registry, "pareto_frontier", spark))
+        assert plan.count("Exchange hashpartitioning(source") == 1
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("FileScan parquet") == 1
+
+
+class TestShuffleSkewProfile:
+    def test_profile_invariants(self, spark, registry):
+        from data_pipelines_worker_spark.session import load_table
+
+        rows = {r.rel: r for r in q(registry, "shuffle_skew_profile", spark).collect()}
+        assert set(rows) == {
+            "events.user_id", "lineitem.l_orderkey", "orders.o_custkey",
+        }
+        ev = load_table(spark, SF, "events")
+        top = (
+            ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()
+        )
+        r = rows["events.user_id"]
+        assert (r.hot_key, r.max_count) == (top.user_id, top["count"])
+        for r in rows.values():
+            assert r.max_count * r.n_keys >= r.n_rows  # max >= mean
+            assert 0 < r.top1_share_ppm <= 1_000_000
+            assert r.rec_salt >= 1
+            # salt caps the hot key at ~TARGET x mean
+            assert r.max_count * r.n_keys <= 4 * r.n_rows * (r.rec_salt + 1)
+
+    def test_plan_two_phase_aggregates_no_python(self, spark, registry):
+        plan = plan_of(q(registry, "shuffle_skew_profile", spark))
+        assert "partial_" in plan
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan

@@ -175,3 +175,22 @@ def test_zorder_layout_invariants(spark):
         assert r.files_scanned <= r.n_files
     # the whole point: z-order scans no more than natural for a 2-D box
     assert zo.rows_scanned <= nat.rows_scanned
+
+
+def test_bloom_zone_skipping_contracts(spark):
+    """Bloom never false-negatives (truth ⊆ bloom-scanned ⊆ minmax-
+    scanned), the absent key is fully skipped, and present keys show the
+    point-lookup win: bloom scans no more zones than minmax."""
+    rows = {r.probe_key: r for r in _q("bloom_zone_skipping", spark).collect()}
+    assert 555555 in rows and rows[555555].zones_minmax == 0
+    for r in rows.values():
+        assert r.never_miss is True
+        assert r.zones_truth <= r.zones_bloom <= r.zones_minmax <= r.n_zones
+
+
+def test_bloom_zone_plan_is_two_aggregates_no_join(spark):
+    df = _q("bloom_zone_skipping", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
