@@ -697,3 +697,183 @@ def _intdiv(a, b):
 q_shuffle_skew_profile.__doc__ = q_shuffle_skew_profile.__doc__.format(
     t=_SKEW_TARGET
 )
+
+
+# --- join cardinality estimation probe (round 6, late) ------------------------
+
+#: Heavy hitters kept exact in the refined estimator; everything whose
+#: key is in NEITHER side's top set is modeled uniform. The partition is
+#: by the UNION of both sides' top keys so exact and uniform masses
+#: never overlap (an OR-side split double-counts when one side's top
+#: keys sit in the other's remainder — measured 30% error on sf0.001).
+_CARD_HH = 8
+
+_CARD_JOINS = (
+    ("events", "user_id", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+)
+
+
+def _card_oracle() -> str:
+    parts = []
+    for ta_, ka, tb, kb in _CARD_JOINS:
+        parts.append(f"""
+    SELECT '{ta_}.{ka} x {tb}.{kb}' AS rel,
+           n_a, n_b, ndv_a, ndv_b, exact_card,
+           est_uniform,
+           CAST(abs(est_uniform - exact_card) * 1000000
+                // greatest(exact_card, 1) AS BIGINT) AS err_uniform_ppm,
+           est_hh,
+           CAST(abs(est_hh - exact_card) * 1000000
+                // greatest(exact_card, 1) AS BIGINT) AS err_hh_ppm
+    FROM (
+      WITH ca AS (SELECT {ka} AS k, CAST(count(*) AS BIGINT) AS c,
+                         row_number() OVER (ORDER BY count(*) DESC, {ka}) AS rk
+                  FROM {ta_} WHERE {ka} IS NOT NULL GROUP BY {ka}),
+      cb AS (SELECT {kb} AS k, CAST(count(*) AS BIGINT) AS c,
+                    row_number() OVER (ORDER BY count(*) DESC, {kb}) AS rk
+             FROM {tb} WHERE {kb} IS NOT NULL GROUP BY {kb}),
+      hk AS (SELECT k FROM ca WHERE rk <= {_CARD_HH}
+             UNION SELECT k FROM cb WHERE rk <= {_CARD_HH}),
+      tot AS (
+        SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ca) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM ca) AS ndv_a,
+               (SELECT CAST(sum(c) AS BIGINT) FROM cb) AS n_b,
+               (SELECT CAST(count(*) AS BIGINT) FROM cb) AS ndv_b,
+               (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT)
+                FROM ca JOIN cb USING (k)) AS exact_card,
+               (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT)
+                FROM ca JOIN cb USING (k)
+                WHERE k IN (SELECT k FROM hk)) AS hh_card,
+               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ca
+                WHERE k IN (SELECT k FROM hk)) AS hh_n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM ca
+                WHERE k IN (SELECT k FROM hk)) AS hh_ndv_a,
+               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM cb
+                WHERE k IN (SELECT k FROM hk)) AS hh_n_b,
+               (SELECT CAST(count(*) AS BIGINT) FROM cb
+                WHERE k IN (SELECT k FROM hk)) AS hh_ndv_b
+      )
+      SELECT n_a, n_b, ndv_a, ndv_b, exact_card,
+             CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS BIGINT)
+               AS est_uniform,
+             CAST(hh_card
+                  + ((n_a - hh_n_a) * (n_b - hh_n_b))
+                    // greatest(ndv_a - hh_ndv_a, ndv_b - hh_ndv_b, 1)
+                  AS BIGINT) AS est_hh
+      FROM tot
+    )""")
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@register("join_cardinality_probe", _card_oracle())
+def q_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation the way a cost-based optimizer does it,
+    measured against ground truth — the third leg of the planner-
+    evidence family (`shuffle_skew_profile` measures skew,
+    `zone_map_pruning`/`bloom_zone_skipping` measure skipping; this
+    measures the |A ⋈ B| estimate that decides join ORDER). Per join
+    pair: the uniformity estimate |A|·|B| / max(ndv_A, ndv_B) (what an
+    engine uses with plain column stats) and the end-biased-histogram
+    refinement — the union of both sides' top-{hh} keys kept exact,
+    rows outside that key set modeled uniform over the remaining ndv
+    (Ioannidis-style; partitioning by the key-set union keeps the exact
+    and uniform masses disjoint) — each with its error vs the exact
+    Σ c_A(k)·c_B(k) in ppm. The emitted table is the case for
+    collecting histogram stats before planning a 100-TB join tree.
+
+    Scale shape: per side ONE two-phase count aggregate (the same
+    profile `shuffle_skew_profile` builds); the exact term joins the two
+    COUNT TABLES (ndv-sized, not data-sized); per-side heavy hitters are
+    ORDER BY ... LIMIT — TakeOrderedAndProject, never a global window
+    over the count table — and the union key set is a broadcast
+    semi-join predicate. No scan of either table is repeated and the
+    fact tables themselves are never joined. (The exact ground-truth
+    term is the audit half — a production CBO samples it; the estimates
+    are the product.)
+    """
+    out = None
+    for ta_, ka, tb, kb in _CARD_JOINS:
+        a = load_table(spark, sf_dir, ta_)
+        b = load_table(spark, sf_dir, tb)
+
+        def side(t: DataFrame, key: str) -> DataFrame:
+            return (
+                t.where(F.col(key).isNotNull())
+                .groupBy(F.col(key).alias("k"))
+                .agg(F.count("*").cast("long").alias("c"))
+            )
+
+        ca, cb = side(a, ka), side(b, kb)
+        top_a = ca.orderBy(F.col("c").desc(), "k").limit(_CARD_HH)
+        top_b = cb.orderBy(F.col("c").desc(), "k").limit(_CARD_HH)
+        hh_keys = top_a.select("k").unionByName(top_b.select("k")).distinct()
+        joined = ca.alias("ca").join(cb.alias("cb"), "k")
+        exact = joined.agg(
+            F.coalesce(F.sum(F.col("ca.c") * F.col("cb.c")), F.lit(0))
+            .cast("long")
+            .alias("exact_card")
+        )
+        hh = joined.join(F.broadcast(hh_keys), "k", "left_semi").agg(
+            F.coalesce(F.sum(F.col("ca.c") * F.col("cb.c")), F.lit(0))
+            .cast("long")
+            .alias("hh_card")
+        )
+
+        def masses(counts: DataFrame, suffix: str) -> DataFrame:
+            tot = counts.agg(
+                F.sum("c").cast("long").alias(f"n_{suffix}"),
+                F.count("*").cast("long").alias(f"ndv_{suffix}"),
+            )
+            hh_mass = counts.join(F.broadcast(hh_keys), "k", "left_semi").agg(
+                F.coalesce(F.sum("c"), F.lit(0))
+                .cast("long")
+                .alias(f"hh_n_{suffix}"),
+                F.count("*").cast("long").alias(f"hh_ndv_{suffix}"),
+            )
+            return tot.crossJoin(F.broadcast(hh_mass))
+
+        tot = (
+            masses(ca, "a")
+            .crossJoin(F.broadcast(masses(cb, "b")))
+            .crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(hh))
+        )
+        est_uniform = _intdiv(
+            F.col("n_a") * F.col("n_b"),
+            F.greatest(F.col("ndv_a"), F.col("ndv_b")),
+        )
+        est_hh = F.col("hh_card") + _intdiv(
+            (F.col("n_a") - F.col("hh_n_a"))
+            * (F.col("n_b") - F.col("hh_n_b")),
+            F.greatest(
+                F.col("ndv_a") - F.col("hh_ndv_a"),
+                F.col("ndv_b") - F.col("hh_ndv_b"),
+                F.lit(1).cast("long"),
+            ),
+        )
+        prof = tot.select(
+            F.lit(f"{ta_}.{ka} x {tb}.{kb}").alias("rel"),
+            "n_a",
+            "n_b",
+            "ndv_a",
+            "ndv_b",
+            "exact_card",
+            est_uniform.alias("est_uniform"),
+            _intdiv(
+                F.abs(est_uniform - F.col("exact_card")) * 1_000_000,
+                F.greatest(F.col("exact_card"), F.lit(1).cast("long")),
+            ).alias("err_uniform_ppm"),
+            est_hh.cast("long").alias("est_hh"),
+            _intdiv(
+                F.abs(est_hh - F.col("exact_card")) * 1_000_000,
+                F.greatest(F.col("exact_card"), F.lit(1).cast("long")),
+            ).alias("err_hh_ppm"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+q_join_cardinality_probe.__doc__ = q_join_cardinality_probe.__doc__.format(
+    hh=_CARD_HH
+)

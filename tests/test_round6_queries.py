@@ -647,3 +647,88 @@ class TestShuffleSkewProfile:
         assert "partial_" in plan
         assert "BatchEvalPython" not in plan
         assert "Join" not in plan
+
+
+class TestJoinCardinalityProbe:
+    def test_estimates_and_truth(self, spark, registry):
+        from data_pipelines_worker_spark.session import load_table
+
+        rows = {r.rel: r for r in q(registry, "join_cardinality_probe", spark).collect()}
+        assert len(rows) == 2
+        # ground truth equals an actual join count
+        ev = load_table(spark, SF, "events")
+        cust = load_table(spark, SF, "customer")
+        true_n = ev.join(cust, ev.user_id == cust.c_custkey).count()
+        r = rows["events.user_id x customer.c_custkey"]
+        assert r.exact_card == true_n
+        for r in rows.values():
+            assert r.err_hh_ppm >= 0 and r.err_uniform_ppm >= 0
+            # the synthetic FKs are uniform, so BOTH estimators must land
+            # within 2% of truth here (uniform is exact by construction;
+            # the HH refinement pays a small truncation cost — its win
+            # shows on skewed profiles, its near-parity here is the
+            # honest readout)
+            assert r.err_uniform_ppm <= 20_000
+            assert r.err_hh_ppm <= 20_000
+
+    def test_plan_no_fact_fact_join(self, spark, registry):
+        # the fact tables are never joined to each other: every join in
+        # the plan is between count tables / broadcast key sets
+        plan = plan_of(q(registry, "join_cardinality_probe", spark))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan  # top-k, not a global window
+        assert "Window" not in plan
+
+
+class TestKcorePeeling:
+    def test_peeling_matches_pure_python(self, spark, registry):
+        """Replay the peel loop in plain Python over the same edge set
+        and compare every round's removal/survivor counts."""
+        from data_pipelines_worker_spark.queries.retrieval_queries import (
+            _KCORE_K,
+            _KCORE_ROUNDS,
+        )
+        from data_pipelines_worker_spark.session import load_table
+
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders")
+        urgent = {
+            r.o_orderkey
+            for r in orders.where("o_orderpriority = '1-URGENT'").collect()
+        }
+        by_order: dict = {}
+        for r in li.select("l_orderkey", "l_partkey").collect():
+            if r.l_orderkey in urgent:
+                by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        E = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    E.add((ps[i], ps[j]))
+        expect = []
+        from collections import defaultdict
+
+        for rnd in range(1, _KCORE_ROUNDS + 1):
+            deg = defaultdict(int)
+            for a, b in E:
+                deg[a] += 1
+                deg[b] += 1
+            bad = {n for n, d in deg.items() if d < _KCORE_K}
+            E = {(a, b) for a, b in E if a not in bad and b not in bad}
+            nodes = {x for e in E for x in e}
+            expect.append((rnd, len(bad), len(nodes), len(E)))
+        got = sorted(
+            (r.round, r.n_removed, r.n_nodes, r.n_edges)
+            for r in q(registry, "kcore_peeling", spark).collect()
+        )
+        assert got == expect
+        # cascade evidence: peeling is monotone (removals non-increasing)
+        rem = [g[1] for g in got]
+        assert rem == sorted(rem, reverse=True)
+
+    def test_plan_no_cartesian_no_python(self, spark, registry):
+        plan = plan_of(q(registry, "kcore_peeling", spark))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

@@ -82,6 +82,16 @@ HEADLINERS = {
     "activity_streaks": "(user, day) dedup below the island window, one user exchange",
     "rolling_active_users": "dedup-then-fanout ×7, distinct partial-combine per day",
     "ks_drift_check": "value-grid collapse, one type-keyed exchange serves cumsum+totals+max",
+    "zorder_layout": "one scan, in-stage layout fan-out, two manifest-sized aggs",
+    "bootstrap_ci": "x16 replicate fan-out in scan stage, one partial-combined agg",
+    "lsh_parameter_sweep": "one 64-min signature pass, 60-band equi-join, config table",
+    "perceptron_train": "per-round 1-row weight broadcast + all-reduce aggregate",
+    "media_audio_energy": "Arrow WAV codec stages, active-frames-only island window",
+    "bloom_zone_skipping": "8-lane bit_or filter build in one partial-combined agg",
+    "pareto_frontier": "two RANGE frames over one source-keyed sort",
+    "shuffle_skew_profile": "per-key two-phase counts, composite-integer argmax",
+    "join_cardinality_probe": "count-table joins only, TakeOrdered top-k heavy hitters",
+    "kcore_peeling": "per-round degree agg + broadcast anti-joins, localCheckpoint",
 }
 
 
