@@ -100,6 +100,34 @@ def quality_score(text: Column) -> Column:
     return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(score)
 
 
+def all_stopwords_sql() -> str:
+    """DuckDB array literal of every language's stopwords — the SQL twin
+    of the ``sw`` array inside :func:`quality_score`."""
+    return (
+        "["
+        + ", ".join(f"'{w}'" for ws in LANG_STOPWORDS.values() for w in ws)
+        + "]"
+    )
+
+
+def quality_score_sql(text: str = "text") -> str:
+    """DuckDB twin of :func:`quality_score`, character-identical at every
+    call site (the expression is bit-exactness-critical: oracle gates
+    compare raw comparisons like ``quality >= 0.62`` where any
+    re-association flips labels). Keep THIS the only SQL spelling —
+    older oracles (text_queries corpus_prep/quality, curation ppl
+    bucketing) predate the helper and carry equivalent inline copies."""
+    sw = all_stopwords_sql()
+    return f"""CASE WHEN length({text}) = 0 THEN 0.0 ELSE
+      0.4 * (1.0 - least(abs((length({text}) - (len(string_split({text}, ' ')) - 1))
+                             / CAST(len(string_split({text}, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
+    + 0.3 * least(len(list_filter(string_split({text}, ' '),
+                                  w -> list_contains({sw}, w)))
+                  / CAST(len(string_split({text}, ' ')) AS DOUBLE) * 4.0, 1.0)
+    + 0.3 * (length(regexp_replace({text}, '[^a-zA-Z]', '', 'g'))
+             / CAST(length({text}) AS DOUBLE)) END"""
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Content fingerprint: md5 of the lowercased document."""
     return F.md5(F.lower(text))

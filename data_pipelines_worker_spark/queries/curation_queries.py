@@ -949,21 +949,8 @@ def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- quality/cost Pareto frontier (round 6, late) -----------------------------
 
-_PARETO_QUALITY_SQL = """CASE WHEN length(text) = 0 THEN 0.0 ELSE
-      0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
-                             / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
-    + 0.3 * least(len(list_filter(string_split(text, ' '),
-                                  w -> list_contains({sw}, w)))
-                  / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
-    + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-             / CAST(length(text) AS DOUBLE)) END"""
-
-
 def _pareto_oracle() -> str:
-    all_sw = (
-        "[" + ", ".join(f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws) + "]"
-    )
-    q = _PARETO_QUALITY_SQL.format(sw=all_sw)
+    q = ta.quality_score_sql()
     return f"""
     WITH scored AS (
       SELECT source, doc_id,

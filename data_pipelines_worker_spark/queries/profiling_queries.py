@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.intmath import exact_floordiv
 from ..session import load_table
 from . import register
 
@@ -432,17 +433,44 @@ _POIS_CUM = (
 )
 
 
-def _bootstrap_oracle() -> str:
+def poisson_weight_sql(seed: str) -> str:
+    """DuckDB twin of :func:`poisson_weight_col` — generated from the
+    same thresholds so the two can never fork."""
     from .sketch_queries import _hll_mix_sql
     from ..operators.text_analysis import MOD
 
     t = [int(c * MOD) for c in _POIS_CUM]
-    h = _hll_mix_sql(f"(event_id * {_BOOT_R} + r + 1)")
-    w = (
+    h = _hll_mix_sql(seed)
+    return (
         f"CASE WHEN {h} < {t[0]} THEN 0 WHEN {h} < {t[1]} THEN 1 "
         f"WHEN {h} < {t[2]} THEN 2 WHEN {h} < {t[3]} THEN 3 "
         f"WHEN {h} < {t[4]} THEN 4 ELSE 5 END"
     )
+
+
+def poisson_weight_col(seed):
+    """Deterministic Poisson(1) resampling weight of an integer seed
+    column — the ONE weight channel shared by the batch ``bootstrap_ci``
+    query and the streaming fold (``streaming/bootstrap.py``), so the
+    stream ≡ batch bit-guarantee cannot fork."""
+    from .sketch_queries import _hll_mix_col
+    from ..operators.text_analysis import MOD
+
+    t = [int(c * MOD) for c in _POIS_CUM]
+    h = _hll_mix_col(seed)
+    return (
+        F.when(h < t[0], 0)
+        .when(h < t[1], 1)
+        .when(h < t[2], 2)
+        .when(h < t[3], 3)
+        .when(h < t[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+
+
+def _bootstrap_oracle() -> str:
+    w = poisson_weight_sql(f"(event_id * {_BOOT_R} + r + 1)")
     return f"""
     WITH src AS (
       SELECT event_id, event_type,
@@ -515,10 +543,6 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     type — then a window over those 16-row groups. No second scan, no
     join, no driver loop.
     """
-    from ..operators.text_analysis import MOD
-    from .sketch_queries import _hll_mix_col
-
-    t = [int(c * MOD) for c in _POIS_CUM]
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     src = ev.select(
         "event_id",
@@ -531,16 +555,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vc",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
     )
-    h = _hll_mix_col(F.col("event_id") * _BOOT_R + F.col("r") + 1)
-    w = (
-        F.when(h < t[0], 0)
-        .when(h < t[1], 1)
-        .when(h < t[2], 2)
-        .when(h < t[3], 3)
-        .when(h < t[4], 4)
-        .otherwise(5)
-        .cast("long")
-    )
+    w = poisson_weight_col(F.col("event_id") * _BOOT_R + F.col("r") + 1)
     reps = fan.withColumn("w", w).groupBy("event_type", "r").agg(
         F.sum(F.col("w") * F.col("vc")).cast("long").alias("swc"),
         F.sum("w").cast("long").alias("sw"),
@@ -548,15 +563,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
     )
 
-    def _floordiv(a, b):
-        return ((a - F.pmod(a, b)) / b).cast("long")
-
     means = reps.where(F.col("sw") > 0).select(
         "event_type",
         "r",
         "sc",
         "n",
-        _floordiv(F.col("swc"), F.col("sw")).alias("mean_c"),
+        exact_floordiv(F.col("swc"), F.col("sw")).alias("mean_c"),
     )
     win = Window.partitionBy("event_type")
     ranked = means.select(
@@ -567,11 +579,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(win.orderBy("mean_c", "r")).alias("rn"),
         F.count("*").over(win).alias("n_boot"),
     )
-    k_lo = F.greatest(F.lit(1), (F.col("n_boot") * 2 - F.pmod(F.col("n_boot") * 2, F.lit(_BOOT_R))) / _BOOT_R)
-    k_lo = k_lo.cast("long")
+    k_lo = F.greatest(
+        F.lit(1).cast("long"),
+        exact_floordiv(F.col("n_boot") * 2, F.lit(_BOOT_R)),
+    )
     return ranked.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
-        F.max(_floordiv(F.col("sc"), F.col("n"))).cast("long").alias(
+        F.max(exact_floordiv(F.col("sc"), F.col("n"))).cast("long").alias(
             "point_mean_c"
         ),
         F.max("n_boot").cast("long").alias("n_boot"),
@@ -586,12 +600,6 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shuffle-skew advisor (round 6, late) -------------------------------------
 
-#: Composite integer for deterministic argmax: metric = cnt·BIG − key
-#: selects the highest count, ties broken toward the smallest key —
-#: integer-portable on any engine (no struct-ordering or arg_max
-#: tie-break semantics to trust). BIG exceeds every key id, including
-#: the 10x-replica probe's +10^7-per-copy shifts.
-_SKEW_BIG = 1_000_000_000_000
 #: Salt recommendation targets the hottest key at <= 4x the mean
 #: per-reducer load.
 _SKEW_TARGET = 4
@@ -611,8 +619,12 @@ def _skew_oracle() -> str:
            CAST(sum(cnt) AS BIGINT) AS n_rows,
            CAST(count(*) AS BIGINT) AS n_keys,
            CAST(max(cnt) AS BIGINT) AS max_count,
-           CAST(max(cnt) * {_SKEW_BIG} - max(cnt * {_SKEW_BIG} - k) AS BIGINT)
-             AS hot_key,
+           CAST(min(CASE WHEN cnt = (SELECT max(cnt)
+                                     FROM (SELECT count(*) AS cnt
+                                           FROM {table}
+                                           WHERE {col} IS NOT NULL
+                                           GROUP BY {col}))
+                         THEN k END) AS BIGINT) AS hot_key,
            CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT)
              AS top1_share_ppm,
            CAST((max(cnt) * 100 * count(*)) // sum(cnt) AS BIGINT)
@@ -634,10 +646,12 @@ def q_shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommended salt factor that caps the hottest key at {t}x the mean
     per-reducer load. This is the measurement side of
     `skew_salted_join` (which demonstrates the fix) and of AQE's runtime
-    skew split (which this table predicts ahead of time). The argmax is
-    the composite-integer trick (count·10^12 − key): deterministic
-    highest-count-then-smallest-key on both engines with no struct or
-    arg_max tie-break semantics to trust.
+    skew split (which this table predicts ahead of time). The hottest
+    key is picked overflow-free: max(count) first, then min(key) among
+    rows at that count — deterministic highest-count-then-smallest-key
+    on both engines at any count magnitude (a count·BIG − key composite
+    would overflow int64 on precisely the pathological keys the advisor
+    exists to flag).
 
     Scale shape: per profiled column, ONE two-phase aggregate (map-side
     combine on the key, then a second all-reduce over the per-key
@@ -653,29 +667,37 @@ def q_shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(col).alias("k"))
             .agg(F.count("*").cast("long").alias("cnt"))
         )
-        metric = F.col("cnt") * _SKEW_BIG - F.col("k")
+        # overflow-free deterministic argmax: a second tiny pass over the
+        # count table picks min(key) among rows at the max count — exact
+        # at ANY count magnitude, unlike a cnt·BIG − key composite, which
+        # overflows int64 once a key's count passes BIG-relative bounds
+        # (the advisor must survive exactly the hot keys it diagnoses)
+        counts = counts.localCheckpoint()
+        mx = counts.agg(F.max("cnt").cast("long").alias("max_count"))
+        hot = (
+            counts.join(
+                F.broadcast(mx), F.col("cnt") == F.col("max_count")
+            ).agg(F.min("k").cast("long").alias("hot_key"))
+        )
         prof = counts.agg(
             F.sum("cnt").cast("long").alias("n_rows"),
             F.count("*").cast("long").alias("n_keys"),
             F.max("cnt").cast("long").alias("max_count"),
-            F.max(metric).alias("_m"),
-        ).select(
+        ).crossJoin(F.broadcast(hot)).select(
             F.lit(f"{table}.{col}").alias("rel"),
             "n_rows",
             "n_keys",
             "max_count",
-            (F.col("max_count") * _SKEW_BIG - F.col("_m"))
-            .cast("long")
-            .alias("hot_key"),
-            _intdiv(F.col("max_count") * 1_000_000, F.col("n_rows")).alias(
+            "hot_key",
+            exact_floordiv(F.col("max_count") * 1_000_000, F.col("n_rows")).alias(
                 "top1_share_ppm"
             ),
-            _intdiv(
+            exact_floordiv(
                 F.col("max_count") * 100 * F.col("n_keys"), F.col("n_rows")
             ).alias("skew_x100"),
             F.greatest(
                 F.lit(1).cast("long"),
-                _intdiv(
+                exact_floordiv(
                     F.col("max_count") * F.col("n_keys")
                     + _SKEW_TARGET * F.col("n_rows")
                     - 1,
@@ -685,13 +707,6 @@ def q_shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = prof if out is None else out.unionByName(prof)
     return out
-
-
-def _intdiv(a, b):
-    """Exact non-negative integer division (both engines' `//`/`div`
-    agree on non-negative operands; the remainder subtraction keeps the
-    double divide exact)."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
 
 
 q_shuffle_skew_profile.__doc__ = q_shuffle_skew_profile.__doc__.format(
@@ -839,11 +854,11 @@ def q_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(exact))
             .crossJoin(F.broadcast(hh))
         )
-        est_uniform = _intdiv(
+        est_uniform = exact_floordiv(
             F.col("n_a") * F.col("n_b"),
             F.greatest(F.col("ndv_a"), F.col("ndv_b")),
         )
-        est_hh = F.col("hh_card") + _intdiv(
+        est_hh = F.col("hh_card") + exact_floordiv(
             (F.col("n_a") - F.col("hh_n_a"))
             * (F.col("n_b") - F.col("hh_n_b")),
             F.greatest(
@@ -860,12 +875,12 @@ def q_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndv_b",
             "exact_card",
             est_uniform.alias("est_uniform"),
-            _intdiv(
+            exact_floordiv(
                 F.abs(est_uniform - F.col("exact_card")) * 1_000_000,
                 F.greatest(F.col("exact_card"), F.lit(1).cast("long")),
             ).alias("err_uniform_ppm"),
             est_hh.cast("long").alias("est_hh"),
-            _intdiv(
+            exact_floordiv(
                 F.abs(est_hh - F.col("exact_card")) * 1_000_000,
                 F.greatest(F.col("exact_card"), F.lit(1).cast("long")),
             ).alias("err_hh_ppm"),

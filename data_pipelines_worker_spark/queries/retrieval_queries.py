@@ -841,17 +841,8 @@ _PERC_BIAS = 1000
 def _perceptron_oracle() -> str:
     from ..operators import text_analysis as ta
 
-    all_sw = (
-        "[" + ", ".join(f"'{w}'" for ws in ta.LANG_STOPWORDS.values() for w in ws) + "]"
-    )
-    quality = f"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         0.4 * (1.0 - least(abs((length(text) - (len(string_split(text, ' ')) - 1))
-                                / CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 5.0, 1.0))
-       + 0.3 * least(len(list_filter(string_split(text, ' '),
-                                     w -> list_contains({all_sw}, w)))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) * 4.0, 1.0)
-       + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                / CAST(length(text) AS DOUBLE)) END"""
+    all_sw = ta.all_stopwords_sql()
+    quality = ta.quality_score_sql()
     names = ("w_bias", "w_cpw", "w_sw", "w_alpha")
     xs = ("x0", "x1", "x2", "x3")
     dot = lambda cte: " + ".join(f"{cte}.{n} * {x}" for n, x in zip(names, xs))
@@ -946,10 +937,7 @@ def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     al = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
 
-    def fdiv(a, b):
-        # exact integer division of non-negative exact multiples: the
-        # adjusted dividend is divisible by b, so the double divide is exact
-        return ((a - F.pmod(a, b)) / b).cast("long")
+    from ..functions.intmath import exact_floordiv as fdiv
 
     y = (
         F.when(ta.quality_score(text) >= F.lit(_PERC_TH), 1)

@@ -749,16 +749,18 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: 504-bit zone Bloom filter as 8 x 63-bit integer lanes (bit 63 never
 #: used, so the lane longs stay non-negative on every engine), 2 probe
-#: positions per key. For ~300 distinct keys/zone the fill rate keeps
-#: false positives visible but small — exactly the regime where the
-#: probe table demonstrates bloom-vs-minmax skipping.
+#: positions per key. Ship-DAY zones hold ~24 keys at sf0.01 (~10% fill,
+#: sharp skipping) and ~230 at sf0.1 (saturating) — the probe table
+#: deliberately spans both regimes so the m~10n sizing rule is measured.
 _BLOOM_BITS = 504
 _BLOOM_LANE = 63
 _BLOOM_LANES = _BLOOM_BITS // _BLOOM_LANE
 _BLOOM_K = 2
 #: Point-lookup workload: keys present at every SF (partkeys are dense
-#: 0..N) plus one absent everywhere (555555) — minmax cannot skip an
-#: in-range absent key; the Bloom filter can.
+#: 0..N) plus one absent everywhere (555555, above every SF's key range,
+#: so BOTH structures prune it fully — dense key spaces leave no
+#: in-range absent value to plant; the Bloom-vs-minmax win shows on the
+#: PRESENT keys, where minmax envelopes are useless for point lookups).
 _BLOOM_PROBES = (0, 1, 7, 42, 99, 150, 123, 555555)
 
 
@@ -846,8 +848,8 @@ def _bloom_zone_oracle() -> str:
 def q_bloom_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-level Bloom skipping stats: the point-lookup complement of
     the min/max zone map (`zone_map_pruning`) and the per-file face of
-    parquet/Iceberg Bloom filters. Each ship-month zone aggregates a
-    252-bit Bloom filter over l_partkey (4 x 63-bit integer lanes folded
+    parquet/Iceberg Bloom filters. Each ship-day zone aggregates a
+    504-bit Bloom filter over l_partkey (8 x 63-bit integer lanes folded
     with ``bit_or`` — register-exact, so the oracle pins filter
     CONTENTS, not behavior), plus the min/max envelope and the exact
     per-probe truth. For an 8-key point-lookup workload (7 present, one

@@ -23,28 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.text_analysis import MOD
-from ..queries.profiling_queries import _BOOT_R, _POIS_CUM
-from ..queries.sketch_queries import _hll_mix_col
-
-_T = [int(c * MOD) for c in _POIS_CUM]
+from ..functions.intmath import exact_floordiv
+from ..queries.profiling_queries import _BOOT_R, poisson_weight_col
 
 
 def _weight(r: int) -> Column:
-    h = _hll_mix_col(F.col("event_id") * _BOOT_R + F.lit(r) + 1)
-    return (
-        F.when(h < _T[0], 0)
-        .when(h < _T[1], 1)
-        .when(h < _T[2], 2)
-        .when(h < _T[3], 3)
-        .when(h < _T[4], 4)
-        .otherwise(5)
-        .cast("long")
-    )
-
-
-def _floordiv(a: Column, b: Column) -> Column:
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    # the ONE weight channel shared with the batch query — no local copy
+    return poisson_weight_col(F.col("event_id") * _BOOT_R + F.lit(r) + 1)
 
 
 def windowed_bootstrap_ci(
@@ -81,23 +66,33 @@ def windowed_bootstrap_ci(
         *[
             F.when(
                 F.col(f"sw{r}") > 0,
-                _floordiv(F.col(f"swc{r}"), F.col(f"sw{r}")),
+                exact_floordiv(F.col(f"swc{r}"), F.col(f"sw{r}")),
             )
             for r in range(_BOOT_R)
         ]
     )
-    arr = F.sort_array(F.filter(means, lambda x: x.isNotNull()))
-    n_boot = F.size(arr).cast("long")
+    # groups whose 16 resamples are ALL empty (possible for singleton
+    # groups: every replicate drew weight 0) are dropped BEFORE the
+    # order-statistic projection — matching the batch query, where such
+    # groups vanish at the sw > 0 filter; without the filter the
+    # element_at(arr, 0) below is an ANSI error and the streaming query
+    # wedges in a replay crash loop
+    withm = agg.withColumn(
+        "arr", F.sort_array(F.filter(means, lambda x: x.isNotNull()))
+    ).where(F.size("arr") > 0)
+    n_boot = F.size("arr").cast("long")
     k_lo = F.greatest(
         F.lit(1).cast("long"),
-        _floordiv(n_boot * 2, F.lit(_BOOT_R).cast("long")),
+        exact_floordiv(n_boot * 2, F.lit(_BOOT_R).cast("long")),
     )
-    return agg.select(
+    return withm.select(
         F.col("w.start").cast("long").alias("window_start"),
         group_col,
         "n",
-        _floordiv(F.col("sc"), F.col("n")).alias("point_mean_c"),
+        exact_floordiv(F.col("sc"), F.col("n")).alias("point_mean_c"),
         n_boot.alias("n_boot"),
-        F.element_at(arr, k_lo.cast("int")).alias("boot_lo_c"),
-        F.element_at(arr, (n_boot + 1 - k_lo).cast("int")).alias("boot_hi_c"),
+        F.element_at(F.col("arr"), k_lo.cast("int")).alias("boot_lo_c"),
+        F.element_at(F.col("arr"), (n_boot + 1 - k_lo).cast("int")).alias(
+            "boot_hi_c"
+        ),
     )

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.selection import SCORE_COLS, score_docs, top_p_select
@@ -55,14 +55,24 @@ def merge_batch(batch_df: DataFrame, batch_id: int, store_dir: str) -> None:
     scored = score_docs(batch_df).select(*SCORE_COLS)
     batch_dir = os.path.join(store_dir, _SCORES, f"batch={batch_id}")
     scored.write.mode("overwrite").parquet(batch_dir)
+    # affected sources come straight from the (tiny) batch frame — no
+    # write-then-re-read round trip per micro-batch
     affected = [
-        r.source
-        for r in spark.read.parquet(batch_dir).select("source").distinct().collect()
+        r.source for r in batch_df.select("source").distinct().collect()
     ]
+    # A doc_id legitimately re-emitted in a later batch (re-crawl/update)
+    # must resolve DETERMINISTICALLY to its newest score row — the
+    # `batch=` partition column the store layout already provides is the
+    # version axis (a bare dropDuplicates picks a partition-order-
+    # dependent row, silently breaking the stream ≡ batch discipline).
+    all_scores = spark.read.parquet(os.path.join(store_dir, _SCORES))
+    w = Window.partitionBy("source", "doc_id").orderBy(
+        F.col("batch").cast("long").desc(), F.col("q").desc(), "n_tokens"
+    )
     standing = (
-        spark.read.parquet(os.path.join(store_dir, _SCORES))
+        all_scores.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
         .select(*SCORE_COLS)
-        .dropDuplicates(["source", "doc_id"])
     )
     recomputed = top_p_select(standing.where(F.col("source").isin(affected)))
     if standing_path is not None:

@@ -646,7 +646,10 @@ class TestShuffleSkewProfile:
         plan = plan_of(q(registry, "shuffle_skew_profile", spark))
         assert "partial_" in plan
         assert "BatchEvalPython" not in plan
-        assert "Join" not in plan
+        # the only join is the overflow-free hot-key pick: the 1-row
+        # max-count frame broadcast onto the count table
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
 
 
 class TestJoinCardinalityProbe:

@@ -1219,3 +1219,88 @@ def test_bootstrap_one_big_window_matches_batch_query(spark, sf_dir):
     }
     assert got == batch
     assert batch
+
+
+def test_bootstrap_all_empty_resample_group_is_dropped_not_crashed(spark):
+    # a singleton group whose event_id draws weight 0 in all 16
+    # replicates must be DROPPED (matching the batch query's sw > 0
+    # filter), not crash element_at under ANSI — find such an id by
+    # scanning the deterministic weight channel, then stream it
+    from data_pipelines_worker_spark.queries.profiling_queries import (
+        _BOOT_R,
+        poisson_weight_col,
+    )
+    from data_pipelines_worker_spark.streaming.bootstrap import (
+        windowed_bootstrap_ci,
+    )
+    from pyspark.sql import functions as F
+
+    # precomputed offline (P(all-16-zero) = e^-16 ~ 1.1e-7, so scanning
+    # in-test is hopeless); the assertion below re-verifies the property
+    # through the production weight channel, so a constants change that
+    # invalidates the id fails loudly here
+    eid = 8984760
+    wsum = (
+        spark.range(1)
+        .select(
+            sum(
+                poisson_weight_col(
+                    F.lit(eid).cast("long") * _BOOT_R + F.lit(r) + 1
+                )
+                for r in range(_BOOT_R)
+            ).alias("wsum")
+        )
+        .collect()[0]
+        .wsum
+    )
+    assert wsum == 0, "precomputed id no longer draws all-zero weights"
+    df = spark.createDataFrame(
+        [
+            (eid, "2024-01-01 00:30:00", "lonely", 5.0),
+            (7, "2024-01-01 00:30:00", "normal", 5.0),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r.event_type: r for r in windowed_bootstrap_ci(df).collect()}
+    assert "lonely" not in rows  # dropped, exactly like the batch query
+    assert "normal" in rows and rows["normal"].n_boot >= 1
+
+
+def test_top_p_selection_reemitted_doc_uses_newest_score(spark, tmp_path, sf_dir):
+    # a doc re-emitted in a later batch (re-crawl) must deterministically
+    # resolve to its NEWEST score row via the batch partition column
+    from data_pipelines_worker_spark.operators.selection import (
+        score_docs,
+        top_p_select,
+    )
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.selection import (
+        merge_batch,
+        read_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    store = str(tmp_path / "store")
+    merge_batch(docs, 0, store)
+    # re-emit one doc with materially different text (cheap → short)
+    target = docs.orderBy("doc_id").first()
+    upd = spark.createDataFrame(
+        [(target.doc_id, "tiny", target.source)],
+        "doc_id long, text string, source string",
+    )
+    merge_batch(upd, 1, store)
+    got = {
+        r.doc_id: (r.n_tokens, r.quality)
+        for r in read_manifest(spark, store).collect()
+    }
+    # expected manifest: batch-0 corpus with the target's row replaced
+    updated = docs.where(F.col("doc_id") != target.doc_id).unionByName(upd)
+    expect = {
+        r.doc_id: (r.n_tokens, r.quality)
+        for r in top_p_select(score_docs(updated)).collect()
+    }
+    assert got == expect
+    if target.doc_id in got:
+        assert got[target.doc_id][0] == 1  # the NEW 1-token score won
