@@ -892,3 +892,121 @@ def q_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_join_cardinality_probe.__doc__ = q_join_cardinality_probe.__doc__.format(
     hh=_CARD_HH
 )
+
+
+# --- Theil–Sen robust trend (round 6, late) -----------------------------------
+
+#: Deterministic per-user event cap before pair enumeration: pair work is
+#: bounded at C(cap, 2) = 496 rows per user regardless of user activity
+#: (the standard subsampled Theil–Sen; the estimator stays consistent).
+_TS_CAP = 32
+
+
+_THEILSEN_ORACLE = f"""
+WITH src AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rk
+  FROM events WHERE value IS NOT NULL
+),
+s AS (SELECT * FROM src WHERE rk <= {_TS_CAP}),
+pairs AS (
+  SELECT a.user_id,
+         (b.vc - a.vc) / CAST(b.ts_us - a.ts_us AS DOUBLE) AS slope,
+         a.event_id AS e1, b.event_id AS e2
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.ts_us <> b.ts_us
+),
+ranked AS (
+  SELECT user_id, slope,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY slope, e1, e2) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_pairs
+  FROM pairs
+)
+SELECT user_id,
+       CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(max(CASE WHEN rn = (n_pairs + 1) // 2
+                     THEN floor(slope * 34359738368) END) AS BIGINT)
+         AS theilsen_slope_bits
+FROM ranked
+GROUP BY user_id
+"""
+
+
+@register("theilsen_slope", _THEILSEN_ORACLE)
+def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per user: the median of pairwise slopes
+    (Δvalue/Δt over all event pairs) — the 29%-breakdown-point
+    alternative to `group_linreg`'s least squares, which a single
+    corrupt point can drag arbitrarily. Each slope is ONE IEEE division
+    of two exact integers (cents over epoch-micros: correctly rounded,
+    bit-identical on both engines); the median is the rank-picked lower
+    median under a fully deterministic order (slope, pair ids), and the
+    result travels as 2^35-scaled bits (the probe-family quantization).
+
+    Scale shape: a deterministic Knuth-hash cap keeps ≤ {cap} events
+    per user BEFORE pair enumeration (WindowGroupLimit prunes the rank
+    filter map-side), so the self-join emits ≤ C({cap},2) = 496 rows
+    per user — pair work is corpus-linear in users, never quadratic in
+    events. One user-keyed exchange serves the cap window, the pair
+    join, and the median window. Same-timestamp pairs are excluded
+    (slope undefined); users with < 2 distinct-time samples drop out on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    knuth = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1 << 32))
+    w = Window.partitionBy("user_id").orderBy(knuth, "event_id")
+    s = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TS_CAP)
+        .drop("rk")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.ts_us") != F.col("b.ts_us")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.vc") - F.col("a.vc"))
+            / (F.col("b.ts_us") - F.col("a.ts_us")).cast("double")
+        ).alias("slope"),
+        F.col("a.event_id").alias("e1"),
+        F.col("b.event_id").alias("e2"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wu.orderBy("slope", "e1", "e2")).alias("rn"),
+        F.count("*").over(wu).alias("n_pairs"),
+    )
+    from ..functions.intmath import exact_floordiv
+
+    k = exact_floordiv(F.col("n_pairs") + 1, F.lit(2))
+    return ranked.groupBy("user_id").agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rn") == k,
+                F.floor(F.col("slope") * F.lit(34359738368.0)),
+            )
+        )
+        .cast("long")
+        .alias("theilsen_slope_bits"),
+    )
+
+
+q_theilsen_slope.__doc__ = q_theilsen_slope.__doc__.format(cap=_TS_CAP)

@@ -735,3 +735,53 @@ class TestKcorePeeling:
         plan = plan_of(q(registry, "kcore_peeling", spark))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestTheilsenSlope:
+    def test_matches_pure_python_median_of_slopes(self, spark, registry):
+        import math
+
+        from data_pipelines_worker_spark.queries.profiling_queries import (
+            _TS_CAP,
+        )
+
+        ev = load_table(spark, SF, "events").where(F.col("value").isNotNull())
+        rows = ev.select("user_id", "event_id", F.unix_micros("ts").alias("t"), "value").collect()
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(
+                (r.event_id, r.t, math.floor(r.value * 100 + 0.5))
+            )
+        expect = {}
+        for uid, evs in by_user.items():
+            evs = sorted(
+                evs, key=lambda e: ((e[0] * 2654435761) % (1 << 32), e[0])
+            )[:_TS_CAP]
+            slopes = []
+            for i in range(len(evs)):
+                for j in range(len(evs)):
+                    e1, t1, v1 = evs[i]
+                    e2, t2, v2 = evs[j]
+                    if e1 < e2 and t1 != t2:
+                        slopes.append(((v2 - v1) / (t2 - t1), e1, e2))
+            if not slopes:
+                continue
+            slopes.sort()
+            k = (len(slopes) + 1) // 2
+            expect[uid] = (
+                len(slopes),
+                math.floor(slopes[k - 1][0] * 34359738368),
+            )
+        got = {
+            r.user_id: (r.n_pairs, r.theilsen_slope_bits)
+            for r in q(registry, "theilsen_slope", spark).collect()
+        }
+        assert got == expect
+        assert got
+        assert all(n <= 496 for n, _ in got.values())  # C(cap,2) bound
+
+    def test_plan_windowgrouplimit_and_no_cartesian(self, spark, registry):
+        plan = plan_of(q(registry, "theilsen_slope", spark))
+        assert "WindowGroupLimit" in plan  # cap prunes map-side
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
