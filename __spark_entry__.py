@@ -40,11 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions (entity resolution … corpus_snapshot_diff) plus the twelve
 # late-round ones (containment/novelty/top-p, pivot, range window,
 # quantile gate, oov, outliers, confusion, streaks, DAU/WAU). Slots
-# 35–45 are the eleven late-session r06 queries (zorder_layout,
+# 35–46 are the twelve late-session r06 queries (zorder_layout,
 # bootstrap_ci, lsh_parameter_sweep, perceptron_train,
 # media_audio_energy, bloom_zone_skipping, pareto_frontier,
 # shuffle_skew_profile, join_cardinality_probe, kcore_peeling,
-# theilsen_slope). The
+# theilsen_slope, greedy_coverage_selection). The
 # remaining slots take the r03-stale family oldest-first (asof_join,
 # date_functions, q1/q3/q5/q6/q14/q18, sessionization); the rest of
 # that family leads the r07 list so no query's driver check ages past
@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = (
     "join_cardinality_probe",  # late-r06: CBO join-size estimate vs truth
     "kcore_peeling",  # late-r06: iterative k-core fixpoint rounds
     "theilsen_slope",  # late-r06: robust median-of-slopes trend
+    "greedy_coverage_selection",  # late-r06: submodular max-cover picks
     # --- remaining slots: r03-stale family, oldest first ------------
     "asof_join",
     "date_functions",

@@ -1017,3 +1017,131 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q") == F.col("peer_max"))
         & (F.col("cheaper_max").isNull() | (F.col("q") > F.col("cheaper_max")))
     ).select("source", "doc_id", "n_tokens", F.round("q", 6).alias("quality"))
+
+
+# --- greedy coverage selection (round 6, late) --------------------------------
+
+#: Greedy rounds. Coverage gain is submodular, so the greedy pick is the
+#: classic (1 - 1/e)-approximation to the optimal k-doc cover — three
+#: rounds keep the unrolled oracle readable while exercising the
+#: interaction that score-based selectors (top_p, pareto) cannot see:
+#: pick 2's value DEPENDS on pick 1.
+_COVER_ROUNDS = 3
+
+
+def _coverage_oracle() -> str:
+    parts = [
+        '''tok AS (
+      SELECT DISTINCT doc, w FROM (
+        SELECT doc_id AS doc,
+               unnest(CASE WHEN len(ws) >= 2
+                           THEN list_transform(generate_series(1, len(ws) - 1),
+                                               i -> ws[i] || ' ' || ws[i + 1])
+                           ELSE CAST([] AS VARCHAR[]) END) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+    ),
+    t1 AS (SELECT * FROM tok)'''
+    ]
+    selects = []
+    for r in range(1, _COVER_ROUNDS + 1):
+        parts.append(f"""p{r} AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS gain
+      FROM t{r} GROUP BY doc ORDER BY gain DESC, doc LIMIT 1
+    ),
+    c{r} AS (
+      {"SELECT DISTINCT w FROM t1 WHERE doc IN (SELECT doc FROM p1)" if r == 1 else
+       f"SELECT w FROM c{r - 1} UNION SELECT DISTINCT w FROM t{r} WHERE doc IN (SELECT doc FROM p{r})"}
+    ),
+    t{r + 1} AS (
+      SELECT * FROM t{r}
+      WHERE w NOT IN (SELECT w FROM c{r})
+        AND doc NOT IN (SELECT doc FROM p{r})
+    )""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, doc AS doc_id, gain,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_after"
+            f" FROM p{r}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + " UNION ALL ".join(selects)
+
+
+@register("greedy_coverage_selection", _coverage_oracle())
+def q_greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick the document adding
+    the most NOT-YET-COVERED distinct tokens, {n} rounds — the
+    submodular coreset shape (facility location / max-cover, the
+    (1−1/e) greedy guarantee) that score-per-doc selectors
+    (`top_p_selection`, `pareto_frontier`) structurally cannot express,
+    because each pick's value depends on the previous picks. The emitted
+    table is (round, picked doc, marginal gain, covered vocabulary after
+    the pick): diminishing marginal gains are the submodularity
+    evidence, under the exact hash gate with the loop unrolled as CTE
+    stages in the oracle (the `kcore_peeling` discipline).
+
+    Scale shape: the state that moves between rounds is the COVERED
+    TOKEN SET (vocabulary-bounded — broadcast anti-join), never the
+    corpus; each round is one distinct (doc, token) aggregate plus a
+    TakeOrderedAndProject top-1 (never a global window), and the picked
+    doc's removal is a 1-row broadcast anti-join. Rounds
+    localCheckpoint so round r+1 reads blocks, not lineage. At corpus
+    scale the per-round frontier shrinks monotonically (tokens leave,
+    never enter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # coverage units are word BIGRAMS (distinct per doc): a unigram
+    # vocabulary this small is fully covered by one long document, which
+    # collapses the greedy loop to a single pick
+    tok = (
+        cu.explode_ngrams(docs, "doc_id", "text", 2)
+        .select(F.col("doc_id").alias("doc"), F.col("gram").alias("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = tok
+    rows = []
+    covered_cnt = None
+    for r in range(1, _COVER_ROUNDS + 1):
+        pick = (
+            cur.groupBy("doc")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc")
+            .limit(1)
+            .localCheckpoint()
+        )
+        newly = (
+            cur.join(F.broadcast(pick.select("doc")), "doc", "left_semi")
+            .select("w")
+            .distinct()
+        )
+        n_new = newly.agg(F.count("*").cast("long").alias("_n"))
+        covered_cnt = (
+            n_new
+            if covered_cnt is None
+            else covered_cnt.crossJoin(n_new).select(
+                (F.col("covered_after") + F.col("_n")).alias("_n")
+            )
+        )
+        covered_cnt = covered_cnt.select(
+            F.col("_n").alias("covered_after")
+        ).localCheckpoint()
+        rows.append(
+            pick.crossJoin(F.broadcast(covered_cnt)).select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("doc").alias("doc_id"),
+                "gain",
+                "covered_after",
+            )
+        )
+        cur = (
+            cur.join(F.broadcast(newly), "w", "left_anti")
+            .join(F.broadcast(pick.select("doc")), "doc", "left_anti")
+            .localCheckpoint()
+        )
+    out = rows[0]
+    for rr in rows[1:]:
+        out = out.unionByName(rr)
+    return out
+
+
+q_greedy_coverage_selection.__doc__ = q_greedy_coverage_selection.__doc__.format(
+    n=_COVER_ROUNDS
+)

@@ -785,3 +785,49 @@ class TestTheilsenSlope:
         assert "WindowGroupLimit" in plan  # cap prunes map-side
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestGreedyCoverageSelection:
+    def test_matches_pure_python_greedy(self, spark, registry):
+        from data_pipelines_worker_spark.session import load_table
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+        grams = {}
+        for r in docs:
+            ws = r.text.split(" ")
+            grams[r.doc_id] = {
+                f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
+            }
+        covered: set = set()
+        picked: set = set()
+        expect = []
+        for rnd in range(1, 4):
+            best = None
+            for d, g in grams.items():
+                if d in picked:
+                    continue
+                gain = len(g - covered)
+                if gain == 0:
+                    continue
+                key = (-gain, d)
+                if best is None or key < best[0]:
+                    best = (key, d, gain)
+            if best is None:
+                break
+            _, d, gain = best
+            picked.add(d)
+            covered |= grams[d]
+            expect.append((rnd, d, gain, len(covered)))
+        got = sorted(
+            (r.round, r.doc_id, r.gain, r.covered_after)
+            for r in q(registry, "greedy_coverage_selection", spark).collect()
+        )
+        assert got == expect
+        # submodularity: marginal gains never increase
+        gains = [g for _, _, g, _ in got]
+        assert gains == sorted(gains, reverse=True)
+
+    def test_plan_top1_is_take_ordered_no_python(self, spark, registry):
+        plan = plan_of(q(registry, "greedy_coverage_selection", spark))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
