@@ -264,7 +264,9 @@ def ann_topk_lsh(
 
 #: Knuth multiplicative constant — pseudo-random but *engine-portable*
 #: seed ranking (plain integer arithmetic both Spark and DuckDB evaluate
-#: identically), unlike xxhash64 which DuckDB lacks.
+#: identically), unlike xxhash64 which DuckDB lacks. Keys are masked to
+#: 31 bits BEFORE the multiply so the product stays inside int64 on
+#: both engines (DuckDB raises out-of-range past key ~3.47e9).
 _KNUTH = 2654435761
 _KNUTH_MOD = 1 << 32
 
@@ -277,7 +279,10 @@ def _ivf_quantizer(base: DataFrame, n_cells: int):
 
     Control-plane collect: n_cells rows, same footprint as the LSH plane
     literals — never corpus-scale."""
-    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
+    rank_key = F.pmod(
+        F.pmod(F.col("item_id"), F.lit(1 << 31)) * F.lit(_KNUTH),
+        F.lit(_KNUTH_MOD),
+    )
     seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(n_cells).collect()
     seed_rows.sort(key=lambda r: r["item_id"])  # argmax tie → lowest cid
     cids = np.array([r["item_id"] for r in seed_rows], dtype=np.int64)
@@ -689,7 +694,10 @@ def _pq_codebook(base: DataFrame, k: int) -> np.ndarray:
     """Trainless PQ codebook: the ``k`` Knuth-hash-ranked vectors, sorted
     by donor id so code j is the j-th donor. Control-plane collect
     (k rows). ``base`` must carry (item_id, iv)."""
-    rank_key = F.pmod(F.col("item_id") * F.lit(_KNUTH), F.lit(_KNUTH_MOD))
+    rank_key = F.pmod(
+        F.pmod(F.col("item_id"), F.lit(1 << 31)) * F.lit(_KNUTH),
+        F.lit(_KNUTH_MOD),
+    )
     seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(k).collect()
     seed_rows.sort(key=lambda r: r["item_id"])  # code j = j-th donor by id
     return np.array([r["iv"] for r in seed_rows], dtype=np.float64)  # (k, D)

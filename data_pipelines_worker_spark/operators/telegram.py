@@ -240,12 +240,19 @@ def _send_record(client: TelegramClient, group_id, block_id: str,
         if record.get("kind") == "photo" and media.get("image") is not None:
             try:
                 return client.send_photo(chat, media["image"], caption)
-            except Exception:  # noqa: BLE001 — fall through like the reference
+            except Exception:  # noqa: BLE001
+                # a failed send_photo (bad media, API limit, transient
+                # transport error) degrades to the next media type and
+                # finally to a text message — the reference swallows the
+                # same way (block_send_message_telegram.go: photo → video
+                # → text fallthrough); the message is never lost, only
+                # sent in a poorer format
                 pass
         if record.get("kind") in ("photo", "video") and media.get("video") is not None:
             try:
                 return client.send_video(chat, media["video"], caption)
             except Exception:  # noqa: BLE001
+                # failed send_video degrades to plain text (see above)
                 pass
         return client.send_message(chat, caption)
     # moderation request: photo-first with inline keyboard
@@ -259,6 +266,8 @@ def _send_record(client: TelegramClient, group_id, block_id: str,
         try:
             return client.send_photo(chat, media["image"], caption, reply_markup=keyboard)
         except Exception:  # noqa: BLE001
+            # moderation photo send failed — the inline keyboard still
+            # reaches the moderator via the text fallback below
             pass
     return client.send_message(chat, caption, reply_markup=keyboard)
 

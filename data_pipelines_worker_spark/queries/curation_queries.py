@@ -303,7 +303,7 @@ SELECT source,
        CAST(max(10 + (COALESCE(TRY_CAST(substr(source, 4) AS BIGINT), 0) % 3)
                 * 20) AS BIGINT) AS rate_pct,
        CAST(count(*) AS BIGINT) AS n_total,
-       CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100
+       CAST(sum(CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100
                           < 10 + (COALESCE(TRY_CAST(substr(source, 4)
                                                     AS BIGINT), 0) % 3) * 20
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
@@ -333,7 +333,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.lit(10) + (src_n % 3) * 20
     keep = (
-        F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)), F.lit(100))
+        F.pmod(F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 31)) * F.lit(2654435761), F.lit(1 << 32)), F.lit(100))
         < rate
     )
     return docs.groupBy("source").agg(

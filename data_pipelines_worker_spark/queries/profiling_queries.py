@@ -163,7 +163,7 @@ FROM (
   SELECT source, doc_id,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rn
   FROM documents
 )
 WHERE rn <= 10
@@ -183,7 +183,13 @@ def q_reservoir_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; the exchange carries (source) partitions once.
     """
     docs = load_table(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32))
+    # 31-bit mask BEFORE the Knuth multiply: the product then tops out
+    # at (2^31-1)*2654435761 < 2^63, so neither engine overflows int64
+    # (unmasked, DuckDB raises out-of-range for keys > ~3.47e9)
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(1 << 32),
+    )
     w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
     return (
         docs.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
@@ -909,7 +915,7 @@ WITH src AS (
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
          row_number() OVER (
            PARTITION BY user_id
-           ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rk
+           ORDER BY ((event_id % 2147483648) * 2654435761) % 4294967296, event_id) AS rk
   FROM events WHERE value IS NOT NULL
 ),
 s AS (SELECT * FROM src WHERE rk <= {_TS_CAP}),
@@ -958,7 +964,12 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (slope undefined); users with < 2 distinct-time samples drop out on
     both engines."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    knuth = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1 << 32))
+    # 31-bit mask first — wrap-free in int64 on BOTH engines (see
+    # reservoir_sample_k); unmasked DuckDB errors past event_id ~3.47e9
+    knuth = F.pmod(
+        F.pmod(F.col("event_id"), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(1 << 32),
+    )
     w = Window.partitionBy("user_id").orderBy(knuth, "event_id")
     s = (
         ev.select(

@@ -433,7 +433,7 @@ _SHARDS_ORACLE = """
 WITH h AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         (doc_id * 2654435761) % 4294967296 AS hs
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hs
   FROM documents
 ),
 r AS (
@@ -472,7 +472,7 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.select(
         "doc_id",
         F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)).alias("hs"),
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 31)) * F.lit(2654435761), F.lit(1 << 32)).alias("hs"),
     )
     w = Window.partitionBy(F.pmod("hs", F.lit(8))).orderBy("hs", "doc_id")
     r = h.select(
@@ -608,7 +608,7 @@ final AS (SELECT doc_id FROM imp WHERE importance > n_grams * 1000000),
 h AS (
   SELECT s.doc_id,
          CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_tokens,
-         (s.doc_id * 2654435761) % 4294967296 AS hs
+         ((s.doc_id % 2147483648) * 2654435761) % 4294967296 AS hs
   FROM surv s JOIN final USING (doc_id)
 ),
 r AS (
@@ -706,7 +706,7 @@ def q_selection_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = surv.join(final, "doc_id").select(
         "doc_id",
         F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)).alias("hs"),
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 31)) * F.lit(2654435761), F.lit(1 << 32)).alias("hs"),
     )
     w = Window.partitionBy(F.pmod("hs", F.lit(8))).orderBy("hs", "doc_id")
     r = h.select(

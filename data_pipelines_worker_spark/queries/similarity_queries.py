@@ -192,7 +192,7 @@ _ANN_IVF_ORACLE = f"""
     n AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e),
     seeds AS (
       SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn
-      FROM e ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      FROM e ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
       LIMIT {_N_CELLS}
     ),
     allsims AS (
@@ -289,7 +289,7 @@ _SEMDEDUP_ORACLE = f"""
       SELECT cid, cv, cn FROM (
         SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn,
                row_number() OVER (
-                 ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS srn
+                 ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) AS srn
         FROM e)
       WHERE srn <= greatest(16, (SELECT count(*) FROM e) // {_SEMDEDUP_CELL_TARGET})
     ),
@@ -343,7 +343,7 @@ _PQ_ORACLE = f"""
       SELECT vec_id AS cid, v AS cv,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
       FROM (SELECT vec_id, v FROM e
-            ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+            ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
             LIMIT {_PQ_K})
     ),
     sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
@@ -387,13 +387,13 @@ _ANN_IVFPQ_ORACLE = f"""
     n AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e),
     seeds AS (
       SELECT vec_id AS cid, v AS cv, sqrt({_dot('v', 'v')}) AS cn
-      FROM e ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      FROM e ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
       LIMIT {_N_CELLS}
     ),
     cb AS (
       SELECT v AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
       FROM (SELECT vec_id, v FROM e
-            ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+            ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
             LIMIT {_PQ_K})
     ),
     allsims AS (

@@ -195,7 +195,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
     FROM (
       SELECT source, doc_id FROM documents
-      WHERE (doc_id * 2654435761) % 4294967296 % 100 < 20
+      WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 20
     )
     GROUP BY source
     """,
@@ -209,7 +209,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen and prunes before any shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     keep = (
-        F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 32)), F.lit(100))
+        F.pmod(F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 31)) * F.lit(2654435761), F.lit(1 << 32)), F.lit(100))
         < 20
     )
     return (

@@ -162,7 +162,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
         F.pmod(
-            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1 << 32)),
+            F.pmod(F.pmod(F.col("event_id"), F.lit(1 << 31)) * F.lit(2654435761), F.lit(1 << 32)),
             F.lit(_N_SALT),
         ).alias("salt"),
     )

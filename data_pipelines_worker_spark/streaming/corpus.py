@@ -49,7 +49,10 @@ def _first_seen_doc(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        for _ in batches:  # content already emitted — suppress duplicates
+        # content already emitted — suppress duplicates; the drain loop
+        # satisfies applyInPandasWithState's fully-consume-the-iterator
+        # contract (same discipline as streaming/dedup.py)
+        for _ in batches:
             pass
         return
     best: pd.DataFrame | None = None

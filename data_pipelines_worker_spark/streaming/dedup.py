@@ -44,7 +44,11 @@ def _first_seen(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        # content already emitted in an earlier trigger — suppress all
+        # content already emitted in an earlier trigger — suppress the
+        # duplicates. The empty loop is REQUIRED, not dead code: the
+        # applyInPandasWithState contract says the batch iterator must be
+        # fully drained before returning, or Spark raises on the
+        # half-consumed Arrow stream.
         for _ in batches:
             pass
         return
@@ -95,6 +99,8 @@ def _first_block(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
+        # duplicate block suppressed; drain the iterator (contract — see
+        # _first_seen above)
         for _ in batches:
             pass
         return

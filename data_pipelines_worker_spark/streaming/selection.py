@@ -55,20 +55,35 @@ def merge_batch(batch_df: DataFrame, batch_id: int, store_dir: str) -> None:
     scored = score_docs(batch_df).select(*SCORE_COLS)
     batch_dir = os.path.join(store_dir, _SCORES, f"batch={batch_id}")
     scored.write.mode("overwrite").parquet(batch_dir)
-    # affected sources come straight from the (tiny) batch frame — no
-    # write-then-re-read round trip per micro-batch
-    affected = [
-        r.source for r in batch_df.select("source").distinct().collect()
-    ]
     # A doc_id legitimately re-emitted in a later batch (re-crawl/update)
     # must resolve DETERMINISTICALLY to its newest score row — the
     # `batch=` partition column the store layout already provides is the
     # version axis (a bare dropDuplicates picks a partition-order-
     # dependent row, silently breaking the stream ≡ batch discipline).
+    # The window is keyed by doc_id ALONE: `source` is a VALUE resolved
+    # by the newest batch, so a doc re-emitted under a different source
+    # migrates instead of double-counting (one manifest row per doc).
     all_scores = spark.read.parquet(os.path.join(store_dir, _SCORES))
-    w = Window.partitionBy("source", "doc_id").orderBy(
-        F.col("batch").cast("long").desc(), F.col("q").desc(), "n_tokens"
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("batch").cast("long").desc(),
+        F.col("q").desc(),
+        "n_tokens",
+        "source",
     )
+    # Affected sources = every source that EVER scored one of this
+    # batch's doc_ids — the batch's own sources (their budgets grew) AND
+    # any former owner of a migrated doc (its selection must shrink).
+    # One semi-join on the metadata store; the distinct-source collect
+    # is control-plane sized (≤ number of sources, never corpus rows).
+    affected = [
+        r.source
+        for r in all_scores.join(
+            batch_df.select("doc_id").distinct(), "doc_id", "semi"
+        )
+        .select("source")
+        .distinct()
+        .collect()
+    ]
     standing = (
         all_scores.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -86,9 +101,22 @@ def merge_batch(batch_df: DataFrame, batch_id: int, store_dir: str) -> None:
     _publish(manifest_dir, version)
     import shutil
 
-    for name in os.listdir(manifest_dir):
-        if name.startswith("v") and name != version:
-            shutil.rmtree(os.path.join(manifest_dir, name), ignore_errors=True)
+    # Prune superseded versions with a one-version grace window: a reader
+    # that resolved the pointer just before the swap holds a lazy scan of
+    # the PREVIOUS version, so only versions older than that are deleted
+    # (the grace a lakehouse commit gives concurrent readers).
+    versions = sorted(
+        (
+            int(name[1:])
+            for name in os.listdir(manifest_dir)
+            if name.startswith("v") and name[1:].isdigit()
+        ),
+        reverse=True,
+    )
+    for old in versions[2:]:
+        shutil.rmtree(
+            os.path.join(manifest_dir, f"v{old}"), ignore_errors=True
+        )
 
 
 def selection_sink(

@@ -1304,3 +1304,77 @@ def test_top_p_selection_reemitted_doc_uses_newest_score(spark, tmp_path, sf_dir
     assert got == expect
     if target.doc_id in got:
         assert got[target.doc_id][0] == 1  # the NEW 1-token score won
+
+
+def test_top_p_selection_source_migration(spark, tmp_path, sf_dir):
+    # a doc re-emitted under a DIFFERENT source must migrate: exactly one
+    # manifest row for it (under the new source), and the old source's
+    # selection recomputed without it — the streaming result must still
+    # equal the batch kernel over the final corpus state
+    from data_pipelines_worker_spark.operators.selection import (
+        score_docs,
+        top_p_select,
+    )
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.selection import (
+        merge_batch,
+        read_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    store = str(tmp_path / "store")
+    merge_batch(docs, 0, store)
+    # move one high-signal doc to a different existing source
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    target = docs.orderBy("doc_id").first()
+    new_source = next(s for s in sorted(sources) if s != target.source)
+    upd = spark.createDataFrame(
+        [(target.doc_id, target.text, new_source)],
+        "doc_id long, text string, source string",
+    )
+    merge_batch(upd, 1, store)
+    manifest = read_manifest(spark, store).collect()
+    rows_for_doc = [r for r in manifest if r.doc_id == target.doc_id]
+    # never double-counted: at most one row, and if present it carries
+    # the NEW source
+    assert len(rows_for_doc) <= 1
+    for r in rows_for_doc:
+        assert r.source == new_source
+    # full equality with the batch kernel over the migrated corpus
+    final = docs.where(F.col("doc_id") != target.doc_id).unionByName(upd)
+    expect = {
+        (r.source, r.doc_id): (r.rank, r.n_tokens, r.cum_tokens, r.quality)
+        for r in top_p_select(score_docs(final)).collect()
+    }
+    got = {
+        (r.source, r.doc_id): (r.rank, r.n_tokens, r.cum_tokens, r.quality)
+        for r in manifest
+    }
+    assert got == expect
+
+
+def test_top_p_selection_prune_keeps_previous_version(spark, tmp_path, sf_dir):
+    # concurrent-reader grace: after batch N publishes, version N-1 must
+    # still exist on disk (a reader that resolved the pointer pre-swap
+    # holds a lazy scan of it); only older versions are pruned
+    import os
+
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.selection import merge_batch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    store = str(tmp_path / "store")
+    third = docs.where("doc_id % 3 = 0")
+    for bid, frag in enumerate(
+        [third, docs.where("doc_id % 3 = 1"), docs.where("doc_id % 3 = 2")]
+    ):
+        merge_batch(frag, bid, store)
+    versions = sorted(
+        n for n in os.listdir(os.path.join(store, "manifest"))
+        if n.startswith("v") and n[1:].isdigit()
+    )
+    assert versions == ["v1", "v2"]  # current + one grace version, v0 pruned

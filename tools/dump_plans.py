@@ -89,7 +89,7 @@ HEADLINERS = {
     "media_audio_energy": "Arrow WAV codec stages, active-frames-only island window",
     "bloom_zone_skipping": "8-lane bit_or filter build in one partial-combined agg",
     "pareto_frontier": "two RANGE frames over one source-keyed sort",
-    "shuffle_skew_profile": "per-key two-phase counts, composite-integer argmax",
+    "shuffle_skew_profile": "per-key two-phase counts, broadcast max-count argmax",
     "join_cardinality_probe": "count-table joins only, TakeOrdered top-k heavy hitters",
     "kcore_peeling": "per-round degree agg + broadcast anti-joins, localCheckpoint",
 }
