@@ -30,146 +30,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver records at most ~50 rows, taking them in dict
-# order. Round-6 rotation map (VERDICT r5 #1/#4): slots 1–13 are the
-# HUGEINT-diagnosis gate — the three new per-row probes (money bits,
-# events.value bits, orders priority), the four standing probes, and
-# the five rows red r02–r05 whose oracle SQL returned DuckDB HUGEINT/
-# DECIMAL columns (diagnosis + fix: queries/probe_queries.py module
-# docstring, tests/test_oracle_type_parity.py). Slots 14–34 are the
-# twenty-one r06 queries (never driver-checked): the nine early-round
-# additions (entity resolution … corpus_snapshot_diff) plus the twelve
-# late-round ones (containment/novelty/top-p, pivot, range window,
-# quantile gate, oov, outliers, confusion, streaks, DAU/WAU). Slots
-# 35–46 are the twelve late-session r06 queries (zorder_layout,
-# bootstrap_ci, lsh_parameter_sweep, perceptron_train,
-# media_audio_energy, bloom_zone_skipping, pareto_frontier,
-# shuffle_skew_profile, join_cardinality_probe, kcore_peeling,
-# theilsen_slope, greedy_coverage_selection). The
-# remaining slots take the r03-stale family oldest-first (asof_join,
-# date_functions, q1/q3/q5/q6/q14/q18, sessionization); the rest of
-# that family leads the r07 list so no query's driver check ages past
-# two rounds. The r04/r05-green families cycle behind; the committed
-# tools/check_oracle.py runs (ORACLE_LOCAL/_EDGE/_SF01: full registry,
-# 0 failures) remain the auditable backstop for the dropped tail.
+# order. Round-7 rotation policy (VERDICT r6 #2): the r02-r05 red-streak
+# diagnosis is certified and lint-guarded (tests/test_oracle_type_parity
+# gates every oracle against HUGEINT/DECIMAL), so the 13 probe/red pins
+# are dropped. The list is now ordered purely by STALENESS: new r07
+# queries first (never driver-checked), then every query by the round of
+# its last green driver row, oldest first (14 r02 rows, then 37 r03 —
+# computed from CORRECTNESS_r0{1..6}.json). After the r07 driver pass no
+# query's last driver hash-check is older than r04. The committed
+# tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/_EDGE/_SF01: full
+# registry, 0 failures) remain the auditable backstop for the tail the
+# 50-slot window cannot reach.
 _DRIVER_PRIORITY = (
-    # --- slots 1-12: HUGEINT-diagnosis gate -------------------------
-    "probe_money_bits",
-    "probe_events_value_bits",
-    "probe_orders_priority",
-    "probe_money_cents",
-    "probe_events_ts",
-    "probe_orders_dates",
-    "probe_lineitem_dates",
-    "window_functions",
-    "q8_market_share",
-    "group_linreg",
-    "q12_ship_delay_priority",
-    "media_video_pipeline",  # oracle DECIMAL(21,1) → DOUBLE, same class
-    "zone_map_pruning",  # new r06 (never driver-checked)
-    # --- new r06 family (never driver-checked) ----------------------
-    "entity_resolution",
-    "decontaminate_minhash",
-    "ewma_events",
-    "cube_segment_metrics",
-    "kmv_set_intersection",
-    "session_window_stats",
-    "gopher_quality_rules",
-    "c4_line_filters",
-    "corpus_snapshot_diff",
-    "containment_dedup",
-    "shingle_novelty",
-    "top_p_selection",
-    "pivot_event_type",
-    "range_interval_window",
-    "length_quantile_filter",
-    "oov_rate",
-    "embedding_outliers",
-    "lang_confusion",
-    "activity_streaks",
-    "rolling_active_users",
-    "ks_drift_check",
-    "zorder_layout",  # late-r06: Z-order vs natural layout manifest
-    "bootstrap_ci",  # late-r06: one-pass Poisson bootstrap
-    "lsh_parameter_sweep",  # late-r06: banding S-curve tuning table
-    "perceptron_train",  # late-r06: quality-gate distillation training
-    "media_audio_energy",  # late-r06: real-WAV VAD segmentation
-    "bloom_zone_skipping",  # late-r06: zone Bloom vs minmax point lookups
-    "pareto_frontier",  # late-r06: quality/cost skyline selection
-    "shuffle_skew_profile",  # late-r06: pre-flight shuffle-skew advisor
-    "join_cardinality_probe",  # late-r06: CBO join-size estimate vs truth
-    "kcore_peeling",  # late-r06: iterative k-core fixpoint rounds
-    "theilsen_slope",  # late-r06: robust median-of-slopes trend
-    "greedy_coverage_selection",  # late-r06: submodular max-cover picks
-    # --- remaining slots: r03-stale family, oldest first ------------
-    "asof_join",
-    "date_functions",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # --- slots 1-N: new r07 queries (never driver-checked) ----------
+    "probe_minhash_candidates",  # r07: LSH candidate-workload fingerprint
+    "planner_advice",  # r07: five-kernel planner-evidence composition
+    # --- last driver-checked r02 (oldest first) ---------------------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "sessionization",
-    "set_ops",
-    "agg_distinct",
-    "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
-    "ass_time_format",
-    "bpe_train_merges",
-    "chunk_dedup",
-    "cms_heavy_hitters",
-    "coalesce_priority",
-    "corpus_prep",
-    "dedup_exact",
-    "dedup_graph_pagerank",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_stats",
-    "doc_fingerprint",
-    "dup_ngram_coverage",
-    "dup_span_removal",
-    "embedding_kmeans",
-    "embedding_near_dup",
-    "embedding_stats",
-    "gather_join_strings",
-    "index_targeting",
-    "json_auto_detect",
-    "lang_id",
-    "normalize_text",
-    "outer_join_agg",
-    # --- overflow: next-oldest r03/r04, then r05-green cycles behind
-    "pivot_event_counts",
-    "ppl_bucket_mixture",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
     "quality_score",
     "rollup_lineitem",
     "schema_cast",
     "semi_anti_join",
+    "sessionization",
+    "set_ops",
     "stratified_sample",
-    "tfidf_top_terms",
-    "timeseries_resample",
     "token_count",
     "top_k_per_group",
     "windowed_agg",
     "word_frequencies",
     "zip_merge_positional",
-    "ann_cosine_topk_ivfpq",
-    "bucketed_join_agg",
-    "cohort_retention",
-    "corpus_final_manifest",
-    "decontaminate_ngram",
-    "dedup_clusters",
-    "doc_chunking",
-    "embedding_pq_codes",
-    "format_string",
-    "funnel_analysis",
+    # --- last driver-checked r03 (oldest first) ---------------------
     "grouping_sets",
     "interval_join_attribution",
     "join_strings",
@@ -207,6 +98,141 @@ _DRIVER_PRIORITY = (
     "text_replace",
     "token_count_bpe",
     "wrap_text",
+    # --- last driver-checked r04 (oldest first) ---------------------
+    "agg_distinct",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "ass_time_format",
+    "bpe_train_merges",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "coalesce_priority",
+    "corpus_prep",
+    "dedup_exact",
+    "dedup_graph_pagerank",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_stats",
+    "doc_fingerprint",
+    "dup_ngram_coverage",
+    "dup_span_removal",
+    "embedding_kmeans",
+    "embedding_near_dup",
+    "embedding_stats",
+    "gather_join_strings",
+    "index_targeting",
+    "json_auto_detect",
+    "lang_id",
+    "normalize_text",
+    "outer_join_agg",
+    "pivot_event_counts",
+    "ppl_bucket_mixture",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q18_large_orders",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "tfidf_top_terms",
+    "timeseries_resample",
+    # --- last driver-checked r05 (oldest first) ---------------------
+    "ann_cosine_topk_ivfpq",
+    "ann_ivf_persisted",
+    "ann_recall_at_k",
+    "approx_distinct_contract",
+    "approx_quantile_binned",
+    "bloom_join_prune",
+    "bm25_retrieval",
+    "bucketed_join_agg",
+    "char_coverage",
+    "cohort_retention",
+    "copurchase_triangles",
+    "corpus_final_manifest",
+    "crossval_split",
+    "curriculum_manifest",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "doc_chunking",
+    "dq_checks",
+    "dsir_importance",
+    "embedding_pq_codes",
+    "events_anomaly",
+    "format_string",
+    "funnel_analysis",
+    "hll_registers",
+    "hybrid_retrieval_rerank",
+    "incremental_dedup",
+    "inverted_index_stats",
+    "latest_snapshot",
+    "minhash_similarity_estimate",
+    "mixture_temperature",
+    "order_backlog_timeline",
+    "pmi_bigrams",
+    "quality_logit_filter",
+    "reservoir_sample_k",
+    "rolling_features",
+    "scd2_customer_merge",
+    "selection_pipeline_e2e",
+    "skew_salted_join",
+    "table_profile",
+    "training_shards",
+    "vocab_richness",
+    # --- last driver-checked r06 (oldest first) ---------------------
+    "activity_streaks",
+    "asof_join",
+    "bloom_zone_skipping",
+    "bootstrap_ci",
+    "c4_line_filters",
+    "containment_dedup",
+    "corpus_snapshot_diff",
+    "cube_segment_metrics",
+    "date_functions",
+    "decontaminate_minhash",
+    "embedding_outliers",
+    "entity_resolution",
+    "ewma_events",
+    "gopher_quality_rules",
+    "greedy_coverage_selection",
+    "group_linreg",
+    "join_cardinality_probe",
+    "kcore_peeling",
+    "kmv_set_intersection",
+    "ks_drift_check",
+    "lang_confusion",
+    "length_quantile_filter",
+    "lsh_parameter_sweep",
+    "media_audio_energy",
+    "media_video_pipeline",
+    "oov_rate",
+    "pareto_frontier",
+    "perceptron_train",
+    "pivot_event_type",
+    "probe_events_ts",
+    "probe_events_value_bits",
+    "probe_lineitem_dates",
+    "probe_money_bits",
+    "probe_money_cents",
+    "probe_orders_dates",
+    "probe_orders_priority",
+    "q12_ship_delay_priority",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "range_interval_window",
+    "rolling_active_users",
+    "session_window_stats",
+    "shingle_novelty",
+    "shuffle_skew_profile",
+    "theilsen_slope",
+    "top_p_selection",
+    "window_functions",
+    "zone_map_pruning",
+    "zorder_layout",
 )
 
 

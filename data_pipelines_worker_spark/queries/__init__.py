@@ -48,5 +48,6 @@ def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     from . import profiling_queries  # noqa: F401
     from . import warehouse_queries  # noqa: F401
     from . import matching_queries  # noqa: F401
+    from . import planner_queries  # noqa: F401  (must follow its kernels)
 
     return REGISTRY

@@ -51,6 +51,18 @@ def get_spark(app_name: str = "data_pipelines_worker_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # A long-lived engine JVM compiles one generated class per codegen
+        # stage; ~370 query executions put the default 240 MB code cache at
+        # 68% (BENCH_LOCAL_r07 env side-channel: 162.8 MB used, profiled
+        # segment at 72% — the UseCodeCacheFlushing threshold). Past it the
+        # sweeper flushes warm methods and expression-heavy queries
+        # (64-agg minhash signatures, higher-order folds) re-JIT or run
+        # interpreted at 5-15x. 512 MB keeps steady-state compilation
+        # unconditional; on a real cluster this is a spark-defaults knob.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -786,3 +786,33 @@ class TestLateRound6Plans:
         assert "Join" not in plan
         assert "Window" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound7Plans:
+    """Plan audits for the round-7 additions."""
+
+    def test_probe_minhash_candidates_no_joins(self, spark, registry):
+        # the probe COUNTS the candidate workload instead of performing
+        # it: signature path (doc-keyed exchange + 64 partial-combined
+        # mins), a 32-way in-stage band fan-out, two manifest-sized
+        # aggregations — and, beyond the rep-collapse semi-join, no
+        # pairwise join anywhere (the whole point: bucket sizes without
+        # bucket self-join)
+        plan = plan_of(q(registry, "probe_minhash_candidates", spark))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # exactly the rep-collapse join; the candidate self-join must NOT
+        # appear (a bucket self-join would add a second join)
+        assert plan.count("Join") <= 1
+        assert "partial_min" in plan or "partial_" in plan
+
+    def test_planner_advice_no_new_shuffle_classes(self, spark, registry):
+        # the advice view is a width-5 union of manifest-sized summaries
+        # over the five registered kernels: no python, no cartesian, and
+        # no window beyond what the kernels themselves use
+        plan = plan_of(q(registry, "planner_advice", spark))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+        # every join in the composition is a broadcast (manifest-sized
+        # sides) — a sort-merge join would mean a kernel regressed
+        assert "SortMergeJoin" not in plan
