@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import curation as cu
+from ..operators import selection as sel
 from ..operators import text_analysis as ta
 from ..session import load_table
 from . import register
@@ -1096,46 +1097,9 @@ def q_greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    cur = tok
-    rows = []
-    covered_cnt = None
-    for r in range(1, _COVER_ROUNDS + 1):
-        pick = (
-            cur.groupBy("doc")
-            .agg(F.count("*").cast("long").alias("gain"))
-            .orderBy(F.col("gain").desc(), "doc")
-            .limit(1)
-            .localCheckpoint()
-        )
-        newly = (
-            cur.join(F.broadcast(pick.select("doc")), "doc", "left_semi")
-            .select("w")
-            .distinct()
-        )
-        n_new = newly.agg(F.count("*").cast("long").alias("_n"))
-        covered_cnt = (
-            n_new
-            if covered_cnt is None
-            else covered_cnt.crossJoin(n_new).select(
-                (F.col("covered_after") + F.col("_n")).alias("_n")
-            )
-        )
-        covered_cnt = covered_cnt.select(
-            F.col("_n").alias("covered_after")
-        ).localCheckpoint()
-        rows.append(
-            pick.crossJoin(F.broadcast(covered_cnt)).select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("doc").alias("doc_id"),
-                "gain",
-                "covered_after",
-            )
-        )
-        cur = (
-            cur.join(F.broadcast(newly), "w", "left_anti")
-            .join(F.broadcast(pick.select("doc")), "doc", "left_anti")
-            .localCheckpoint()
-        )
+    # round loop lives in the shared kernel (operators/selection.py —
+    # also the streaming face's engine, so the two cannot fork)
+    rows, _newly = sel.greedy_cover_rounds(tok, _COVER_ROUNDS)
     out = rows[0]
     for rr in rows[1:]:
         out = out.unionByName(rr)

@@ -1378,3 +1378,115 @@ def test_top_p_selection_prune_keeps_previous_version(spark, tmp_path, sf_dir):
         if n.startswith("v") and n[1:].isdigit()
     )
     assert versions == ["v1", "v2"]  # current + one grace version, v0 pruned
+
+
+def test_greedy_coverage_stream_matches_batch(spark, tmp_path, sf_dir):
+    # streaming manifest maintenance (gram-store append + CELF upper-
+    # bound gate + suffix recompute from versioned covered sets) ≡ the
+    # batch greedy_coverage_selection query over the same final corpus
+    import __spark_entry__ as entrymod
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.coverage import (
+        merge_batch,
+        read_manifest,
+    )
+
+    batch = {
+        r.round: (r.doc_id, r.gain, r.covered_after)
+        for r in entrymod.queries()["greedy_coverage_selection"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    # three arbitrary disjoint batches — later ones contain long docs, so
+    # the gate must trigger recomputes, not just carry-overs
+    for bid, frag in enumerate(
+        [
+            docs.where("doc_id % 3 = 0"),
+            docs.where("doc_id % 3 = 1"),
+            docs.where("doc_id % 3 = 2"),
+        ]
+    ):
+        merge_batch(frag, bid, store)
+    got = {
+        r.round: (r.doc_id, r.gain, r.covered_after)
+        for r in read_manifest(spark, store).collect()
+    }
+    assert got == batch
+    assert len(batch) == 3
+
+
+def test_greedy_coverage_fast_path_carries_over(spark, tmp_path, sf_dir):
+    # a batch whose best new doc cannot beat any incumbent gain must NOT
+    # publish a new version (the CELF gate short-circuits); the manifest
+    # still equals the batch kernel over the full corpus
+    import os
+
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.coverage import (
+        merge_batch,
+        read_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    merge_batch(docs, 0, store)
+    before = sorted(os.listdir(os.path.join(store, "manifest")))
+    tiny = spark.createDataFrame(
+        [(10_000_000, "tiny doc two grams")], "doc_id long, text string"
+    )
+    merge_batch(tiny, 1, store)
+    after = sorted(os.listdir(os.path.join(store, "manifest")))
+    assert before == after  # no new version: gate carried over
+    # and the standing picks are still the batch answer over docs+tiny
+    from data_pipelines_worker_spark.operators.selection import (
+        greedy_cover_rounds,
+    )
+    from data_pipelines_worker_spark.streaming.coverage import doc_grams
+
+    tok = doc_grams(docs.unionByName(tiny))
+    rows, _ = greedy_cover_rounds(tok, 3)
+    expect = rows[0]
+    for fr in rows[1:]:
+        expect = expect.unionByName(fr)
+    assert {tuple(r) for r in read_manifest(spark, store).collect()} == {
+        tuple(r) for r in expect.collect()
+    }
+
+
+def test_greedy_coverage_replay_is_idempotent(spark, tmp_path, sf_dir):
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.coverage import (
+        merge_batch,
+        read_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    merge_batch(docs.where("doc_id % 2 = 0"), 0, store)
+    merge_batch(docs.where("doc_id % 2 = 1"), 1, store)
+    first = {tuple(r) for r in read_manifest(spark, store).collect()}
+    merge_batch(docs.where("doc_id % 2 = 1"), 1, store)  # foreachBatch replay
+    assert {tuple(r) for r in read_manifest(spark, store).collect()} == first
+
+
+def test_greedy_coverage_versioned_covered_sets(spark, tmp_path, sf_dir):
+    # the per-round cumulative covered sets are the manifest's versioned
+    # state: round r's set size must equal the picks' covered_after
+    import os
+
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.coverage import (
+        merge_batch,
+        read_manifest,
+    )
+    from data_pipelines_worker_spark.streaming.snapshot import _read_pointer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    merge_batch(docs, 0, store)
+    vdir = _read_pointer(os.path.join(store, "manifest"))
+    for r in read_manifest(spark, store).collect():
+        covered = spark.read.parquet(os.path.join(vdir, f"covered_r{r.round}"))
+        assert covered.count() == r.covered_after
