@@ -139,6 +139,35 @@ def main() -> None:
                     cards[name] = registry[name][0](spark, sf_dir).count()
                 except Exception:  # noqa: BLE001 — diagnostics never fail the bench
                     cards[name] = -1
+    # Data-shape profile at the BENCH scale factor (the driver generates
+    # its own sf0.1 parquet — VERDICT r6 suspects a different dup/length
+    # distribution as the alternative mechanism for the two blowups; these
+    # few aggregates decide it: more exact-dup groups / longer docs =>
+    # more MinHash candidates; fewer users / hotter users => heavier
+    # per-user EWMA folds).
+    data_profile: dict[str, int] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_CARDS", "1") != "0":
+        try:
+            from pyspark.sql import functions as _F
+
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            prof = docs.agg(
+                _F.count("*").alias("docs_rows"),
+                _F.countDistinct(_F.md5("text")).alias("docs_distinct_texts"),
+                _F.sum(_F.length("text")).alias("docs_total_chars"),
+                _F.max(_F.length("text")).alias("docs_max_chars"),
+            ).collect()[0]
+            data_profile.update({k: int(v) for k, v in prof.asDict().items()})
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            per_user = ev.groupBy("user_id").count()
+            prof = per_user.agg(
+                _F.sum("count").alias("events_rows"),
+                _F.count("*").alias("events_users"),
+                _F.max("count").alias("events_max_per_user"),
+            ).collect()[0]
+            data_profile.update({k: int(v) for k, v in prof.asDict().items()})
+        except Exception:  # noqa: BLE001 — diagnostics never fail the bench
+            pass
     env_stats: dict[str, object] = {}
     try:
         jvm = spark.sparkContext._jvm
@@ -195,6 +224,7 @@ def main() -> None:
                     "cold_value": cold_total,
                     "cold_queries": cold,
                     "cardinalities": cards,
+                    "data_profile": data_profile,
                     "env": env_stats,
                 },
                 fh,
