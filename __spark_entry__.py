@@ -45,6 +45,9 @@ _DRIVER_PRIORITY = (
     # --- slots 1-N: new r07 queries (never driver-checked) ----------
     "probe_minhash_candidates",  # r07: LSH candidate-workload fingerprint
     "planner_advice",  # r07: five-kernel planner-evidence composition
+    "dedup_allpairs_prefix",  # r07: exact prefix-filtering similarity join
+    "exact_percentiles",  # r07: two-phase exact order statistics
+    "cdc_chunking",  # r07: content-defined chunk manifest
     # --- last driver-checked r02 (oldest first) ---------------------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",

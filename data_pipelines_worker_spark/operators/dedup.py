@@ -857,3 +857,91 @@ def incremental_near_dup(
             F.col("jaccard").alias("best_jaccard"),
         )
     )
+
+
+def allpairs_prefix_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6, k: int = 3
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the AllPairs /
+    SSJoin algorithm — Bayardo, Ma & Srikant, WWW'07; Chaudhuri, Ganti &
+    Kaushik, ICDE'06): the third candidate-generation strategy beside
+    the hot-shingle df-cap (``jaccard_pairs``, which *drops* pathological
+    shingles — documented approximation) and MinHash banding
+    (``minhash_lsh_pairs`` — probabilistic miss bound). Prefix filtering
+    is EXACT with a completeness proof:
+
+        order every document's shingles by one global canonical order
+        (rarest-first); for Jaccard >= t a document only needs its first
+        ``n - ceil(t*n) + 1`` shingles indexed — two documents with
+        J >= t MUST share a token inside both prefixes, else their
+        overlap fits entirely in the suffixes, which are too short:
+        |x∩y| >= t*|x∪y| >= ceil(t*n) for both sets, but a disjoint-
+        prefix pair can share at most ceil(t*n)-1 suffix tokens.
+
+    So the candidate set provably contains every qualifying pair, while
+    indexing only the ~(1-t) rarest fraction of each document — the
+    rare-first order pushes high-frequency shingles out of prefixes,
+    which is the built-in hot-token mitigation (df-cap exactness loss
+    traded for a frequency join + per-doc rank window).
+
+    Stages: exact-collapse (identical texts never reach candidate
+    generation — same rationale as minhash) → shingle document-frequency
+    count (the canonical order) → per-doc rarest-first rank window →
+    prefix index (rank <= L) → prefix self-join → exact-Jaccard verify
+    on full shingle sets → member expansion. With threshold 0.6 the
+    prefix bound is integer-exact on both engines:
+    L = n - (3n + 4) div 5 + 1 (ceil(3n/5) spelled wrap-free).
+
+    Scale: candidates are bounded by sum over shingles of C(df_prefix, 2)
+    where df_prefix counts only PREFIX occurrences — on heavy-tailed
+    shingle distributions the rare-first order makes prefix df tiny for
+    exactly the shingles whose global df is huge. Costs one extra
+    aggregate (df) + one doc-keyed window vs the df-cap path; wins
+    whenever exactness matters (contracts, decontamination audits).
+    """
+    members = _text_group_members(df, id_col, text_col).persist()
+    reps = members.select(F.col("rep").alias("doc")).distinct()
+    d = _doc_shingles(df, id_col, text_col, k).join(reps, "doc").persist()
+    ex = d.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "s")
+    # ceil(t*n) with t = 3/5 as exact integer arithmetic (portable)
+    t_num, t_den = 3, 5
+    lim = (
+        F.col("n")
+        - F.floor((t_num * F.col("n") + t_den - 1) / t_den).cast("long")
+        + 1
+    )
+    prefix = (
+        ex.join(dfreq, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= lim)
+        .select("doc", "s")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc").alias("d1"), F.col("sh").alias("sh1"))
+    sb = d.select(F.col("doc").alias("d2"), F.col("sh").alias("sh2"))
+    verified = (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh1") + F.size("sh2") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    rp = verified.select(
+        F.col("d1").alias("r1"),
+        F.col("d2").alias("r2"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    return _expand_member_pairs(rp, members, d)

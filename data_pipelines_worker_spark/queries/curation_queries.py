@@ -1109,3 +1109,156 @@ def q_greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_greedy_coverage_selection.__doc__ = q_greedy_coverage_selection.__doc__.format(
     n=_COVER_ROUNDS
 )
+
+
+# --- content-defined chunking (round 7) --------------------------------------
+
+#: Expected chunk length: boundary where the rolling context hash is
+#: 0 mod 64. The cut decision depends only on a 3-word context, so an
+#: insertion re-cuts ONE chunk — the CDC property fixed-size windows
+#: (chunk_dedup) lack.
+_CDC_MASK = 64
+_M31 = (1 << 31) - 1
+
+_CDC_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM base
+),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(concat('0x', substr(md5(ws[i]), 1, 15)) AS BIGINT) % {_M31}
+           AS wh,
+         CAST(concat('0x', substr(md5(ws[i]), 16, 15)) AS BIGINT) % {_M31}
+           AS wh2
+  FROM pos
+),
+ctx AS (
+  SELECT doc_id, pos, wh, wh2,
+         CASE WHEN pos >= 2 THEN
+           (wh + 31 * lag(wh, 1) OVER dw + 961 * lag(wh, 2) OVER dw)
+             % {_M31}
+         END AS h
+  FROM w
+  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+),
+flg AS (
+  SELECT doc_id, pos, wh, wh2,
+         CASE WHEN h IS NOT NULL AND h % {_CDC_MASK} = 0 THEN 1 ELSE 0 END
+           AS cut
+  FROM ctx
+),
+chunks AS (
+  SELECT doc_id, pos, wh, wh2,
+         COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS chunk_idx
+  FROM flg
+),
+lp AS (
+  SELECT doc_id, chunk_idx, wh, wh2,
+         row_number() OVER (PARTITION BY doc_id, chunk_idx ORDER BY pos)
+           AS local_pos
+  FROM chunks
+),
+agg AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(local_pos * wh) AS BIGINT) AS fp1,
+         CAST(sum(local_pos * wh2) AS BIGINT) AS fp2
+  FROM lp GROUP BY doc_id, chunk_idx
+)
+SELECT doc_id, chunk_idx, n_words, fp1, fp2,
+       CAST(count(*) OVER (PARTITION BY n_words, fp1, fp2) AS BIGINT)
+         AS n_copies
+FROM agg
+"""
+
+
+@register("cdc_chunking", _CDC_ORACLE)
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS cut-point algorithm):
+    chunk boundaries fall where a rolling 3-word context hash is
+    0 mod {m} — so boundaries are a function of CONTENT, not position,
+    and an insertion/deletion re-cuts exactly one chunk instead of
+    shifting every downstream window (the failure mode of fixed-size
+    `chunk_dedup` under edits). The emitted table is the chunk manifest
+    (doc, chunk_idx, length, two independent position-weighted
+    fingerprints) plus each chunk's corpus-wide copy count — the
+    dedup-storage shape: identical chunks across near-identical docs
+    share fingerprints and collapse at the storage layer.
+
+    Engine-portable arithmetic throughout: per-word 60-bit md5-fold
+    hashes reduced mod 2^31-1, the rolling context as an integer
+    combination of the last three word hashes (never string concat
+    across rows), fingerprints as position-weighted integer sums
+    bounded < 2^50 (no overflow on either engine), chunk identity =
+    (n_words, fp1, fp2) — a double-fingerprint match, collision odds
+    ~2^-60 per pair.
+
+    Scale shape: one doc-keyed exchange serves every window (context
+    lags, cut-flag prefix sum, local rank — same sort order reused);
+    the chunk aggregate partial-combines; the copy count is one
+    fingerprint-keyed exchange of manifest rows (chunks, not words). At
+    100 TB this is the chunk-manifest build of a dedup store; the
+    word-level frame never shuffles twice.
+    """
+    return cdc_chunk_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def cdc_chunk_manifest(docs: DataFrame) -> DataFrame:
+    """The CDC manifest kernel over any (doc_id, text) frame — module
+    level so the shift-robustness property (an insertion re-cuts one
+    chunk) is testable on synthetic documents."""
+    words = F.split(F.col("text"), " ", -1)
+    wpos = docs.select(
+        "doc_id", F.posexplode(words).alias("pos", "w")
+    )
+    wh = F.pmod(
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"),
+        F.lit(_M31),
+    )
+    wh2 = F.pmod(
+        F.conv(F.substring(F.md5("w"), 16, 15), 16, 10).cast("long"),
+        F.lit(_M31),
+    )
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    base = wpos.select(
+        "doc_id", "pos", wh.alias("wh"), wh2.alias("wh2")
+    )
+    h = F.pmod(
+        F.col("wh")
+        + 31 * F.lag("wh", 1).over(dw)
+        + 961 * F.lag("wh", 2).over(dw),
+        F.lit(_M31),
+    )
+    flagged = base.withColumn(
+        "cut",
+        F.when(
+            (F.col("pos") >= 2) & (F.pmod(h, F.lit(_CDC_MASK)) == 0), 1
+        ).otherwise(0),
+    )
+    chunked = flagged.withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum("cut").over(dw.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    lw = W.partitionBy("doc_id", "chunk_idx").orderBy("pos")
+    ranked = chunked.withColumn("local_pos", F.row_number().over(lw))
+    agg = ranked.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.col("local_pos") * F.col("wh")).cast("long").alias("fp1"),
+        F.sum(F.col("local_pos") * F.col("wh2")).cast("long").alias("fp2"),
+    )
+    cw = W.partitionBy("n_words", "fp1", "fp2")
+    return agg.select(
+        "doc_id", "chunk_idx", "n_words", "fp1", "fp2",
+        F.count("*").over(cw).cast("long").alias("n_copies"),
+    )
+
+
+q_cdc_chunking.__doc__ = q_cdc_chunking.__doc__.format(m=_CDC_MASK)

@@ -885,3 +885,15 @@ def q_probe_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_buckets"),
         F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("cand_pairs"),
     ).select(F.col("bucket_size").cast("long"), "n_buckets", "cand_pairs")
+
+
+@register("dedup_allpairs_prefix", _JACCARD_ORACLE)
+def q_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs prefix-filtering exact similarity join (third candidate
+    strategy beside df-cap and MinHash banding): provably complete
+    candidates from rarest-first shingle prefixes, exact-Jaccard
+    verified. Oracle = the exact uncapped Jaccard pair set, shared with
+    dedup_minhash_lsh — for THIS algorithm equality is a theorem, not a
+    1e-23 miss bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.allpairs_prefix_pairs(docs, "doc_id", "text", threshold=0.6, k=3)

@@ -1021,3 +1021,98 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_theilsen_slope.__doc__ = q_theilsen_slope.__doc__.format(cap=_TS_CAP)
+
+
+# --- exact distributed percentile selection (round 7) -------------------------
+
+_PCTS = (50, 90, 99)
+_PCT_BUCKET = 1 << 16
+
+_EXACT_PCT_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM t),
+p AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in _PCTS)}) AS p(pct)),
+k AS (
+  SELECT CAST(pct AS BIGINT) AS pct,
+         (pct * (SELECT c FROM n) + 99) // 100 AS k
+  FROM p
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+SELECT pct, CAST(k.k AS BIGINT) AS k, CAST(min(v) AS BIGINT) AS value
+FROM k JOIN r ON r.rn >= k.k
+GROUP BY pct, k.k
+"""
+
+
+@register("exact_percentiles", _EXACT_PCT_ORACLE)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics (p50/p90/p99 of price cents) WITHOUT a
+    global sort — the two-phase selection algorithm a 100-TB engine
+    needs when the contract says exact, not GK/KLL-approximate (the
+    `approx_quantile_binned` counterpart with error = 0):
+
+    Phase 1: one partial-combined histogram over 65536-wide value
+    buckets (manifest-sized: value range / 2^16 rows) locates, per
+    target rank k, the bucket containing the k-th value and the exact
+    number of values below it.
+
+    Phase 2: one more pass touches ONLY rows in located buckets (a
+    broadcast semi-join on the bucket id), builds the value-level
+    histogram inside each (≤ 65536 distinct values — still
+    manifest-sized), and rank-walks to the exact value.
+
+    Both phases are aggregates + tiny windows over manifest-sized
+    frames; rows are never globally sorted and nothing corpus-sized is
+    collected or broadcast. The oracle is the brute-force rank
+    definition (row_number over the sorted column), so the hash gate
+    certifies exactness, ties included.
+    """
+    from ..session import local_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    t = li.select(v.alias("v"), exact_floordiv(v, _PCT_BUCKET).alias("b"))
+
+    targets = local_df(spark, [(p,) for p in _PCTS], "pct long")
+    n = t.agg(F.count("*").cast("long").alias("c"))
+    ks = targets.crossJoin(F.broadcast(n)).select(
+        "pct",
+        exact_floordiv(F.col("pct") * F.col("c") + 99, 100).alias("k"),
+    )
+
+    hist = t.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    hist_cum = hist.select(
+        "b", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )  # manifest-sized frame: one row per 2^16-wide occupied bucket
+    located = (
+        hist_cum.crossJoin(F.broadcast(ks))
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("pct", "k")
+        .agg(F.min("b").cast("long").alias("b"))
+        .join(hist_cum, "b")
+        .select(
+            "pct", "k", "b", (F.col("cum") - F.col("cnt")).alias("below")
+        )
+    )
+
+    inb = t.join(
+        F.broadcast(located.select("b").distinct()), "b", "left_semi"
+    )
+    vals = inb.groupBy("b", "v").agg(F.count("*").cast("long").alias("vc"))
+    wv = Window.partitionBy("b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    vals_cum = vals.select(
+        "b", "v", F.sum("vc").over(wv).cast("long").alias("vcum")
+    )
+    return (
+        vals_cum.join(F.broadcast(located), "b")
+        .where(F.col("below") + F.col("vcum") >= F.col("k"))
+        .groupBy("pct", "k")
+        .agg(F.min("v").cast("long").alias("value"))
+        .select("pct", "k", "value")
+    )

@@ -816,3 +816,39 @@ class TestRound7Plans:
         # every join in the composition is a broadcast (manifest-sized
         # sides) — a sort-merge join would mean a kernel regressed
         assert "SortMergeJoin" not in plan
+
+    def test_allpairs_prefix_no_cartesian_prefix_only_join(self, spark, registry):
+        # candidate generation must be an equi-join on prefix tokens
+        # (never a cartesian), document-frequency ranking must be a
+        # window over one doc-keyed sort, and the hot path is python-free
+        plan = plan_of(q(registry, "dedup_allpairs_prefix", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        # the candidate join is a hash equi-join on the prefix token [s]
+        # (doc< as residual) — at sf0.001 every side broadcasts; the
+        # no-cartesian + equi-key assertions are the scale property
+        assert "HashJoin [s#" in plan
+
+    def test_exact_percentiles_no_global_sort_of_rows(self, spark, registry):
+        # the whole point: exact order statistics WITHOUT sorting the
+        # data — no global Sort over the row-level frame (windows over
+        # the manifest-sized histograms are sorts of tiny frames, which
+        # appear as Sort inside a single-partition window; the row frame
+        # itself must only be aggregated), and nothing python
+        plan = plan_of(q(registry, "exact_percentiles", spark))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+        # row-level frames reach only hash aggregates; every join is
+        # broadcast (manifest-sized sides)
+        assert "SortMergeJoin" not in plan
+
+    def test_cdc_chunking_single_doc_exchange(self, spark, registry):
+        # every word-level window (context lags, cut prefix sum, local
+        # rank) must ride ONE doc-keyed exchange; the copy count adds one
+        # manifest-keyed exchange; no joins, no python
+        plan = plan_of(q(registry, "cdc_chunking", spark))
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan
+        assert plan.count("FileScan parquet") == 1
+        assert plan.count("Exchange hashpartitioning(doc_id") <= 2

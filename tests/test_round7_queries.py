@@ -1,0 +1,144 @@
+"""Semantic/property tests for the round-7 queries (the oracle hash gate
+covers value parity; these pin the ALGORITHMIC claims)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_worker_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+class TestAllpairsPrefix:
+    def test_survives_hot_token_where_dfcap_excludes(self, spark):
+        # a shingle present in EVERY doc: the df-cap path drops it from
+        # candidate generation by design; prefix filtering must still
+        # find the pair whose similarity depends on it (exactness claim)
+        from data_pipelines_worker_spark.operators.dedup import (
+            allpairs_prefix_pairs,
+        )
+
+        hot = "alpha beta gamma"  # one shared 3-shingle for every doc
+        rows = [
+            # docs 1/2: J = 2/4 = 0.5 < 0.6 — must NOT pair
+            (1, hot + " delta one"),
+            (2, hot + " delta two"),
+            # docs 3/4: identical except last word, J = 3/5 = 0.6 — pair
+            (3, hot + " epsilon zeta x"),
+            (4, hot + " epsilon zeta y"),
+            # unrelated filler so the hot shingle is genuinely corpus-wide
+            (5, hot + " unrelated filler words entirely"),
+            (6, hot + " other noise tokens here now"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.d1, r.d2): r.jaccard
+            for r in allpairs_prefix_pairs(
+                docs, "doc_id", "text", threshold=0.6, k=3
+            ).collect()
+        }
+        assert (3, 4) in got and abs(got[(3, 4)] - 0.6) < 1e-9
+        assert (1, 2) not in got
+
+    def test_matches_minhash_pair_set(self, spark, registry):
+        # two independent algorithms (banding vs prefix filtering), one
+        # exact answer: the pair sets must be identical on real data
+        lsh = {
+            (r.d1, r.d2)
+            for r in registry["dedup_minhash_lsh"][0](spark, SF).collect()
+        }
+        app = {
+            (r.d1, r.d2)
+            for r in registry["dedup_allpairs_prefix"][0](spark, SF).collect()
+        }
+        assert app == lsh
+        assert app  # non-trivial
+
+
+class TestExactPercentiles:
+    def test_matches_bruteforce_rank(self, spark, registry):
+        from data_pipelines_worker_spark.session import load_table
+
+        vals = sorted(
+            r.v
+            for r in load_table(spark, SF, "lineitem")
+            .select(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                .cast("long")
+                .alias("v")
+            )
+            .collect()
+        )
+        n = len(vals)
+        got = {
+            r.pct: (r.k, r.value)
+            for r in registry["exact_percentiles"][0](spark, SF).collect()
+        }
+        for pct in (50, 90, 99):
+            k = (pct * n + 99) // 100
+            assert got[pct] == (k, vals[k - 1])
+
+
+class TestCdcChunking:
+    def test_insertion_recuts_exactly_one_chunk(self, spark):
+        # THE content-defined property: inserting one word changes only
+        # the chunk containing the edit (plus at most its immediate
+        # successor while the 3-word context re-synchronizes); every
+        # other chunk keeps its exact fingerprint. Fixed windows shift
+        # every downstream chunk instead.
+        from data_pipelines_worker_spark.queries.curation_queries import (
+            cdc_chunk_manifest,
+        )
+
+        words = [f"w{(i * 7919) % 997}x{i % 61}" for i in range(400)]
+        text = " ".join(words)
+        edited = " ".join(words[:200] + ["INSERTED"] + words[200:])
+        both = spark.createDataFrame(
+            [(1, text), (2, edited)], "doc_id long, text string"
+        )
+        m = cdc_chunk_manifest(both).collect()
+        orig = {(r.n_words, r.fp1, r.fp2) for r in m if r.doc_id == 1}
+        edit = {(r.n_words, r.fp1, r.fp2) for r in m if r.doc_id == 2}
+        # chunks unique to either side = the re-cut neighborhood only
+        changed = len(orig ^ edit)
+        assert changed <= 2 * 3  # <= 3 chunks per side differ
+        # and the vast majority of chunks survived byte-identical
+        assert len(orig & edit) >= len(orig) - 3
+
+    def test_copy_counts_collapse_identical_chunks(self, spark):
+        from data_pipelines_worker_spark.queries.curation_queries import (
+            cdc_chunk_manifest,
+        )
+
+        text = " ".join(f"w{i % 97} t{i % 89}" for i in range(300))
+        both = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id long, text string"
+        )
+        rows = cdc_chunk_manifest(both).collect()
+        assert rows and all(r.n_copies == 2 for r in rows)
+
+
+class TestPlannerAdvice:
+    def test_eight_decision_rows(self, spark, registry):
+        rows = registry["planner_advice"][0](spark, SF).collect()
+        assert len(rows) == 8
+        advisors = {r.advisor for r in rows}
+        assert advisors == {"zone_map", "zorder", "bloom", "skew", "join_card"}
+        assert all(r.recommendation for r in rows)
+
+
+class TestMinhashCandidateProbe:
+    def test_pair_count_matches_bucket_math(self, spark, registry):
+        rows = registry["probe_minhash_candidates"][0](spark, SF).collect()
+        for r in rows:
+            assert r.cand_pairs == r.n_buckets * r.bucket_size * (
+                r.bucket_size - 1
+            ) // 2
+        assert sum(r.n_buckets for r in rows) > 0

@@ -92,6 +92,11 @@ HEADLINERS = {
     "shuffle_skew_profile": "per-key two-phase counts, broadcast max-count argmax",
     "join_cardinality_probe": "count-table joins only, TakeOrdered top-k heavy hitters",
     "kcore_peeling": "per-round degree agg + broadcast anti-joins, localCheckpoint",
+    "probe_minhash_candidates": "signature aggs + band fan-out, histogram only, no pair join",
+    "planner_advice": "five-kernel union of manifest-sized summaries, broadcast-only",
+    "dedup_allpairs_prefix": "df rank window, prefix equi-join candidates, exact verify",
+    "exact_percentiles": "two-phase bucket histograms, no global row sort",
+    "cdc_chunking": "one doc exchange for all windows, manifest copy-count",
 }
 
 
