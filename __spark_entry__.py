@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = (
     "dedup_allpairs_prefix",  # r07: exact prefix-filtering similarity join
     "exact_percentiles",  # r07: two-phase exact order statistics
     "cdc_chunking",  # r07: content-defined chunk manifest
+    "media_image_phash",  # r07: WHT perceptual-hash image near-dup
     # --- last driver-checked r02 (oldest first) ---------------------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",

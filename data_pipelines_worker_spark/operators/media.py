@@ -989,3 +989,98 @@ def image_stats(df: DataFrame, payload_col: str = "payload_bin") -> DataFrame:
             yield out[names]
 
     return df.mapInPandas(gen, schema)
+
+
+# --- perceptual hashing (round 7) -------------------------------------------
+
+def _wht_sign_matrix() -> "np.ndarray":
+    """8x8 Walsh–Hadamard sign matrix S[u, x] = (-1)^popcount(u & x) —
+    the integer-exact stand-in for the DCT basis of classic pHash: same
+    low-frequency energy-compaction role, but every coefficient is an
+    integer combination of pixels, so the fingerprint is bit-exact and
+    engine-portable (no libm cos whose last ulp differs across engines)."""
+    import numpy as np
+
+    idx = np.arange(8)
+    pop = np.array([bin(u & x).count("1") for u in idx for x in idx]).reshape(8, 8)
+    return (1 - 2 * (pop % 2)).astype(np.int64)
+
+
+def phash_bytes(data: bytes) -> int:
+    """63-bit perceptual fingerprint of an image payload (FIMG or real
+    PNG): decode to grayscale pixels, integer box-pool to 8x8, 2-D
+    Walsh–Hadamard transform, emit the sign bit of each of the 63 AC
+    coefficients (bit i = u*8+v-1 set iff coeff(u,v) > 0; DC dropped —
+    brightness invariance, as in classic pHash). Small pixel edits move
+    few coefficient signs, so near-duplicate images land within a small
+    hamming radius while the hash stays exactly reproducible (all
+    arithmetic is int64)."""
+    import numpy as np
+
+    from . import png_codec as P
+
+    if data[:4] == FIMG_MAGIC:
+        w, h, px = fimg_decode(data)
+        arr = (
+            np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w)
+        )
+    elif P.is_png(data):
+        a = P.png_decode(data)
+        if a.ndim == 3 and a.shape[2] >= 3:
+            arr = a[:, :, :3].astype(np.int64).sum(axis=2) // 3
+        else:
+            arr = a[:, :, 0].astype(np.int64)
+    else:
+        _require_real_backend("image", data)
+        raise NotImplementedError
+    h, w = arr.shape
+    if (h, w) != (8, 8):
+        if h < 8 or w < 8:
+            raise ValueError("phash needs at least 8x8 pixels")
+        # integer box-pool: block mean over floor-partitioned regions —
+        # exact (sum // count), no float resampling in the fingerprint
+        rb = [(i * h) // 8 for i in range(9)]
+        cb = [(j * w) // 8 for j in range(9)]
+        arr = np.array(
+            [
+                [
+                    int(arr[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].sum())
+                    // ((rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j]))
+                    for j in range(8)
+                ]
+                for i in range(8)
+            ],
+            dtype=np.int64,
+        )
+    s = _wht_sign_matrix()
+    coeff = s @ arr @ s.T  # C[u, v] = sum_xy pix * (-1)^(pc(x&u)+pc(y&v))
+    bits = 0
+    for u in range(8):
+        for v in range(8):
+            if (u, v) == (0, 0):
+                continue
+            if coeff[u, v] > 0:
+                bits |= 1 << (u * 8 + v - 1)
+    return bits
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload_bin") -> DataFrame:
+    """Adds a ``phash`` long column: the 63-bit WHT sign fingerprint of
+    each image payload, decoded from real bytes executor-side (FIMG or
+    PNG — Arrow-batched ``mapInPandas``, nothing touches the driver).
+    The multimodal analogue of the text dedup family's signature stage:
+    downstream near-dup joins operate on the integer hash, never the
+    pixels, so the candidate space is distinct-signature-sized."""
+    fields = list(df.schema.fields) + [
+        T.StructField("phash", T.LongType(), True)
+    ]
+    schema = T.StructType(fields)
+    names = [f.name for f in schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["phash"] = [phash_bytes(bytes(b)) for b in pdf[payload_col]]
+            yield out[names]
+
+    return df.mapInPandas(gen, schema)

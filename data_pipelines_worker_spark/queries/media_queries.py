@@ -480,3 +480,197 @@ def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_frames").cast("long").alias("max_segment_frames"),
         F.sum("seg_energy").cast("long").alias("total_energy"),
     )
+
+
+# --- perceptual-hash image near-dup (round 7) --------------------------------
+
+_PH_CLASSES = 512  # content classes: docs in one class share base pixels
+_PH_VARIANTS = 4  # per-doc variant perturbs ONE pixel by v*40
+_PH_KNUTH = 2654435761  # Knuth multiplicative hash (public constant)
+_PH_BANDS = 4  # 4 x 16-bit bands: complete for hamming <= 3 (pigeonhole)
+_PH_HAM = 3
+
+_PHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 15)) AS BIGINT)
+           % {_PH_CLASSES} AS c,
+         doc_id % {_PH_VARIANTS} AS v
+  FROM documents
+),
+cv AS (SELECT DISTINCT c, v FROM d),
+px AS (
+  SELECT c, v, k, k % 8 AS x, k // 8 AS y,
+         CASE WHEN k = (v * 17) % 64
+              THEN (((((c * 64 + k + 1) * {_PH_KNUTH}) % 4294967296) // 8192)
+                    % 251 + v * 40) % 251
+              ELSE ((((c * 64 + k + 1) * {_PH_KNUTH}) % 4294967296) // 8192)
+                   % 251
+         END AS pix
+  FROM cv, (SELECT unnest(generate_series(0, 63)) AS k)
+),
+uv AS (
+  SELECT uu.u AS u, ww.w AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS u) uu,
+       (SELECT unnest(generate_series(0, 7)) AS w) ww
+  WHERE NOT (uu.u = 0 AND ww.w = 0)
+),
+co AS (
+  SELECT c, v, u, w,
+         sum(pix * (1 - 2 * ((bit_count(y & u) + bit_count(x & w)) % 2)))
+           AS coeff
+  FROM px, uv
+  GROUP BY c, v, u, w
+),
+h AS (
+  SELECT c, v,
+         CAST(sum(CASE WHEN coeff > 0
+                       THEN (CAST(1 AS BIGINT) << (u * 8 + w - 1))
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM co GROUP BY c, v
+),
+dh AS (SELECT d.doc_id, h.phash FROM d JOIN h ON d.c = h.c AND d.v = h.v),
+hg AS (SELECT phash, CAST(count(*) AS BIGINT) AS cnt FROM dh GROUP BY phash),
+near AS (
+  SELECT a.phash, CAST(COALESCE(sum(b.cnt), 0) AS BIGINT) AS n_near
+  FROM hg a LEFT JOIN hg b
+    ON a.phash <> b.phash
+   AND bit_count(xor(a.phash, b.phash)) <= {_PH_HAM}
+  GROUP BY a.phash
+)
+SELECT dh.doc_id, dh.phash,
+       CAST(hg.cnt - 1 AS BIGINT) AS n_exact_dup,
+       near.n_near AS n_near_dup
+FROM dh
+JOIN hg ON dh.phash = hg.phash
+JOIN near ON dh.phash = near.phash
+"""
+
+
+def _phash_pixels(c: int, v: int) -> bytes:
+    """Deterministic 8x8 grayscale content for class ``c`` variant ``v``:
+    avalanche-hashed base pixels shared by the whole class, one pixel
+    perturbed by v*40 — so same-class docs are exact or near duplicates
+    by construction and the oracle predicts every pixel closed-form."""
+    px = bytearray(64)
+    for k in range(64):
+        p = ((((c * 64 + k + 1) * _PH_KNUTH) % 2**32) // 8192) % 251
+        if k == (v * 17) % 64:
+            p = (p + v * 40) % 251
+        px[k] = p
+    return bytes(px)
+
+
+@register("media_image_phash", _PHASH_ORACLE)
+def q_media_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate detection — the multimodal
+    member of the dedup family (text: minhash/simhash/allpairs;
+    embeddings: SRP-LSH; images: THIS). Real bytes end-to-end: each doc's
+    8x8 grayscale FIMG payload is encoded executor-side, decoded back by
+    ``image_phash`` (Arrow-batched), and fingerprinted with the 63-bit
+    Walsh–Hadamard sign hash (integer-exact DCT stand-in — classic pHash
+    with a portable basis). Dedup then runs entirely in signature space:
+
+      exact-collapse (group identical hashes) → 4x16-bit banded
+      self-join over DISTINCT hashes only (complete for hamming <= 3 by
+      pigeonhole: 3 flipped bits cannot touch all 4 bands) → verify
+      bit_count(xor) <= 3 → per-doc exact/near duplicate counts.
+
+    The oracle recomputes the hash closed-form from the class/variant
+    pixel construction and brute-forces all distinct-hash pairs — Spark's
+    banded candidate set must equal it, so band completeness is
+    hash-certified, not asserted.
+
+    Scale shape: pixels never shuffle; the candidate join is
+    distinct-signature-sized (exact-collapse discipline, as
+    `operators/dedup.py`); per-doc counts come from one broadcastable
+    signature-stats frame. Reference scope: the engine's image blocks
+    (`block_image_resize.go`) have no near-dup operator — this is part
+    of the beyond-reference LLM-data surface."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload_bin", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                c = (
+                    int(
+                        hashlib.md5((t or "").encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                    % _PH_CLASSES
+                )
+                v = int(doc_id) % _PH_VARIANTS
+                payloads.append(M.fimg_encode(8, 8, _phash_pixels(c, v)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload_bin": payloads}
+            )
+
+    hashed = M.image_phash(docs.mapInPandas(gen, schema)).select(
+        "doc_id", "phash"
+    )
+    hg = hashed.groupBy("phash").agg(F.count("*").cast("long").alias("cnt"))
+    bands = hg.select(
+        "phash",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("phash"), 16 * k)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bv"),
+                    )
+                    for k in range(_PH_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("phash", "cnt", "s.band", "s.bv")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.phash") < F.col("r.phash")),
+        )
+        .select(
+            F.col("l.phash").alias("h1"),
+            F.col("l.cnt").alias("c1"),
+            F.col("r.phash").alias("h2"),
+            F.col("r.cnt").alias("c2"),
+        )
+        .distinct()
+        .where(
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= _PH_HAM
+        )
+    )
+    near = (
+        cand.select(F.col("h1").alias("phash"), F.col("c2").alias("ocnt"))
+        .unionAll(
+            cand.select(F.col("h2").alias("phash"), F.col("c1").alias("ocnt"))
+        )
+        .groupBy("phash")
+        .agg(F.sum("ocnt").cast("long").alias("n_near"))
+    )
+    return (
+        hashed.join(hg, "phash")
+        .join(near, "phash", "left")
+        .select(
+            "doc_id",
+            "phash",
+            (F.col("cnt") - 1).cast("long").alias("n_exact_dup"),
+            F.coalesce(F.col("n_near"), F.lit(0))
+            .cast("long")
+            .alias("n_near_dup"),
+        )
+    )

@@ -852,3 +852,12 @@ class TestRound7Plans:
         assert "Join" not in plan
         assert plan.count("FileScan parquet") == 1
         assert plan.count("Exchange hashpartitioning(doc_id") <= 2
+
+    def test_image_phash_signature_space_joins(self, spark, registry):
+        # pixels never shuffle: the near-dup candidate join runs over
+        # DISTINCT hashes (exact-collapse), banded equi-join only — no
+        # cartesian, no nested-loop; python appears only in the codec
+        # stage (media family contract)
+        plan = plan_of(q(registry, "media_image_phash", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -142,3 +142,43 @@ class TestMinhashCandidateProbe:
                 r.bucket_size - 1
             ) // 2
         assert sum(r.n_buckets for r in rows) > 0
+
+
+class TestImagePhash:
+    def test_phash_unit_properties(self):
+        import numpy as np
+
+        from data_pipelines_worker_spark.operators import media as M
+        from data_pipelines_worker_spark.operators import png_codec as P
+
+        # constant image: every AC coefficient is 0 -> hash 0 (DC dropped)
+        assert M.phash_bytes(M.fimg_encode(8, 8, bytes([9] * 64))) == 0
+        px = bytes([(i * 37 + 11) % 251 for i in range(64)])
+        h = M.phash_bytes(M.fimg_encode(8, 8, px))
+        assert 0 < h < 2**63
+        # real-PNG decode path produces the identical fingerprint
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(8, 8, 1)
+        assert M.phash_bytes(P.png_encode(arr)) == h
+        # box-pool: an 8x8 image upsampled 2x pools back to itself
+        big = bytes(
+            px[(y // 2) * 8 + (x // 2)] for y in range(16) for x in range(16)
+        )
+        assert M.phash_bytes(M.fimg_encode(16, 16, big)) == h
+
+    def test_banded_counts_match_bruteforce(self, spark, registry):
+        # the banded candidate join must reproduce brute-force all-pairs
+        # hamming<=3 counts exactly (pigeonhole completeness, 4 bands)
+        rows = registry["media_image_phash"][0](spark, SF).collect()
+        from collections import Counter
+
+        cnt = Counter(r.phash for r in rows)
+        for r in rows:
+            near = sum(
+                c
+                for h2, c in cnt.items()
+                if h2 != r.phash and bin(r.phash ^ h2).count("1") <= 3
+            )
+            assert r.n_near_dup == near
+            assert r.n_exact_dup == cnt[r.phash] - 1
+        assert sum(r.n_exact_dup for r in rows) > 0
+        assert sum(r.n_near_dup for r in rows) > 0

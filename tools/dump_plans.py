@@ -97,6 +97,7 @@ HEADLINERS = {
     "dedup_allpairs_prefix": "df rank window, prefix equi-join candidates, exact verify",
     "exact_percentiles": "two-phase bucket histograms, no global row sort",
     "cdc_chunking": "one doc exchange for all windows, manifest copy-count",
+    "media_image_phash": "codec-stage python only, banded distinct-hash equi-join",
 }
 
 
