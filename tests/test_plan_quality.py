@@ -861,3 +861,13 @@ class TestRound7Plans:
         plan = plan_of(q(registry, "media_image_phash", spark))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_edit_distance_join_equi_candidates_jvm_verify(self, spark, registry):
+        # Ed-Join candidates must be a hash equi-join on prefix gram
+        # content (positional +-1 as residual), never a cartesian; the
+        # verify is JVM levenshtein — the whole query is python-free
+        plan = plan_of(q(registry, "edit_distance_join", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "levenshtein" in plan

@@ -182,3 +182,63 @@ class TestImagePhash:
             assert r.n_exact_dup == cnt[r.phash] - 1
         assert sum(r.n_exact_dup for r in rows) > 0
         assert sum(r.n_near_dup for r in rows) > 0
+
+
+class TestEditDistanceJoin:
+    @staticmethod
+    def _ed(a: str, b: str) -> int:
+        # classic DP, the definition both engines implement
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    def test_edjoin_matches_bruteforce(self, spark, registry):
+        # the Ed-Join prefix filter must find EXACTLY the brute-force
+        # ed<=1 pair set (completeness is the whole claim). Rebuild the
+        # code table independently in python and compare.
+        from data_pipelines_worker_spark.session import load_table
+
+        cust = {
+            r.c_custkey: r.c_nationkey
+            for r in load_table(spark, SF, "customer")
+            .select("c_custkey", "c_nationkey")
+            .collect()
+        }
+        nat = {
+            r.n_nationkey: r.n_name
+            for r in load_table(spark, SF, "nation").collect()
+        }
+        codes = {}
+        for k, nk in cust.items():
+            code = str(k).zfill(12)[::-1] + "-" + nat[nk]
+            codes[k] = code
+            if k % 7 == 3:
+                codes[k + 1000000000] = code[:2] + code[3:]
+            elif k % 7 == 5:
+                codes[k + 1000000000] = code[:4] + "X" + code[5:]
+        ids = sorted(codes)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ca, cb = codes[a], codes[b]
+                if abs(len(ca) - len(cb)) <= 1 and self._ed(ca, cb) <= 1:
+                    want.add((a, b))
+        got = {
+            (r.id1, r.id2)
+            for r in registry["edit_distance_join"][0](spark, SF).collect()
+        }
+        assert got == want
+        # every dirty copy found its master (guaranteed ed-1 siblings)
+        dirty = [i for i in ids if i >= 1000000000]
+        assert dirty
+        for d in dirty:
+            assert (d - 1000000000, d) in got

@@ -98,6 +98,7 @@ HEADLINERS = {
     "exact_percentiles": "two-phase bucket histograms, no global row sort",
     "cdc_chunking": "one doc exchange for all windows, manifest copy-count",
     "media_image_phash": "codec-stage python only, banded distinct-hash equi-join",
+    "edit_distance_join": "rare-first gram prefix equi-join, JVM levenshtein verify",
 }
 
 
