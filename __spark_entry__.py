@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = (
     "cdc_chunking",  # r07: content-defined chunk manifest
     "media_image_phash",  # r07: WHT perceptual-hash image near-dup
     "edit_distance_join",  # r07: Ed-Join prefix filter vs PassJoin oracle
+    "rendezvous_sharding",  # r07: HRW placement + minimal-disruption matrix
     # --- last driver-checked r02 (oldest first) ---------------------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",

@@ -947,3 +947,88 @@ def q_bloom_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(False)
         ).alias("never_miss"),
     )
+
+
+# --- rendezvous (HRW) sharding manifest (round 7) -----------------------------
+
+_HRW_NODES = 16  # base cluster size; the query also scores node-16 joining
+
+_HRW_NODE_LIST = ", ".join(f"'node-{i:02d}'" for i in range(_HRW_NODES + 1))
+
+_HRW_ORACLE = f"""
+WITH nodes AS (SELECT unnest([{_HRW_NODE_LIST}]) AS node),
+scored AS (
+  SELECT d.doc_id, n.node,
+         CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                       n.node), 1, 15)) AS BIGINT) AS h
+  FROM documents d, nodes n
+),
+owners AS (
+  SELECT doc_id,
+         arg_max(node, h) FILTER (WHERE node <> 'node-{_HRW_NODES:02d}')
+           AS owner_before,
+         arg_max(node, h) AS owner_after
+  FROM scored GROUP BY doc_id
+)
+SELECT owner_before, owner_after,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM owners GROUP BY owner_before, owner_after
+"""
+
+
+@register("rendezvous_sharding", _HRW_ORACLE)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding manifest — the
+    data-placement layer a 100 TB corpus store needs: each doc's owner is
+    the node maximizing a portable 60-bit hash of (doc, node), so
+    placement is computed independently per doc (no coordination, no ring
+    state) and adding a node moves exactly the docs the new node wins —
+    never a doc between two surviving nodes. The query scores the same
+    corpus against the 16-node cluster and the 17-node cluster in ONE
+    aggregation pass and emits the (owner_before, owner_after) movement
+    matrix; the HRW minimal-disruption theorem means every off-diagonal
+    row must have owner_after = the joining node, and the expected moved
+    fraction is 1/17 — both facts hash-certified by the oracle, not
+    asserted.
+
+    Plan shape: a bounded 17-way fan-out (literal node array, exploded —
+    never a shuffle), one partial-combined max_by aggregation per doc
+    (the filtered max_by computes both cluster views in the same pass),
+    and a manifest-sized movement matrix (<= 17x2 rows). Nothing is
+    sorted, windowed, or joined; per-doc work is O(nodes). At 1000
+    executors this is one map stage + one 17-rows-per-group-free
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nodes = F.array(
+        *[F.lit(f"node-{i:02d}") for i in range(_HRW_NODES + 1)]
+    )
+    new_node = f"node-{_HRW_NODES:02d}"
+    scored = docs.select(
+        "doc_id", F.explode(nodes).alias("node")
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("node"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    owners = scored.groupBy("doc_id").agg(
+        F.expr(
+            f"max_by(node, h) FILTER (WHERE node <> '{new_node}')"
+        ).alias("owner_before"),
+        F.expr("max_by(node, h)").alias("owner_after"),
+    )
+    return owners.groupBy("owner_before", "owner_after").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

@@ -871,3 +871,12 @@ class TestRound7Plans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
         assert "levenshtein" in plan
+
+    def test_rendezvous_sharding_no_join_no_window(self, spark, registry):
+        # one bounded 17-way fan-out + one partial-combined aggregation:
+        # placement must never join, window, or python
+        plan = plan_of(q(registry, "rendezvous_sharding", spark))
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("FileScan parquet") == 1

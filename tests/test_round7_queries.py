@@ -242,3 +242,18 @@ class TestEditDistanceJoin:
         assert dirty
         for d in dirty:
             assert (d - 1000000000, d) in got
+
+
+class TestRendezvousSharding:
+    def test_minimal_disruption_theorem(self, spark, registry):
+        rows = registry["rendezvous_sharding"][0](spark, SF).collect()
+        total = sum(r.n_docs for r in rows)
+        moved = sum(r.n_docs for r in rows if r.owner_before != r.owner_after)
+        # HRW: every move targets the joining node, never a survivor
+        for r in rows:
+            if r.owner_before != r.owner_after:
+                assert r.owner_after == "node-16"
+        # expected moved fraction = 1/17; loose binomial envelope
+        assert 0.01 < moved / total < 0.15
+        # owners before never include the joining node
+        assert all(r.owner_before != "node-16" for r in rows)

@@ -99,6 +99,7 @@ HEADLINERS = {
     "cdc_chunking": "one doc exchange for all windows, manifest copy-count",
     "media_image_phash": "codec-stage python only, banded distinct-hash equi-join",
     "edit_distance_join": "rare-first gram prefix equi-join, JVM levenshtein verify",
+    "rendezvous_sharding": "bounded 17-way fan-out, one filtered max_by agg, no join",
 }
 
 
