@@ -51,6 +51,7 @@ _DRIVER_PRIORITY = (
     "media_image_phash",  # r07: WHT perceptual-hash image near-dup
     "edit_distance_join",  # r07: Ed-Join prefix filter vs PassJoin oracle
     "rendezvous_sharding",  # r07: HRW placement + minimal-disruption matrix
+    "mixture_waterfill",  # r07: exact epoch-capped budget allocator
     # --- last driver-checked r02 (oldest first) ---------------------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",

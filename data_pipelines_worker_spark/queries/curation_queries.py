@@ -1262,3 +1262,164 @@ def cdc_chunk_manifest(docs: DataFrame) -> DataFrame:
 
 
 q_cdc_chunking.__doc__ = q_cdc_chunking.__doc__.format(m=_CDC_MASK)
+
+
+# --- mixture water-filling allocator (round 7) --------------------------------
+
+_WF_EPOCH_CAP = 3  # no source may be repeated more than 3 epochs
+_WF_BUDGET_X = 2  # total training budget = 2x the corpus token mass
+
+_WF_ORACLE = f"""
+WITH src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c,
+         1 + (CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT) % 4)
+           AS w
+  FROM documents GROUP BY source
+),
+base AS (
+  SELECT source, c, w, {_WF_EPOCH_CAP} * c AS cap,
+         {_WF_BUDGET_X} * sum(c) OVER () AS t,
+         sum(w) OVER () AS wtot,
+         CAST(cap AS DOUBLE) / w AS ratio
+  FROM src
+),
+cums AS (
+  SELECT *,
+         COALESCE(sum(w) OVER (ORDER BY ratio, source
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cumw,
+         COALESCE(sum(cap) OVER (ORDER BY ratio, source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS cumcap
+  FROM base
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN cap * (wtot - cumw) <= (t - cumcap) * w
+              THEN 1 ELSE 0 END AS saturated
+  FROM cums
+),
+tot AS (
+  SELECT *,
+         sum(CASE WHEN saturated = 1 THEN cap ELSE 0 END) OVER () AS csat,
+         wtot - sum(CASE WHEN saturated = 1 THEN w ELSE 0 END) OVER ()
+           AS wunsat
+  FROM flagged
+)
+SELECT source, c AS tokens_available, CAST(w AS BIGINT) AS weight,
+       CAST(cap AS BIGINT) AS cap,
+       CAST(saturated AS BIGINT) AS saturated,
+       CAST(CASE WHEN saturated = 1 OR wunsat = 0 THEN cap
+                 ELSE ((t - csat) * w
+                       - ((((t - csat) * w) % wunsat) + wunsat) % wunsat)
+                      // wunsat
+            END AS BIGINT) AS alloc_tokens
+FROM tot
+"""
+
+
+@register("mixture_waterfill", _WF_ORACLE)
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-budget allocator: given per-source token masses, target
+    mixture weights, and a hard per-source repetition cap ({cap} epochs),
+    solve the water-filling problem — allocate a total budget of
+    {bx}x the corpus token mass proportionally to weight, EXCEPT that a
+    source may never exceed its cap; freed budget redistributes to the
+    unsaturated sources, still weight-proportionally. This is the
+    planning stage upstream of `mixture_sample` (which consumes weights;
+    this SOLVES for the per-source allocation under epoch constraints —
+    the Chinchilla-style "how many epochs of each source" question).
+
+    Exact algorithm, no iteration: sort sources by cap/weight (the
+    saturation order); a source saturates iff
+    cap_k * W_remaining <= Budget_remaining * w_k evaluated with prefix
+    cumulative sums in that order — the test is monotone along the sort
+    (proved: a false test forces the water level strictly down, and
+    ratios only grow), so the saturated set is a sort prefix found in ONE
+    window pass, and every comparison is integer cross-multiplied (no
+    division anywhere in the decision; the only division is the final
+    floor allocation, spelled wrap-free via the exact_floordiv identity
+    on both engines).
+
+    Scale shape: one groupBy(source) aggregate over the corpus (the only
+    corpus-sized stage, partial-combined), then every window runs on the
+    manifest-sized source frame (#sources rows). The allocator for a
+    100 TB corpus is the same plan with a bigger first aggregate."""
+    from ..functions.intmath import exact_floordiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ", -1))).cast("long").alias("c")
+    )
+    base = src.select(
+        "source",
+        "c",
+        (
+            1
+            + F.pmod(
+                F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(4),
+            )
+        ).alias("w"),
+        (F.lit(_WF_EPOCH_CAP) * F.col("c")).alias("cap"),
+    )
+    full = W.partitionBy()
+    base = base.select(
+        "*",
+        (F.lit(_WF_BUDGET_X) * F.sum("c").over(full)).alias("t"),
+        F.sum("w").over(full).alias("wtot"),
+        (F.col("cap").cast("double") / F.col("w")).alias("ratio"),
+    )
+    order = W.orderBy("ratio", "source")
+    prev = order.rowsBetween(W.unboundedPreceding, -1)
+    cums = base.select(
+        "*",
+        F.coalesce(F.sum("w").over(prev), F.lit(0)).alias("cumw"),
+        F.coalesce(F.sum("cap").over(prev), F.lit(0)).alias("cumcap"),
+    )
+    flagged = cums.withColumn(
+        "saturated",
+        (
+            F.col("cap") * (F.col("wtot") - F.col("cumw"))
+            <= (F.col("t") - F.col("cumcap")) * F.col("w")
+        ).cast("long"),
+    )
+    tot = flagged.select(
+        "*",
+        F.sum(
+            F.when(F.col("saturated") == 1, F.col("cap")).otherwise(0)
+        )
+        .over(full)
+        .alias("csat"),
+        (
+            F.col("wtot")
+            - F.sum(
+                F.when(F.col("saturated") == 1, F.col("w")).otherwise(0)
+            ).over(full)
+        ).alias("wunsat"),
+    )
+    return tot.select(
+        "source",
+        F.col("c").alias("tokens_available"),
+        F.col("w").cast("long").alias("weight"),
+        F.col("cap").cast("long").alias("cap"),
+        "saturated",
+        F.when(
+            (F.col("saturated") == 1) | (F.col("wunsat") == 0), F.col("cap")
+        )
+        .otherwise(
+            exact_floordiv(
+                (F.col("t") - F.col("csat")) * F.col("w"), F.col("wunsat")
+            )
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+q_mixture_waterfill.__doc__ = q_mixture_waterfill.__doc__.format(
+    cap=_WF_EPOCH_CAP, bx=_WF_BUDGET_X
+)

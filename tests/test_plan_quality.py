@@ -880,3 +880,13 @@ class TestRound7Plans:
         assert "Window" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("FileScan parquet") == 1
+
+    def test_mixture_waterfill_one_corpus_stage(self, spark, registry):
+        # the only corpus-sized stage is the first partial-combined
+        # groupBy(source); every window runs on the manifest-sized source
+        # frame. No joins, no python, one scan.
+        plan = plan_of(q(registry, "mixture_waterfill", spark))
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("FileScan parquet") == 1
+        assert "partial_sum" in plan.lower() or "partial" in plan.lower()

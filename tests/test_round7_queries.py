@@ -257,3 +257,26 @@ class TestRendezvousSharding:
         assert 0.01 < moved / total < 0.15
         # owners before never include the joining node
         assert all(r.owner_before != "node-16" for r in rows)
+
+
+class TestMixtureWaterfill:
+    def test_waterfill_invariants(self, spark, registry):
+        rows = registry["mixture_waterfill"][0](spark, SF).collect()
+        total = sum(r.tokens_available for r in rows)
+        budget = 2 * total
+        # caps respected, saturation consistent
+        for r in rows:
+            assert r.cap == 3 * r.tokens_available
+            assert 0 <= r.alloc_tokens <= r.cap
+            assert (r.alloc_tokens == r.cap) == bool(r.saturated)
+        # both regimes present on real data
+        assert any(r.saturated for r in rows)
+        assert any(not r.saturated for r in rows)
+        # budget exhausted up to flooring (one floor per unsaturated src)
+        alloc = sum(r.alloc_tokens for r in rows)
+        n_unsat = sum(1 for r in rows if not r.saturated)
+        assert budget - n_unsat <= alloc <= budget
+        # water level: unsaturated allocations are weight-proportional
+        # (alloc div weight equal across unsaturated sources up to floor)
+        lv = {r.alloc_tokens // r.weight for r in rows if not r.saturated}
+        assert max(lv) - min(lv) <= 1

@@ -100,6 +100,7 @@ HEADLINERS = {
     "media_image_phash": "codec-stage python only, banded distinct-hash equi-join",
     "edit_distance_join": "rare-first gram prefix equi-join, JVM levenshtein verify",
     "rendezvous_sharding": "bounded 17-way fan-out, one filtered max_by agg, no join",
+    "mixture_waterfill": "one corpus agg, manifest-frame windows, integer saturation test",
 }
 
 
