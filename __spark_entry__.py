@@ -52,6 +52,7 @@ _DRIVER_PRIORITY = (
     "edit_distance_join",  # r07: Ed-Join prefix filter vs PassJoin oracle
     "rendezvous_sharding",  # r07: HRW placement + minimal-disruption matrix
     "mixture_waterfill",  # r07: exact epoch-capped budget allocator
+    "merkle_diff",  # r07: digest-tree release audit, log-localized
     # --- last driver-checked r02 (oldest first) ---------------------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",

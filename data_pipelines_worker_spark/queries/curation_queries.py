@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.intmath import exact_floordiv
 from ..operators import curation as cu
 from ..operators import selection as sel
 from ..operators import text_analysis as ta
@@ -1422,4 +1423,220 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_mixture_waterfill.__doc__ = q_mixture_waterfill.__doc__.format(
     cap=_WF_EPOCH_CAP, bx=_WF_BUDGET_X
+)
+
+
+# --- Merkle-tree snapshot diff localization (round 7) -------------------------
+
+_MK_MASK = 1 << 50  # digest domain: sums of <=16 masked terms stay < 2^54
+_MK_LEAF = 8  # docs per leaf bucket
+_MK_FAN = 16  # tree fan-out above the leaves
+_MK_LEVELS = 3  # levels above the leaf layer
+
+_MK_ORACLE = f"""
+WITH v1 AS (
+  SELECT doc_id, text FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 7 THEN text || ' EDITED' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 103 <> 11
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 107 = 13
+),
+f1 AS (
+  SELECT doc_id // {_MK_LEAF} AS node,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       text), 1, 15)) AS BIGINT)
+           % {_MK_MASK} AS fp
+  FROM v1
+),
+f2 AS (
+  SELECT doc_id // {_MK_LEAF} AS node,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       text), 1, 15)) AS BIGINT)
+           % {_MK_MASK} AS fp
+  FROM v2
+),
+a0 AS (SELECT 0 AS lvl, node, sum(fp) AS d FROM f1 GROUP BY node),
+a1 AS (SELECT 1 AS lvl, node // {_MK_FAN} AS node,
+              sum(CAST(concat('0x', substr(md5(CAST(node AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % {_MK_MASK})
+                AS d
+       FROM a0 GROUP BY node // {_MK_FAN}),
+a2 AS (SELECT 2 AS lvl, node // {_MK_FAN} AS node,
+              sum(CAST(concat('0x', substr(md5(CAST(node AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % {_MK_MASK})
+                AS d
+       FROM a1 GROUP BY node // {_MK_FAN}),
+a3 AS (SELECT 3 AS lvl, node // {_MK_FAN} AS node,
+              sum(CAST(concat('0x', substr(md5(CAST(node AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % {_MK_MASK})
+                AS d
+       FROM a2 GROUP BY node // {_MK_FAN}),
+t1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+       UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3),
+b0 AS (SELECT 0 AS lvl, node, sum(fp) AS d FROM f2 GROUP BY node),
+b1 AS (SELECT 1 AS lvl, node // {_MK_FAN} AS node,
+              sum(CAST(concat('0x', substr(md5(CAST(node AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % {_MK_MASK})
+                AS d
+       FROM b0 GROUP BY node // {_MK_FAN}),
+b2 AS (SELECT 2 AS lvl, node // {_MK_FAN} AS node,
+              sum(CAST(concat('0x', substr(md5(CAST(node AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % {_MK_MASK})
+                AS d
+       FROM b1 GROUP BY node // {_MK_FAN}),
+b3 AS (SELECT 3 AS lvl, node // {_MK_FAN} AS node,
+              sum(CAST(concat('0x', substr(md5(CAST(node AS VARCHAR) || ':'
+                   || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % {_MK_MASK})
+                AS d
+       FROM b2 GROUP BY node // {_MK_FAN}),
+t2 AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+       UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+SELECT COALESCE(t1.lvl, t2.lvl) AS lvl,
+       COALESCE(t1.node, t2.node) AS node,
+       t1.d AS digest_v1, t2.d AS digest_v2
+FROM t1 FULL OUTER JOIN t2 ON t1.lvl = t2.lvl AND t1.node = t2.node
+WHERE t1.d IS DISTINCT FROM t2.d
+"""
+
+
+def _merkle_levels(fp: DataFrame) -> DataFrame:
+    """Digest ladder: leaf sums, then {lv} levels of fan-{fan} parents
+    whose digest is the sum of re-hashed (node, child-digest) pairs —
+    re-hashing per level keeps a collision local instead of letting it
+    cancel across levels. All sums stay < 2^54 (masked terms, bounded
+    fan-in), so the arithmetic is portable integer math."""
+    level = fp.groupBy("node").agg(
+        F.sum("fp").alias("d")
+    ).select(F.lit(0).alias("lvl"), "node", "d")
+    out = [level]
+    for lv in range(1, _MK_LEVELS + 1):
+        prev = out[-1]
+        rehash = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("node").cast("string"),
+                            F.lit(":"),
+                            F.col("d").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_MK_MASK),
+        )
+        level = (
+            prev.select(
+                exact_floordiv(F.col("node"), _MK_FAN).alias("node"),
+                rehash.alias("h"),
+            )
+            .groupBy("node")
+            .agg(F.sum("h").alias("d"))
+            .select(F.lit(lv).alias("lvl"), "node", "d")
+        )
+        out.append(level)
+    res = out[0]
+    for lv_df in out[1:]:
+        res = res.unionByName(lv_df)
+    return res
+
+
+_merkle_levels.__doc__ = _merkle_levels.__doc__.format(
+    lv=_MK_LEVELS, fan=_MK_FAN
+)
+
+
+@register("merkle_diff", _MK_ORACLE)
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree release audit with O(changed * log n) diff
+    localization — the hierarchical layer above `corpus_snapshot_diff`
+    (which compares every fingerprint; at 100 TB a release auditor wants
+    to WALK to the changed key ranges, reading tree rows proportional to
+    the change set, not the corpus). Two snapshot versions derive
+    deterministically from the corpus (docs % 101 = 7 edited, % 103 = 11
+    deleted, % 107 = 13 added under a shifted key); each builds a
+    4-layer digest tree: range-bucketed leaves (doc_id div {leaf}), then
+    fan-{fan} parents whose digest sums the re-hashed child digests
+    (per-level re-hashing keeps collisions local). The emitted rows are
+    exactly the differing tree nodes at every level — an unchanged
+    subtree contributes NOTHING, which is the localization property, and
+    the property test checks it structurally: differing nodes at level
+    k+1 are precisely the parents of differing nodes at level k.
+
+    Scale shape: one corpus-sized fingerprint aggregate per version
+    (partial-combined); every level above the leaves aggregates a frame
+    {fan}x smaller than the one below; the final full-outer join runs on
+    tree rows (corpus/{leaf} + geometric tail). All digests are masked
+    60-bit md5-folds summed inside int64 bounds — portable across
+    engines, no float, no overflow."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = docs.where(F.col("doc_id") % 103 != 11).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 101 == 7,
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 107 == 13).select(
+            (F.col("doc_id") + F.lit(1000000000)).cast("long").alias(
+                "doc_id"
+            ),
+            F.reverse(F.col("text")).alias("text"),
+        )
+    )
+
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select(
+            exact_floordiv(F.col("doc_id"), _MK_LEAF).alias("node"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("text"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_MK_MASK),
+            ).alias("fp"),
+        )
+
+    t1 = _merkle_levels(fps(docs)).alias("t1")
+    t2 = _merkle_levels(fps(v2)).alias("t2")
+    joined = t1.join(
+        t2,
+        (F.col("t1.lvl") == F.col("t2.lvl"))
+        & (F.col("t1.node") == F.col("t2.node")),
+        "full_outer",
+    )
+    return joined.where(
+        ~F.col("t1.d").eqNullSafe(F.col("t2.d"))
+    ).select(
+        F.coalesce(F.col("t1.lvl"), F.col("t2.lvl")).alias("lvl"),
+        F.coalesce(F.col("t1.node"), F.col("t2.node")).alias("node"),
+        F.col("t1.d").alias("digest_v1"),
+        F.col("t2.d").alias("digest_v2"),
+    )
+
+
+q_merkle_diff.__doc__ = q_merkle_diff.__doc__.format(
+    leaf=_MK_LEAF, fan=_MK_FAN
 )

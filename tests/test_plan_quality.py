@@ -890,3 +890,11 @@ class TestRound7Plans:
         assert "BatchEvalPython" not in plan
         assert plan.count("FileScan parquet") == 1
         assert "partial_sum" in plan.lower() or "partial" in plan.lower()
+
+    def test_merkle_diff_aggregate_ladder(self, spark, registry):
+        # two fingerprint scans feed pure aggregate ladders; the only
+        # join is the final full-outer over tree rows; no python
+        plan = plan_of(q(registry, "merkle_diff", spark))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("FullOuter") + plan.count("full_outer") >= 1

@@ -280,3 +280,33 @@ class TestMixtureWaterfill:
         # (alloc div weight equal across unsaturated sources up to floor)
         lv = {r.alloc_tokens // r.weight for r in rows if not r.saturated}
         assert max(lv) - min(lv) <= 1
+
+
+class TestMerkleDiff:
+    def test_localization_structure(self, spark, registry):
+        rows = registry["merkle_diff"][0](spark, SF).collect()
+        assert rows
+        by_lvl = {}
+        for r in rows:
+            by_lvl.setdefault(r.lvl, set()).add(r.node)
+        # all four levels present (something changed somewhere)
+        assert set(by_lvl) == {0, 1, 2, 3}
+        # THE localization property: differing nodes at level k+1 are
+        # exactly the parents of differing nodes at level k — an
+        # unchanged subtree never emits a row
+        for k in (0, 1, 2):
+            parents = {n // 16 for n in by_lvl[k]}
+            assert by_lvl[k + 1] == parents
+        # change classes: modified/deleted docs change their bucket's
+        # digest (both sides present — a deletion only NULLs digest_v2
+        # if the whole range empties); added docs land under shifted
+        # keys, creating ranges v1 never had (digest_v1 NULL)
+        leaf = [r for r in rows if r.lvl == 0]
+        assert any(
+            r.digest_v1 is not None and r.digest_v2 is not None for r in leaf
+        )
+        assert any(r.digest_v1 is None for r in leaf)
+        # log-localization economics: the walk reads far fewer upper
+        # nodes than leaves exist (tree rows ~ changed * log n)
+        n_docs = 500
+        assert len(by_lvl[0]) < n_docs / 3

@@ -101,6 +101,7 @@ HEADLINERS = {
     "edit_distance_join": "rare-first gram prefix equi-join, JVM levenshtein verify",
     "rendezvous_sharding": "bounded 17-way fan-out, one filtered max_by agg, no join",
     "mixture_waterfill": "one corpus agg, manifest-frame windows, integer saturation test",
+    "merkle_diff": "fingerprint agg ladders, full-outer on tree rows only",
 }
 
 
