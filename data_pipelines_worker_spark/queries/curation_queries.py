@@ -1496,9 +1496,9 @@ b3 AS (SELECT 3 AS lvl, node // {_MK_FAN} AS node,
        FROM b2 GROUP BY node // {_MK_FAN}),
 t2 AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
        UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
-SELECT COALESCE(t1.lvl, t2.lvl) AS lvl,
-       COALESCE(t1.node, t2.node) AS node,
-       t1.d AS digest_v1, t2.d AS digest_v2
+SELECT CAST(COALESCE(t1.lvl, t2.lvl) AS BIGINT) AS lvl,
+       CAST(COALESCE(t1.node, t2.node) AS BIGINT) AS node,
+       CAST(t1.d AS BIGINT) AS digest_v1, CAST(t2.d AS BIGINT) AS digest_v2
 FROM t1 FULL OUTER JOIN t2 ON t1.lvl = t2.lvl AND t1.node = t2.node
 WHERE t1.d IS DISTINCT FROM t2.d
 """
@@ -1630,10 +1630,14 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(
         ~F.col("t1.d").eqNullSafe(F.col("t2.d"))
     ).select(
-        F.coalesce(F.col("t1.lvl"), F.col("t2.lvl")).alias("lvl"),
-        F.coalesce(F.col("t1.node"), F.col("t2.node")).alias("node"),
-        F.col("t1.d").alias("digest_v1"),
-        F.col("t2.d").alias("digest_v2"),
+        F.coalesce(F.col("t1.lvl"), F.col("t2.lvl"))
+        .cast("long")
+        .alias("lvl"),
+        F.coalesce(F.col("t1.node"), F.col("t2.node"))
+        .cast("long")
+        .alias("node"),
+        F.col("t1.d").cast("long").alias("digest_v1"),
+        F.col("t2.d").cast("long").alias("digest_v2"),
     )
 
 

@@ -98,7 +98,7 @@ HEADLINERS = {
     "exact_percentiles": "two-phase bucket histograms, no global row sort",
     "cdc_chunking": "one doc exchange for all windows, manifest copy-count",
     "media_image_phash": "codec-stage python only, banded distinct-hash equi-join",
-    "edit_distance_join": "rare-first gram prefix equi-join, JVM levenshtein verify",
+    "edit_distance_join": "deletion-signature xxhash equi-join, JVM levenshtein verify",
     "rendezvous_sharding": "bounded 17-way fan-out, one filtered max_by agg, no join",
     "mixture_waterfill": "one corpus agg, manifest-frame windows, integer saturation test",
     "merkle_diff": "fingerprint agg ladders, full-outer on tree rows only",
