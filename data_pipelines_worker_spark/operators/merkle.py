@@ -1,0 +1,107 @@
+"""Merkle digest-tree kernels, shared by the batch release-audit query
+(`queries/curation_queries.q_merkle_diff`) and the streaming maintenance
+face (`streaming/merkle.py`) — one spelling of the fingerprint and the
+ladder, so the two faces cannot fork semantically.
+
+Digest arithmetic is engine-portable integer math: per-doc fingerprints
+are 60-bit md5-folds masked to 2^50; a leaf digest sums the <= LEAF
+fingerprints in its doc_id range; a parent digest sums the re-hashed
+(node, child-digest) pairs of its <= FAN children (re-hashing per level
+keeps a collision local instead of letting it cancel across levels).
+Every sum stays below 2^54, inside int64 on Spark and DuckDB alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.intmath import exact_floordiv
+
+MASK = 1 << 50  # digest domain: sums of <=16 masked terms stay < 2^54
+LEAF = 8  # docs per leaf bucket
+FAN = 16  # tree fan-out above the leaves
+LEVELS = 3  # levels above the leaf layer
+
+
+def doc_fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, node, fp): the leaf-range bucket and the
+    masked 60-bit md5-fold fingerprint of the (id, text) pair. doc_id is
+    kept for upsert-keyed consumers (streaming maintenance); aggregate
+    consumers drop it at their first groupBy."""
+    return df.select(
+        "doc_id",
+        exact_floordiv(F.col("doc_id"), LEAF).alias("node"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("text"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(MASK),
+        ).alias("fp"),
+    )
+
+
+def rehash_child(node: F.Column, d: F.Column) -> F.Column:
+    """The per-level child re-hash: masked md5-fold of 'node:digest'."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        node.cast("string"), F.lit(":"), d.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(MASK),
+    )
+
+
+def leaf_digests(fp: DataFrame) -> DataFrame:
+    """(node, fp) -> level-0 digest rows (lvl, node, d)."""
+    return (
+        fp.groupBy("node")
+        .agg(F.sum("fp").alias("d"))
+        .select(F.lit(0).cast("long").alias("lvl"), "node", "d")
+    )
+
+
+def parent_digests(level: DataFrame, lvl: int) -> DataFrame:
+    """One ladder step: digests of level ``lvl`` from level ``lvl-1``
+    rows (columns node, d)."""
+    return (
+        level.select(
+            exact_floordiv(F.col("node"), FAN).alias("node"),
+            rehash_child(F.col("node"), F.col("d")).alias("h"),
+        )
+        .groupBy("node")
+        .agg(F.sum("h").alias("d"))
+        .select(F.lit(lvl).cast("long").alias("lvl"), "node", "d")
+    )
+
+
+def digest_tree(fp: DataFrame) -> DataFrame:
+    """Full ladder: (node, fp) -> union of (lvl, node, d) for all levels."""
+    out = [leaf_digests(fp)]
+    for lv in range(1, LEVELS + 1):
+        out.append(parent_digests(out[-1].select("node", "d"), lv))
+    res = out[0]
+    for lv_df in out[1:]:
+        res = res.unionByName(lv_df)
+    return res

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.intmath import exact_floordiv
 from ..operators import curation as cu
+from ..operators import merkle as mk
 from ..operators import selection as sel
 from ..operators import text_analysis as ta
 from ..session import load_table
@@ -1428,10 +1429,10 @@ q_mixture_waterfill.__doc__ = q_mixture_waterfill.__doc__.format(
 
 # --- Merkle-tree snapshot diff localization (round 7) -------------------------
 
-_MK_MASK = 1 << 50  # digest domain: sums of <=16 masked terms stay < 2^54
-_MK_LEAF = 8  # docs per leaf bucket
-_MK_FAN = 16  # tree fan-out above the leaves
-_MK_LEVELS = 3  # levels above the leaf layer
+_MK_MASK = mk.MASK  # digest domain: sums of <=16 masked terms stay < 2^54
+_MK_LEAF = mk.LEAF  # docs per leaf bucket
+_MK_FAN = mk.FAN  # tree fan-out above the leaves
+_MK_LEVELS = mk.LEVELS  # levels above the leaf layer
 
 _MK_ORACLE = f"""
 WITH v1 AS (
@@ -1504,57 +1505,6 @@ WHERE t1.d IS DISTINCT FROM t2.d
 """
 
 
-def _merkle_levels(fp: DataFrame) -> DataFrame:
-    """Digest ladder: leaf sums, then {lv} levels of fan-{fan} parents
-    whose digest is the sum of re-hashed (node, child-digest) pairs —
-    re-hashing per level keeps a collision local instead of letting it
-    cancel across levels. All sums stay < 2^54 (masked terms, bounded
-    fan-in), so the arithmetic is portable integer math."""
-    level = fp.groupBy("node").agg(
-        F.sum("fp").alias("d")
-    ).select(F.lit(0).alias("lvl"), "node", "d")
-    out = [level]
-    for lv in range(1, _MK_LEVELS + 1):
-        prev = out[-1]
-        rehash = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("node").cast("string"),
-                            F.lit(":"),
-                            F.col("d").cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(_MK_MASK),
-        )
-        level = (
-            prev.select(
-                exact_floordiv(F.col("node"), _MK_FAN).alias("node"),
-                rehash.alias("h"),
-            )
-            .groupBy("node")
-            .agg(F.sum("h").alias("d"))
-            .select(F.lit(lv).alias("lvl"), "node", "d")
-        )
-        out.append(level)
-    res = out[0]
-    for lv_df in out[1:]:
-        res = res.unionByName(lv_df)
-    return res
-
-
-_merkle_levels.__doc__ = _merkle_levels.__doc__.format(
-    lv=_MK_LEVELS, fan=_MK_FAN
-)
-
-
 @register("merkle_diff", _MK_ORACLE)
 def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle-tree release audit with O(changed * log n) diff
@@ -1596,31 +1546,8 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def fps(df: DataFrame) -> DataFrame:
-        return df.select(
-            exact_floordiv(F.col("doc_id"), _MK_LEAF).alias("node"),
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("doc_id").cast("string"),
-                                F.lit(":"),
-                                F.col("text"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(_MK_MASK),
-            ).alias("fp"),
-        )
-
-    t1 = _merkle_levels(fps(docs)).alias("t1")
-    t2 = _merkle_levels(fps(v2)).alias("t2")
+    t1 = mk.digest_tree(mk.doc_fingerprints(docs)).alias("t1")
+    t2 = mk.digest_tree(mk.doc_fingerprints(v2)).alias("t2")
     joined = t1.join(
         t2,
         (F.col("t1.lvl") == F.col("t2.lvl"))

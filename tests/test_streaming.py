@@ -1490,3 +1490,93 @@ def test_greedy_coverage_versioned_covered_sets(spark, tmp_path, sf_dir):
     for r in read_manifest(spark, store).collect():
         covered = spark.read.parquet(os.path.join(vdir, f"covered_r{r.round}"))
         assert covered.count() == r.covered_after
+
+
+def test_merkle_tree_stream_matches_batch(spark, tmp_path, sf_dir):
+    # incremental path recompute over 3 micro-batches (appends + an
+    # upsert) must land on exactly the batch digest-tree of the final
+    # corpus — the shared-kernel guarantee plus the path-invalidation
+    # correctness claim
+    from data_pipelines_worker_spark.operators import merkle as mk
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.merkle import (
+        merge_batch,
+        read_tree,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 1)
+    # batch 3: remaining docs PLUS an upsert rewriting one doc from b1
+    upd = b1.limit(1).select("doc_id", F.lit("rewritten text").alias("text"))
+    b3 = docs.where(F.col("doc_id") % 3 == 2).unionByName(upd)
+
+    tree_dir = str(tmp_path / "merkle")
+    c1 = merge_batch(b1, 0, tree_dir)
+    c2 = merge_batch(b2, 1, tree_dir)
+    c3 = merge_batch(b3, 2, tree_dir)
+    assert c1 and c2 and c3
+
+    final = docs.join(
+        upd.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(upd)
+    expect = {
+        (r.lvl, r.node, r.d)
+        for r in mk.digest_tree(mk.doc_fingerprints(final)).collect()
+    }
+    got = {(r.lvl, r.node, r.d) for r in read_tree(spark, tree_dir).collect()}
+    assert got == expect
+
+    # path economics: per batch, the recompute narrows geometrically up
+    # the tree (level-k affected nodes = parents of level-(k-1) ones)
+    for c in (c1, c2, c3):
+        assert c[1] <= c[0] and c[2] <= c[1] and c[3] <= c[2]
+
+
+def test_merkle_replayed_batch_is_noop(spark, tmp_path, sf_dir):
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.merkle import (
+        merge_batch,
+        read_tree,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tree_dir = str(tmp_path / "merkle")
+    assert merge_batch(docs.limit(40), 0, tree_dir)
+    before = {(r.lvl, r.node, r.d) for r in read_tree(spark, tree_dir).collect()}
+    # at-least-once redelivery of the same batch_id: guarded no-op
+    assert merge_batch(docs.limit(40), 0, tree_dir) is None
+    after = {(r.lvl, r.node, r.d) for r in read_tree(spark, tree_dir).collect()}
+    assert after == before
+
+
+def test_merkle_sink_end_to_end(spark, tmp_path, sf_dir):
+    # real Structured Streaming run (file source, availableNow) lands on
+    # the batch tree of the whole corpus
+    from data_pipelines_worker_spark.operators import merkle as mk
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.merkle import (
+        merkle_sink,
+        read_tree,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "merkle_src"
+    docs.repartition(3).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    tree_dir = str(tmp_path / "merkle_tree")
+    q = merkle_sink(stream, tree_dir, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    expect = {
+        (r.lvl, r.node, r.d)
+        for r in mk.digest_tree(mk.doc_fingerprints(docs)).collect()
+    }
+    got = {(r.lvl, r.node, r.d) for r in read_tree(spark, tree_dir).collect()}
+    assert got == expect
