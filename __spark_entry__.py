@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = (
     "rendezvous_sharding",  # r07: HRW placement + minimal-disruption matrix
     "mixture_waterfill",  # r07: exact epoch-capped budget allocator
     "merkle_diff",  # r07: digest-tree release audit, log-localized
+    "leakage_safe_split",  # r07: cluster-hash folds, zero cross-fold dup pairs
     # --- last driver-checked r02 (oldest first) ---------------------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",

@@ -842,3 +842,147 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# --- leakage-safe train/val/test split (round 7) ------------------------------
+
+def _leakage_split_oracle() -> str:
+    from .dedup_queries import JACCARD_CTES
+    from .sketch_queries import _hll_mix_sql
+
+    return f"""
+    WITH RECURSIVE {JACCARD_CTES},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM jp
+      UNION
+      SELECT d2 AS a, d1 AS b FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    asg AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ),
+    named AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN {_hll_mix_sql("cluster_id")} % 10 < 8 THEN 'train'
+                  WHEN {_hll_mix_sql("cluster_id")} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS fold,
+             CASE WHEN {_hll_mix_sql("doc_id")} % 10 < 8 THEN 'train'
+                  WHEN {_hll_mix_sql("doc_id")} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS naive_fold
+      FROM asg
+    ),
+    leak AS (
+      SELECT
+        CAST(COALESCE(sum(CASE WHEN a.naive_fold <> b.naive_fold
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS naive_leak_pairs,
+        CAST(COALESCE(sum(CASE WHEN a.fold <> b.fold THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS safe_leak_pairs
+      FROM jp
+      JOIN named a ON a.doc_id = jp.d1
+      JOIN named b ON b.doc_id = jp.d2
+    )
+    SELECT named.fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT named.cluster_id) AS BIGINT) AS n_clusters,
+           leak.naive_leak_pairs, leak.safe_leak_pairs
+    FROM named, leak
+    GROUP BY named.fold, leak.naive_leak_pairs, leak.safe_leak_pairs
+    """
+
+
+@register("leakage_safe_split", _leakage_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split — the ML-hygiene composition
+    `crossval_split` is not: hashing DOCUMENT ids sends the two halves of
+    a near-duplicate pair to different folds (train/test contamination,
+    the classic eval inflation bug); hashing the CLUSTER id (connected
+    component of the exact-Jaccard >= 0.6 pair graph; singletons are
+    their own cluster) puts every member of a dup cluster in ONE fold, so
+    cross-fold near-dup leakage is ZERO **by construction** — and this
+    query PROVES it on the data: the output carries both
+    `naive_leak_pairs` (near-dup pairs split across folds by the
+    doc-hash policy — the damage the cluster policy prevents) and
+    `safe_leak_pairs` (the same count under the shipped policy, pinned 0
+    by the oracle's independent recursive-CTE transitive closure).
+
+    Composition: MinHash-LSH pairs (`operators/dedup.py`) → alternating-
+    star connected components (`operators/graph.py`) → the house
+    fold-hash spelling shared with `crossval_split` — three certified
+    kernels, one new invariant.
+
+    Scale shape: cluster assignment is the dedup_clusters plan (banded
+    candidates, log-round CC with per-round localCheckpoint); fold
+    tagging is map-only; the audit join touches pair rows (output-sized),
+    and fold stats are one partial-combined rollup."""
+    from ..operators import dedup, graph
+    from .sketch_queries import _hll_mix_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.6, k=3
+    )
+    cl = graph.dedup_clusters(pairs).select("doc_id", "cluster_id")
+    asg = (
+        docs.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+    def fold_of(col):
+        b = _hll_mix_col(col) % 10
+        return (
+            F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+        )
+
+    named = asg.select(
+        "doc_id",
+        "cluster_id",
+        fold_of(F.col("cluster_id")).alias("fold"),
+        fold_of(F.col("doc_id")).alias("naive_fold"),
+    )
+    a = named.select(
+        F.col("doc_id").alias("d1"),
+        F.col("fold").alias("f1"),
+        F.col("naive_fold").alias("nf1"),
+    )
+    b = named.select(
+        F.col("doc_id").alias("d2"),
+        F.col("fold").alias("f2"),
+        F.col("naive_fold").alias("nf2"),
+    )
+    leak = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("nf1") != F.col("nf2")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("naive_leak_pairs"),
+            F.coalesce(
+                F.sum((F.col("f1") != F.col("f2")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("safe_leak_pairs"),
+        )
+    )
+    return (
+        named.groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )

@@ -898,3 +898,11 @@ class TestRound7Plans:
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert plan.count("FullOuter") + plan.count("full_outer") >= 1
+
+    def test_leakage_safe_split_no_cartesian(self, spark, registry):
+        # composition of certified kernels: banded LSH candidates, CC,
+        # map-only fold tag; the only crossJoin is the broadcast of the
+        # 1-row audit frame
+        plan = plan_of(q(registry, "leakage_safe_split", spark))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

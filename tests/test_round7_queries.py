@@ -310,3 +310,18 @@ class TestMerkleDiff:
         # nodes than leaves exist (tree rows ~ changed * log n)
         n_docs = 500
         assert len(by_lvl[0]) < n_docs / 3
+
+
+class TestLeakageSafeSplit:
+    def test_zero_safe_leakage_nonzero_naive(self, spark, registry):
+        rows = registry["leakage_safe_split"][0](spark, SF).collect()
+        assert {r.fold for r in rows} <= {"train", "val", "test"}
+        # the invariant the query exists for: cluster-hash folds leak
+        # NOTHING; doc-hash folds would have leaked on this very corpus
+        assert all(r.safe_leak_pairs == 0 for r in rows)
+        assert all(r.naive_leak_pairs > 0 for r in rows)
+        # folds partition the corpus; train is the large fold
+        total = sum(r.n_docs for r in rows)
+        assert total == 500
+        train = next(r for r in rows if r.fold == "train")
+        assert train.n_docs > total / 2

@@ -102,6 +102,7 @@ HEADLINERS = {
     "rendezvous_sharding": "bounded 17-way fan-out, one filtered max_by agg, no join",
     "mixture_waterfill": "one corpus agg, manifest-frame windows, integer saturation test",
     "merkle_diff": "fingerprint agg ladders, full-outer on tree rows only",
+    "leakage_safe_split": "LSH+CC kernels, map-only fold tag, pair-sized audit join",
 }
 
 
