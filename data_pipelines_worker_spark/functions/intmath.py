@@ -24,3 +24,16 @@ def exact_floordiv(a: Column, b: Column | int) -> Column:
     ``(a - ((a % b) + b) % b) // b``.
     """
     return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def md5_fold60(col: Column) -> Column:
+    """The house engine-portable 60-bit string hash: fold the first 15
+    hex chars of md5 into a BIGINT. DuckDB twin (must stay
+    character-for-character in semantics):
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``.
+
+    This is the ONLY Spark-side spelling — new hash uses import this
+    helper rather than re-inlining the conv/substring/md5 chain (each
+    inline copy is a chance to drift on a bit-exactness-critical
+    expression)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

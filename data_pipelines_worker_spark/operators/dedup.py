@@ -18,6 +18,8 @@ All built from pyspark.sql.functions only — no Python UDFs.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -905,8 +907,15 @@ def allpairs_prefix_pairs(
     ex = d.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "s")
-    # ceil(t*n) with t = 3/5 as exact integer arithmetic (portable)
-    t_num, t_den = 3, 5
+    # prefix bound: the theorem needs length >= n - ceil(t*n) + 1. Derive
+    # ceil(t*n) from the ACTUAL threshold as exact integer arithmetic via
+    # a rational t = t_num/t_den (review fix: an earlier cut hardcoded
+    # 3/5, silently under-indexing prefixes — losing completeness — for
+    # any threshold < 0.6 passed through the public parameter).
+    frac = Fraction(threshold).limit_denominator(10_000)
+    t_num, t_den = frac.numerator, frac.denominator
+    if not 0 < threshold <= 1 or abs(t_num / t_den - threshold) > 1e-12:
+        raise ValueError(f"threshold {threshold} not a small rational in (0,1]")
     lim = (
         F.col("n")
         - F.floor((t_num * F.col("n") + t_den - 1) / t_den).cast("long")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.intmath import exact_floordiv
+from ..functions.intmath import exact_floordiv, md5_fold60
 
 MASK = 1 << 50  # digest domain: sums of <=16 masked terms stay < 2^54
 LEAF = 8  # docs per leaf bucket
@@ -33,21 +33,13 @@ def doc_fingerprints(df: DataFrame) -> DataFrame:
         "doc_id",
         exact_floordiv(F.col("doc_id"), LEAF).alias("node"),
         F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("doc_id").cast("string"),
-                            F.lit(":"),
-                            F.col("text"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
+            md5_fold60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("text"),
+                )
+            ),
             F.lit(MASK),
         ).alias("fp"),
     )
@@ -56,19 +48,9 @@ def doc_fingerprints(df: DataFrame) -> DataFrame:
 def rehash_child(node: F.Column, d: F.Column) -> F.Column:
     """The per-level child re-hash: masked md5-fold of 'node:digest'."""
     return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        node.cast("string"), F.lit(":"), d.cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        md5_fold60(
+            F.concat(node.cast("string"), F.lit(":"), d.cast("string"))
+        ),
         F.lit(MASK),
     )
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.intmath import exact_floordiv
+from ..functions.intmath import exact_floordiv, md5_fold60
 from ..operators import curation as cu
 from ..operators import merkle as mk
 from ..operators import selection as sel
@@ -1348,7 +1348,7 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stage, partial-combined), then every window runs on the
     manifest-sized source frame (#sources rows). The allocator for a
     100 TB corpus is the same plan with a bigger first aggregate."""
-    from ..functions.intmath import exact_floordiv
+    from ..functions.intmath import exact_floordiv, md5_fold60
 
     docs = load_table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
@@ -1357,15 +1357,7 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = src.select(
         "source",
         "c",
-        (
-            1
-            + F.pmod(
-                F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast(
-                    "long"
-                ),
-                F.lit(4),
-            )
-        ).alias("w"),
+        (1 + F.pmod(md5_fold60(F.col("source")), F.lit(4))).alias("w"),
         (F.lit(_WF_EPOCH_CAP) * F.col("c")).alias("cap"),
     )
     full = W.partitionBy()

@@ -614,8 +614,13 @@ def q_media_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload_bin": payloads}
             )
 
-    hashed = M.image_phash(docs.mapInPandas(gen, schema)).select(
-        "doc_id", "phash"
+    # persist: the Arrow-batched codec+WHT stage is the expensive part
+    # and feeds three lineage branches (stats, bands, final join) —
+    # without this the Python stage runs once per branch (review fix)
+    hashed = (
+        M.image_phash(docs.mapInPandas(gen, schema))
+        .select("doc_id", "phash")
+        .persist()
     )
     hg = hashed.groupBy("phash").agg(F.count("*").cast("long").alias("cnt"))
     bands = hg.select(

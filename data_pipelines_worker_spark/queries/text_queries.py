@@ -925,9 +925,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketch_queries import _hll_mix_col
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist: the full LSH pipeline feeds both the cluster build and
+    # the leak audit — without this it runs twice (review fix)
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.6, k=3
-    )
+    ).persist()
     cl = graph.dedup_clusters(pairs).select("doc_id", "cluster_id")
     asg = (
         docs.select("doc_id")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.intmath import md5_fold60
 from ..session import load_table
 from . import register
 
@@ -1007,21 +1008,11 @@ def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(nodes).alias("node")
     ).withColumn(
         "h",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"),
-                        F.lit(":"),
-                        F.col("node"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        md5_fold60(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("node")
+            )
+        ),
     )
     owners = scored.groupBy("doc_id").agg(
         F.expr(

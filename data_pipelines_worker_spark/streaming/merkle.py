@@ -105,7 +105,13 @@ def merge_batch(
 
     # deterministic within-batch upsert collapse: max text per doc_id
     batch = batch_df.groupBy("doc_id").agg(F.max("text").alias("text"))
-    batch_fp = mk.doc_fingerprints(batch)
+    # persist discipline (review fix): the ladder below chains each level
+    # off the previous one AND runs a control-plane count per level, and
+    # the final writes re-derive everything once more — without eager
+    # cuts the per-batch work is O(LEVELS²) redundant stage executions,
+    # the exact class the kcore localCheckpoint lesson measured at 10×.
+    batch_fp = mk.doc_fingerprints(batch).persist()
+    pinned = [batch_fp]
 
     if standing_path is not None:
         standing_docs = spark.read.parquet(
@@ -139,6 +145,8 @@ def merge_batch(
                 "left_semi",
             )
             recomputed = mk.parent_digests(children.select("node", "d"), lvl)
+        recomputed = recomputed.persist()  # manifest-sized; cuts lineage
+        pinned.append(recomputed)
         if standing_tree is not None:
             carried = standing_tree.where(F.col("lvl") == lvl).join(
                 F.broadcast(affected), "node", "left_anti"
@@ -170,6 +178,8 @@ def merge_batch(
     )
     for old in versions[2:]:
         shutil.rmtree(os.path.join(tree_dir, f"v{old}"), ignore_errors=True)
+    for frame in pinned:
+        frame.unpersist()
     return counts
 
 

@@ -812,7 +812,10 @@ class TestRound7Plans:
         # no window beyond what the kernels themselves use
         plan = plan_of(q(registry, "planner_advice", spark))
         assert "BatchEvalPython" not in plan
-        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+        # BNLJ from broadcast crossJoins of 1-row frames is fine; a
+        # genuine CartesianProduct is not (review fix: the earlier
+        # disjunction was vacuously true whenever a BNLJ existed)
+        assert "CartesianProduct" not in plan
         # every join in the composition is a broadcast (manifest-sized
         # sides) — a sort-merge join would mean a kernel regressed
         assert "SortMergeJoin" not in plan
@@ -838,7 +841,11 @@ class TestRound7Plans:
         # itself must only be aggregated), and nothing python
         plan = plan_of(q(registry, "exact_percentiles", spark))
         assert "BatchEvalPython" not in plan
-        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+        # the crossJoin(broadcast(...)) steps compile to BNLJ, which is
+        # fine for 1-3-row frames; a genuine CartesianProduct over the
+        # row-level frame must never appear (review fix: the earlier
+        # disjunction was vacuously true whenever a BNLJ existed)
+        assert "CartesianProduct" not in plan
         # row-level frames reach only hash aggregates; every join is
         # broadcast (manifest-sized sides)
         assert "SortMergeJoin" not in plan

@@ -1508,7 +1508,11 @@ def test_merkle_tree_stream_matches_batch(spark, tmp_path, sf_dir):
     b1 = docs.where(F.col("doc_id") % 3 == 0)
     b2 = docs.where(F.col("doc_id") % 3 == 1)
     # batch 3: remaining docs PLUS an upsert rewriting one doc from b1
-    upd = b1.limit(1).select("doc_id", F.lit("rewritten text").alias("text"))
+    # (pinned by id — limit(1) without order is nondeterministic across
+    # the multiple actions this test runs; review fix)
+    upd = b1.where(F.col("doc_id") == 0).select(
+        "doc_id", F.lit("rewritten text").alias("text")
+    )
     b3 = docs.where(F.col("doc_id") % 3 == 2).unionByName(upd)
 
     tree_dir = str(tmp_path / "merkle")
