@@ -30,84 +30,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver records at most ~50 rows, taking them in dict
-# order. Round-7 rotation policy (VERDICT r6 #2): the r02-r05 red-streak
-# diagnosis is certified and lint-guarded (tests/test_oracle_type_parity
-# gates every oracle against HUGEINT/DECIMAL), so the 13 probe/red pins
-# are dropped. The list is now ordered purely by STALENESS: new r07
-# queries first (never driver-checked), then every query by the round of
-# its last green driver row, oldest first (14 r02 rows, then 37 r03 —
-# computed from CORRECTNESS_r0{1..6}.json). After the r07 driver pass no
-# query's last driver hash-check is older than r04. The committed
-# tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/_EDGE/_SF01: full
-# registry, 0 failures) remain the auditable backstop for the tail the
-# 50-slot window cannot reach.
+# order. Round-8 rotation policy (VERDICT r7 #1): pure staleness order.
+# The 12 queries whose newest driver hash-check was still r03 head the
+# list, then any new r08 queries (never checked), then the 40-query r04
+# cohort oldest-first. Post-r08 histogram (assuming a 50-row window):
+# the stale-12 move to r08, ~36 of the 40 r04 rows move to r08, the
+# remaining ~4 r04 rows head the r09 list — after r08 no query's newest
+# driver check is older than r04, and the r04 tail is 4 queries wide.
+# The committed tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/
+# _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
+# for the tail the 50-slot window cannot reach.
 _DRIVER_PRIORITY = (
-    # --- slots 1-N: new r07 queries (never driver-checked) ----------
-    "probe_minhash_candidates",  # r07: LSH candidate-workload fingerprint
-    "planner_advice",  # r07: five-kernel planner-evidence composition
-    "dedup_allpairs_prefix",  # r07: exact prefix-filtering similarity join
-    "exact_percentiles",  # r07: two-phase exact order statistics
-    "cdc_chunking",  # r07: content-defined chunk manifest
-    "media_image_phash",  # r07: WHT perceptual-hash image near-dup
-    "edit_distance_join",  # r07: Ed-Join prefix filter vs PassJoin oracle
-    "rendezvous_sharding",  # r07: HRW placement + minimal-disruption matrix
-    "mixture_waterfill",  # r07: exact epoch-capped budget allocator
-    "merkle_diff",  # r07: digest-tree release audit, log-localized
-    "leakage_safe_split",  # r07: cluster-hash folds, zero cross-fold dup pairs
-    # --- last driver-checked r02 (oldest first) ---------------------
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "quality_score",
-    "rollup_lineitem",
-    "schema_cast",
-    "semi_anti_join",
-    "sessionization",
-    "set_ops",
-    "stratified_sample",
-    "token_count",
-    "top_k_per_group",
-    "windowed_agg",
-    "word_frequencies",
-    "zip_merge_positional",
-    # --- last driver-checked r03 (oldest first) ---------------------
-    "grouping_sets",
-    "interval_join_attribution",
-    "join_strings",
-    "jsonpath_scalar",
-    "jsonpath_wildcard_fanout",
-    "length_histogram",
-    "lm_bigram_score",
-    "media_audio_chunk",
-    "media_frame_sample",
-    "media_image_resize",
-    "media_image_stats",
-    "mixture_sample",
-    "pack_manifest",
-    "percentile_by_group",
-    "pii_redact",
-    "pipeline_e2e",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "range_join_binned",
-    "repetition_signals",
-    "semantic_dedup",
-    "sequence_packing",
-    "sequence_packing_greedy",
+    # --- slots 1-12: the r03-stale tail (VERDICT r7 mandate #1: these
+    # queries' newest driver hash-check was still r03 after seven rounds;
+    # sketch_aggregates is rows-only — no oracle — so its best check is a
+    # rows match) -------------------------------------------------------
+    "wrap_text",
+    "text_replace",
+    "stop_pipeline_comparators",
+    "subtitles_from_transcription",
     "sketch_aggregates",
     "sketch_error_bounds",
     "skew_salted_agg",
-    "stop_pipeline_comparators",
-    "subtitles_from_transcription",
-    "text_replace",
+    "repetition_signals",
+    "sequence_packing",
+    "sequence_packing_greedy",
+    "semantic_dedup",
     "token_count_bpe",
-    "wrap_text",
-    # --- last driver-checked r04 (oldest first) ---------------------
+    # --- new r08 queries (never driver-checked) insert HERE -------------
+    # --- last driver-checked r04 (40 queries; 50-slot window reaches ~36
+    # of them after the stale-12 + r08 inserts — the tail of this block
+    # heads the r09 list) ------------------------------------------------
     "agg_distinct",
     "ann_cosine_topk",
     "ann_cosine_topk_ivf",
@@ -148,7 +101,7 @@ _DRIVER_PRIORITY = (
     "q9_product_profit",
     "tfidf_top_terms",
     "timeseries_resample",
-    # --- last driver-checked r05 (oldest first) ---------------------
+    # --- last driver-checked r05 ----------------------------------------
     "ann_cosine_topk_ivfpq",
     "ann_ivf_persisted",
     "ann_recall_at_k",
@@ -191,7 +144,7 @@ _DRIVER_PRIORITY = (
     "table_profile",
     "training_shards",
     "vocab_richness",
-    # --- last driver-checked r06 (oldest first) ---------------------
+    # --- last driver-checked r06 ----------------------------------------
     "activity_streaks",
     "asof_join",
     "bloom_zone_skipping",
@@ -242,6 +195,58 @@ _DRIVER_PRIORITY = (
     "window_functions",
     "zone_map_pruning",
     "zorder_layout",
+    # --- last driver-checked r07 (newest: the 11 r07 additions + the r02
+    # and r03 cohorts cleared in the r07 pass) ---------------------------
+    "cdc_chunking",
+    "dedup_allpairs_prefix",
+    "edit_distance_join",
+    "exact_percentiles",
+    "grouping_sets",
+    "interval_join_attribution",
+    "join_strings",
+    "jsonpath_scalar",
+    "jsonpath_wildcard_fanout",
+    "leakage_safe_split",
+    "length_histogram",
+    "lm_bigram_score",
+    "media_audio_chunk",
+    "media_frame_sample",
+    "media_image_phash",
+    "media_image_resize",
+    "media_image_stats",
+    "merkle_diff",
+    "mixture_sample",
+    "mixture_waterfill",
+    "pack_manifest",
+    "percentile_by_group",
+    "pii_redact",
+    "pipeline_e2e",
+    "planner_advice",
+    "probe_minhash_candidates",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "quality_score",
+    "range_join_binned",
+    "rendezvous_sharding",
+    "rollup_lineitem",
+    "schema_cast",
+    "semi_anti_join",
+    "sessionization",
+    "set_ops",
+    "stratified_sample",
+    "token_count",
+    "top_k_per_group",
+    "windowed_agg",
+    "word_frequencies",
+    "zip_merge_positional",
 )
 
 

@@ -23,6 +23,7 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.intmath import exact_floordiv
 from .text_analysis import MOD, word_codes
 
 # LSH defaults: 64 permutations = 32 bands x 2 rows. For threshold t=0.6 a
@@ -900,6 +901,14 @@ def allpairs_prefix_pairs(
     exactly the shingles whose global df is huge. Costs one extra
     aggregate (df) + one doc-keyed window vs the df-cap path; wins
     whenever exactness matters (contracts, decontamination audits).
+
+    Persist contract: ``members`` and ``d`` stay cached after the
+    caller's action (the returned frame is lazy, so they cannot be
+    unpersisted here without forcing an extra job). Long-lived callers
+    must clear persisted RDDs between queries the way ``bench.py`` and
+    ``tools/check_oracle.py`` do (``spark.catalog.clearCache()`` +
+    ``getPersistentRDDs().unpersist()``); the same contract applies to
+    ``q_media_image_phash`` and ``q_leakage_safe_split``.
     """
     members = _text_group_members(df, id_col, text_col).persist()
     reps = members.select(F.col("rep").alias("doc")).distinct()
@@ -916,9 +925,14 @@ def allpairs_prefix_pairs(
     t_num, t_den = frac.numerator, frac.denominator
     if not 0 < threshold <= 1 or abs(t_num / t_den - threshold) > 1e-12:
         raise ValueError(f"threshold {threshold} not a small rational in (0,1]")
+    # exact_floordiv keeps ceil(t*n) integer-exact even when t_den ~ 1e4
+    # pushes t_num*n toward 2^53 (a double-divide F.floor would round the
+    # bound there, silently shortening prefixes and losing completeness).
     lim = (
         F.col("n")
-        - F.floor((t_num * F.col("n") + t_den - 1) / t_den).cast("long")
+        - exact_floordiv(
+            F.lit(t_num).cast("long") * F.col("n") + F.lit(t_den - 1), t_den
+        )
         + 1
     )
     prefix = (

@@ -110,9 +110,13 @@ def merge_batch(
     spark = batch_df.sparkSession
 
     grams = doc_grams(batch_df).localCheckpoint()
-    grams.withColumn("batch", F.lit(batch_id).cast("long")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(store_dir, _GRAMS, f"batch={batch_id}"))
+    # no explicit `batch` data column: every reader scans the store ROOT,
+    # so partition discovery of the batch=<id> directory supplies it
+    # (matching the selection.py store layout; a duplicated in-file copy
+    # would lean on reader-side partition/data-column reconciliation).
+    grams.write.mode("overwrite").parquet(
+        os.path.join(store_dir, _GRAMS, f"batch={batch_id}")
+    )
 
     first_round = 1
     prior_picks: list = []

@@ -72,9 +72,13 @@ def main() -> int:
             continue
         finally:
             # some queries persist() shared frames for intra-plan reuse;
-            # drop them between queries so a 141-query session doesn't
-            # accumulate pinned blocks
+            # drop them between queries so a full-registry session doesn't
+            # accumulate pinned blocks. clearCache drops SQL-cached plans;
+            # localCheckpoint blocks are RDD-level and need the explicit
+            # unpersist walk (same discipline as bench.py).
             spark.catalog.clearCache()
+            for _rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                _rdd.unpersist()
         t1 = time.time()
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only) [{t1-t0:.1f}s]")
