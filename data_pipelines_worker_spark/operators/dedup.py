@@ -913,6 +913,17 @@ def allpairs_prefix_pairs(
     members = _text_group_members(df, id_col, text_col).persist()
     reps = members.select(F.col("rep").alias("doc")).distinct()
     d = _doc_shingles(df, id_col, text_col, k).join(reps, "doc").persist()
+    rp = allpairs_prefix_join(d, threshold)
+    return _expand_member_pairs(rp, members, d)
+
+
+def allpairs_prefix_join(d: DataFrame, threshold: float) -> DataFrame:
+    """The prefix-filtering core of :func:`allpairs_prefix_pairs`, over a
+    precomputed ``(doc, sh: array<bigint>)`` frame of REPRESENTATIVE
+    documents (exact-collapse and member fan-out are the caller's job —
+    this lets non-text signature sets reuse the exact kernel, e.g. the
+    audio constellation fingerprints of ``audio_fingerprint_dedup``).
+    Returns (r1, r2, jaccard) with J >= threshold, exact."""
     ex = d.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "s")
@@ -962,9 +973,8 @@ def allpairs_prefix_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    rp = verified.select(
+    return verified.select(
         F.col("d1").alias("r1"),
         F.col("d2").alias("r2"),
         F.round("jaccard", 6).alias("jaccard"),
     )
-    return _expand_member_pairs(rp, members, d)

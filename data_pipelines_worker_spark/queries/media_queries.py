@@ -384,30 +384,16 @@ GROUP BY s.doc_id
 """
 
 
-@register("media_audio_energy", _VAD_ORACLE)
-def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Energy-based audio segmentation (the VAD shape): synthesize a REAL
-    PCM WAV per document (``operators/wav_codec.py`` — RIFF bytes, not a
-    fake container), decode it executor-side, compute per-frame integer
-    energy (Σ sample² over 8-sample frames, vectorized numpy inside
-    Arrow-batched ``mapInPandas``), then find voiced segments as islands
-    of consecutive active frames with the gaps-and-islands window
-    (``frame_idx − row_number``, the `activity_streaks` shape). Output
-    per doc: segment count, active-frame total, longest segment, total
-    energy — all integers; the oracle predicts every value from the text
-    in closed form because the synth is deterministic (segments ≡
-    nonempty words by the 2-frame-gap construction).
-
-    Scale shape: both Python stages are Arrow-batched codecs (the only
-    honest place for byte-level media work); the frame stream emits ONLY
-    active frames (output-linear, ~|chars|/8 rows per doc), and the one
-    exchange keys on doc_id for the island window. No driver-side
-    bytes, no per-row Python UDFs in column form."""
+def _vad_synth(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload_bin) — the deterministic text→PCM synth shared by
+    ``media_audio_energy`` and ``audio_fingerprint_dedup``: one int16
+    sample per character (non-space c → 256·(1 + ord(c) % 96)) plus a
+    16-sample silence gap after every word, encoded as REAL RIFF/PCM
+    bytes (``wav_codec.wav_encode``)."""
     import numpy as np
 
-    from ..operators.wav_codec import wav_decode, wav_encode
+    from ..operators.wav_codec import wav_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     enc_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -429,7 +415,34 @@ def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload_bin": payloads}
             )
 
-    wav = docs.mapInPandas(synth, enc_schema)
+    return docs.mapInPandas(synth, enc_schema)
+
+
+@register("media_audio_energy", _VAD_ORACLE)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio segmentation (the VAD shape): synthesize a REAL
+    PCM WAV per document (``operators/wav_codec.py`` — RIFF bytes, not a
+    fake container), decode it executor-side, compute per-frame integer
+    energy (Σ sample² over 8-sample frames, vectorized numpy inside
+    Arrow-batched ``mapInPandas``), then find voiced segments as islands
+    of consecutive active frames with the gaps-and-islands window
+    (``frame_idx − row_number``, the `activity_streaks` shape). Output
+    per doc: segment count, active-frame total, longest segment, total
+    energy — all integers; the oracle predicts every value from the text
+    in closed form because the synth is deterministic (segments ≡
+    nonempty words by the 2-frame-gap construction).
+
+    Scale shape: both Python stages are Arrow-batched codecs (the only
+    honest place for byte-level media work); the frame stream emits ONLY
+    active frames (output-linear, ~|chars|/8 rows per doc), and the one
+    exchange keys on doc_id for the island window. No driver-side
+    bytes, no per-row Python UDFs in column form."""
+    import numpy as np
+
+    from ..operators.wav_codec import wav_decode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wav = _vad_synth(docs)
 
     frame_schema = T.StructType(
         [
@@ -679,3 +692,178 @@ def q_media_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_near_dup"),
         )
     )
+
+
+# --- audio constellation fingerprint near-dup (round 8) -----------------------
+
+#: Closed-form oracle for the audio constellation pipeline: recompute the
+#: per-word fingerprints the DSP path extracts from real WAV bytes —
+#: onset-anchored 8-sample frames, integer Walsh-Hadamard transform,
+#: frame code = peak bin * 256 + sign byte of bins 1-7 — directly from
+#: the text (the synth is deterministic: sample = 256·(1 + ascii % 96),
+#: words separated by ≥16 zero samples ⇒ voiced runs ≡ nonempty words),
+#: then an INDEPENDENT exact algorithm for the join: shared-landmark
+#: counting (inverted index + group-by pair), vs Spark's prefix-filter
+#: join. Two theorems, one answer, with the codec in the loop.
+_AUDIO_FP_CTES = """
+    ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    wpos AS (
+      SELECT doc_id, words, unnest(generate_series(1, len(words))) AS wi
+      FROM ws WHERE len(words) >= 1
+    ),
+    wrd AS (
+      SELECT doc_id, wi, words[wi] AS w, length(words[wi]) AS wl
+      FROM wpos WHERE length(words[wi]) > 0
+    ),
+    fr AS (
+      SELECT doc_id, wi, w, wl,
+             unnest(generate_series(0, (wl + 7) // 8 - 1)) AS f
+      FROM wrd
+    ),
+    co AS (
+      SELECT doc_id, wi, wl, f, kk.k AS k,
+        list_sum(list_transform(generate_series(0, 7), i ->
+          CASE WHEN 8 * f + i + 1 <= wl
+               THEN CAST(256 * (1 + ascii(w[8 * f + i + 1]) % 96) AS BIGINT)
+                    * (1 - 2 * (bit_count(i & kk.k) % 2))
+               ELSE 0 END)) AS coef
+      FROM fr, (SELECT unnest(generate_series(1, 7)) AS k) kk
+    ),
+    pk AS (
+      SELECT doc_id, wi, wl, f,
+             (list(k ORDER BY abs(coef) DESC, k ASC))[1] AS peak,
+             CAST(sum(CASE WHEN coef > 0 THEN (1 << (k - 1)) ELSE 0 END)
+                  AS BIGINT) AS signb
+      FROM co GROUP BY doc_id, wi, wl, f
+    ),
+    fp AS (
+      SELECT doc_id, wi,
+             CAST(wl AS VARCHAR) || ':' ||
+             string_agg(CAST(peak * 256 + signb AS VARCHAR), ',' ORDER BY f)
+               AS fp
+      FROM pk GROUP BY doc_id, wi, wl
+    ),
+    seq AS (SELECT doc_id, list(fp ORDER BY wi) AS fps FROM fp GROUP BY doc_id),
+    grp AS (SELECT doc_id AS doc, md5(array_to_string(fps, '|')) AS gid FROM seq),
+    rep AS (SELECT gid, min(doc) AS rep FROM grp GROUP BY gid),
+    lm AS (
+      SELECT doc_id,
+        list_distinct([CAST(concat('0x', substr(md5(
+              fps[i] || '|' || fps[i+1] || '|' || fps[i+2]), 1, 15)) AS BIGINT)
+           for i in generate_series(1, len(fps) - 2)]) AS sh
+      FROM seq
+      WHERE len(fps) >= 3 AND doc_id IN (SELECT rep FROM rep)
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM lm),
+    prs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    rp2 AS (
+      SELECT d1 AS r1, d2 AS r2, round(j, 6) AS jaccard FROM (
+        SELECT d1, d2,
+               common / (len(da.sh) + len(db.sh) - common) AS j
+        FROM prs JOIN lm da ON da.doc_id = d1 JOIN lm db ON db.doc_id = d2
+      ) WHERE j >= 0.6
+    ),
+    members AS (SELECT g.doc, r.rep FROM grp g JOIN rep r ON r.gid = g.gid),
+    outp AS (
+      SELECT least(ma.doc, mb.doc) AS d1, greatest(ma.doc, mb.doc) AS d2,
+             rp2.jaccard
+      FROM rp2 JOIN members ma ON ma.rep = rp2.r1
+               JOIN members mb ON mb.rep = rp2.r2
+      UNION ALL
+      SELECT wa.doc AS d1, wb.doc AS d2, 1.0 AS jaccard
+      FROM members wa JOIN members wb
+        ON wa.rep = wb.rep AND wa.doc < wb.doc
+      WHERE wa.rep IN (SELECT doc_id FROM lm)
+    )
+"""
+
+_AUDIO_FP_ORACLE = f"WITH {_AUDIO_FP_CTES} SELECT d1, d2, jaccard FROM outp"
+
+
+@register("audio_fingerprint_dedup", _AUDIO_FP_ORACLE)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection by constellation fingerprinting (Wang,
+    ISMIR'03; Chromaprint gram chaining) — the AUDIO member of the
+    multimodal dedup family (image member: ``media_image_phash``).
+
+    Pipeline: text → deterministic PCM synth → REAL RIFF/WAV bytes →
+    decode → onset-anchored voiced segments (maximal nonzero-sample
+    runs — sample-level VAD, which is what makes the fingerprint
+    shift-invariant under edits earlier in the stream) → per-segment
+    integer Walsh-Hadamard peak trajectory
+    (``operators/audio_fingerprint.py``) → constellation landmarks =
+    md5-fold60 hashes of THREE consecutive segment fingerprints (anchor
+    + target zone; gram chaining keeps the landmark universe
+    high-entropy — single short-segment codes are a ~10-bit alphabet,
+    the small-alphabet pathology the r07 edit-join probe documented) →
+    exact Jaccard ≥ 0.6 self-join over landmark sets via the certified
+    prefix-filter kernel (``dedup.allpairs_prefix_join``), after
+    exact-collapsing docs with byte-identical fingerprint STREAMS
+    (audio-content identity — a strictly coarser key than text identity:
+    proportional frames share codes, so e.g. 'aa bb cc dd' and
+    'ee ff gg hh' are audio-identical; the oracle reproduces this).
+
+    Scale shape: one Arrow-batched codec+DSP stage (linear, no shuffle,
+    no driver bytes); landmark window + stream digest are doc-keyed
+    (one exchange); candidate generation inherits the prefix-filter
+    bound (pair work ~ Σ C(prefix_df, 2), rare-first); expansion is
+    output-linear. Persist contract: ``segs`` and ``d`` stay cached
+    until the caller clears persisted RDDs (bench.py/check_oracle.py
+    discipline).
+
+    Reference scope analogue: the reference dedups only exactly via the
+    stage-store content hash (storages.go); audio fingerprinting is part
+    of this engine's training-data extension surface.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.intmath import md5_fold60
+    from ..operators import audio_fingerprint as AF
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wav = _vad_synth(docs)
+    # persist: the codec+WHT stage is the expensive part and feeds both
+    # the stream digest and the landmark window
+    segs = AF.segment_fingerprints(wav).persist()
+
+    stream = segs.groupBy("doc").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "fp"))),
+                    lambda x: x["fp"],
+                ),
+                "|",
+            )
+        ).alias("gid")
+    )
+    rep = stream.groupBy("gid").agg(F.min("doc").alias("rep"))
+    members = stream.join(rep, "gid").select("doc", "rep")
+    reps = members.select(F.col("rep").alias("doc")).distinct()
+
+    w = Window.partitionBy("doc").orderBy("seg_idx")
+    lm = (
+        segs.join(reps, "doc")
+        .select(
+            "doc",
+            "fp",
+            F.lead("fp", 1).over(w).alias("f1"),
+            F.lead("fp", 2).over(w).alias("f2"),
+        )
+        .where(F.col("f2").isNotNull())
+        .select(
+            "doc", md5_fold60(F.concat_ws("|", "fp", "f1", "f2")).alias("h")
+        )
+    )
+    d = (
+        lm.groupBy("doc")
+        .agg(F.sort_array(F.collect_set("h")).alias("sh"))
+        .persist()
+    )
+    rp = dedup.allpairs_prefix_join(d, 0.6)
+    return dedup._expand_member_pairs(rp, members, d)
