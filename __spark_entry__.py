@@ -41,67 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
 # for the tail the 50-slot window cannot reach.
 _DRIVER_PRIORITY = (
-    # --- slots 1-12: the r03-stale tail (VERDICT r7 mandate #1: these
-    # queries' newest driver hash-check was still r03 after seven rounds;
-    # sketch_aggregates is rows-only — no oracle — so its best check is a
-    # rows match) -------------------------------------------------------
-    "wrap_text",
-    "text_replace",
-    "stop_pipeline_comparators",
-    "subtitles_from_transcription",
-    "sketch_aggregates",
-    "sketch_error_bounds",
-    "skew_salted_agg",
-    "repetition_signals",
-    "sequence_packing",
-    "sequence_packing_greedy",
-    "semantic_dedup",
-    "token_count_bpe",
-    # --- new r08 queries (never driver-checked) insert HERE -------------
-    # --- last driver-checked r04 (40 queries; 50-slot window reaches ~36
-    # of them after the stale-12 + r08 inserts — the tail of this block
-    # heads the r09 list) ------------------------------------------------
-    "agg_distinct",
-    "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
-    "ass_time_format",
-    "bpe_train_merges",
-    "chunk_dedup",
-    "cms_heavy_hitters",
-    "coalesce_priority",
-    "corpus_prep",
-    "dedup_exact",
-    "dedup_graph_pagerank",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_stats",
-    "doc_fingerprint",
-    "dup_ngram_coverage",
-    "dup_span_removal",
-    "embedding_kmeans",
-    "embedding_near_dup",
-    "embedding_stats",
-    "gather_join_strings",
-    "index_targeting",
-    "json_auto_detect",
-    "lang_id",
-    "normalize_text",
-    "outer_join_agg",
-    "pivot_event_counts",
-    "ppl_bucket_mixture",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q16_supplier_part_count",
-    "q18_large_orders",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
+    # --- slot 1: the one never-driver-checked query (added r08 after the
+    # rotation commit; VERDICT r8 mandate #1a) ---------------------------
+    "audio_fingerprint_dedup",
+    # --- new r09 queries (never driver-checked) insert HERE -------------
+    # --- slots 2-3: the r04 arithmetic residue (the only queries whose
+    # newest driver check predates r05) -----------------------------------
     "tfidf_top_terms",
     "timeseries_resample",
-    # --- last driver-checked r05 ----------------------------------------
+    # --- last driver-checked r05 (42 queries; with slots 1-3 the 50-row
+    # window reaches all of them plus ~5 of the r06 cohort — after r09 no
+    # query's newest driver check is older than r06) -----------------------
     "ann_cosine_topk_ivfpq",
     "ann_ivf_persisted",
     "ann_recall_at_k",
@@ -144,7 +94,8 @@ _DRIVER_PRIORITY = (
     "table_profile",
     "training_shards",
     "vocab_richness",
-    # --- last driver-checked r06 ----------------------------------------
+    # --- last driver-checked r06 (50 queries; the tail of this block
+    # heads the r10 list) ---------------------------------------------------
     "activity_streaks",
     "asof_join",
     "bloom_zone_skipping",
@@ -195,8 +146,7 @@ _DRIVER_PRIORITY = (
     "window_functions",
     "zone_map_pruning",
     "zorder_layout",
-    # --- last driver-checked r07 (newest: the 11 r07 additions + the r02
-    # and r03 cohorts cleared in the r07 pass) ---------------------------
+    # --- last driver-checked r07 --------------------------------------------
     "cdc_chunking",
     "dedup_allpairs_prefix",
     "edit_distance_join",
@@ -247,6 +197,58 @@ _DRIVER_PRIORITY = (
     "windowed_agg",
     "word_frequencies",
     "zip_merge_positional",
+    # --- last driver-checked r08 (the former stale-12 + 38 of the r04
+    # cohort — freshest, so last) ---------------------------------------------
+    "wrap_text",
+    "text_replace",
+    "stop_pipeline_comparators",
+    "subtitles_from_transcription",
+    "sketch_aggregates",
+    "sketch_error_bounds",
+    "skew_salted_agg",
+    "repetition_signals",
+    "sequence_packing",
+    "sequence_packing_greedy",
+    "semantic_dedup",
+    "token_count_bpe",
+    "agg_distinct",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "ass_time_format",
+    "bpe_train_merges",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "coalesce_priority",
+    "corpus_prep",
+    "dedup_exact",
+    "dedup_graph_pagerank",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_stats",
+    "doc_fingerprint",
+    "dup_ngram_coverage",
+    "dup_span_removal",
+    "embedding_kmeans",
+    "embedding_near_dup",
+    "embedding_stats",
+    "gather_join_strings",
+    "index_targeting",
+    "json_auto_detect",
+    "lang_id",
+    "normalize_text",
+    "outer_join_agg",
+    "pivot_event_counts",
+    "ppl_bucket_mixture",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q18_large_orders",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
 )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import re
 import sys
 import time
 
@@ -207,7 +208,20 @@ def main() -> None:
         sf_val = sf
 
     # Full per-query maps go to a committed local artifact, not stdout.
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "r07")
+    # Round tag: explicit env var wins; otherwise derive "current round" as
+    # max committed BENCH_r{N}.json + 1 (the driver writes BENCH_r{N} only
+    # AFTER running this script, so during a round-N run the max on disk is
+    # N-1). This can never clobber a prior round's committed local record —
+    # the hardcoded-"r07" default did exactly that in r08 (VERDICT r8 #1).
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        here = os.path.dirname(os.path.abspath(__file__))
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = f"r{(max(seen) + 1 if seen else 0):02d}"
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_{rnd}.json"
     )

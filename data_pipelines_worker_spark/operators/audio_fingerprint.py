@@ -132,3 +132,43 @@ def segment_fingerprints(
             yield pd.DataFrame({"doc": ids, "seg_idx": idx, "fp": fps})
 
     return wav_df.mapInPandas(extract, _SEG_SCHEMA)
+
+
+def synth_segment_fingerprints(
+    docs_df: DataFrame,
+    synth_fn,
+    rate: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, seg_idx, fp) — the FUSED synth → encode → decode →
+    fingerprint stage: one Arrow-batched ``mapInPandas`` that, per
+    document, synthesizes the PCM stream (``synth_fn(text) →`` 1-D int16
+    samples), encodes it to real RIFF/WAV bytes, immediately decodes
+    those same bytes, and fingerprints the decoded channel.
+
+    The codec round-trip stays in the loop — the WAV bytes exist and are
+    decoded by the real parser — but the binary payload no longer rides
+    an Arrow exchange between two back-to-back Python stages (it was the
+    registry's most expensive query at 11.2 s / sf0.1 as two stages;
+    VERDICT r8 #3). ``synth_fn`` must be a module-level (picklable)
+    callable; the unfused two-stage path (``segment_fingerprints`` over a
+    payload column) remains for callers whose bytes arrive from storage.
+    """
+    from .wav_codec import wav_encode
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idx: list[int] = []
+            fps: list[str] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                payload = wav_encode(rate, synth_fn(text).reshape(-1, 1))
+                _rate, fr = wav_decode(payload)
+                for j, fp in enumerate(fingerprint_segments(fr[:, 0])):
+                    ids.append(did)
+                    idx.append(j)
+                    fps.append(fp)
+            yield pd.DataFrame({"doc": ids, "seg_idx": idx, "fp": fps})
+
+    return docs_df.mapInPandas(fused, _SEG_SCHEMA)

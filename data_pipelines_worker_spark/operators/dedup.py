@@ -263,14 +263,25 @@ def _text_group_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return grp.join(rep, "gid").select("doc", "rep")
 
 
-def _expand_member_pairs(rp: DataFrame, members: DataFrame, d: DataFrame) -> DataFrame:
+def _expand_member_pairs(
+    rp: DataFrame,
+    members: DataFrame,
+    d: DataFrame,
+    within_requires_signature: bool = True,
+) -> DataFrame:
     """Fan representative near-dup pairs ``rp`` (r1, r2, jaccard) back out
     to member pairs — output-linear: each emitted row is one output pair.
 
     Cross-group member pairs inherit the rep pair's J (identical texts ⇒
     identical shingle sets ⇒ same J); within-group pairs are identical
-    texts, J = 1.0 exactly, emitted only for groups whose representative
-    shingled (≥ k words, i.e. appears in ``d``)."""
+    content, J = 1.0 exactly. With ``within_requires_signature`` (the
+    text-dedup semantics) they are emitted only for groups whose
+    representative produced a signature set (≥ k words, i.e. appears in
+    ``d``); pass False to emit them for EVERY group — exact-duplicate
+    semantics keyed on the grouping digest alone, so content identity is
+    reported even below the signature floor (the audio landmark path
+    needs this: byte-identical 1-2-segment streams have no landmarks but
+    are still duplicates — ADVICE r8)."""
     ma = members.select(F.col("rep").alias("r1"), F.col("doc").alias("da"))
     mb = members.select(F.col("rep").alias("r2"), F.col("doc").alias("db"))
     cross = (
@@ -282,9 +293,12 @@ def _expand_member_pairs(rp: DataFrame, members: DataFrame, d: DataFrame) -> Dat
             "jaccard",
         )
     )
-    g_ok = members.join(
-        d.select(F.col("doc").alias("rep")).distinct(), "rep"
-    ).select("rep", "doc")
+    if within_requires_signature:
+        g_ok = members.join(
+            d.select(F.col("doc").alias("rep")).distinct(), "rep"
+        ).select("rep", "doc")
+    else:
+        g_ok = members.select("rep", "doc")
     wa, wb = g_ok.alias("wa"), g_ok.alias("wb")
     within = (
         wa.join(

@@ -384,14 +384,25 @@ GROUP BY s.doc_id
 """
 
 
-def _vad_synth(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload_bin) — the deterministic text→PCM synth shared by
-    ``media_audio_energy`` and ``audio_fingerprint_dedup``: one int16
-    sample per character (non-space c → 256·(1 + ord(c) % 96)) plus a
-    16-sample silence gap after every word, encoded as REAL RIFF/PCM
-    bytes (``wav_codec.wav_encode``)."""
+def _synth_samples(text: str):
+    """One int16 sample per character (non-space c → 256·(1 + ord(c) %
+    96)) plus a ``_VAD_GAP``-sample silence gap after every word — the
+    SINGLE spelling of the deterministic text→PCM synth. The VAD/
+    fingerprint oracles reproduce it in closed form and the unit tests
+    import it, so any change here must change all three together."""
     import numpy as np
 
+    samples: list[int] = []
+    for word in text.split(" "):
+        samples.extend(256 * (1 + ord(c) % 96) for c in word)
+        samples.extend([0] * _VAD_GAP)
+    return np.asarray(samples, dtype=np.int16)
+
+
+def _vad_synth(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload_bin) — the deterministic text→PCM synth
+    (``_synth_samples``) encoded as REAL RIFF/PCM bytes
+    (``wav_codec.wav_encode``); used by ``media_audio_energy``."""
     from ..operators.wav_codec import wav_encode
 
     enc_schema = T.StructType(
@@ -403,14 +414,10 @@ def _vad_synth(docs: DataFrame) -> DataFrame:
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for t in pdf["text"]:
-                samples: list[int] = []
-                for word in t.split(" "):
-                    samples.extend(256 * (1 + ord(c) % 96) for c in word)
-                    samples.extend([0] * _VAD_GAP)
-                arr = np.asarray(samples, dtype=np.int16).reshape(-1, 1)
-                payloads.append(wav_encode(_VAD_RATE, arr))
+            payloads = [
+                wav_encode(_VAD_RATE, _synth_samples(t).reshape(-1, 1))
+                for t in pdf["text"]
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload_bin": payloads}
             )
@@ -774,10 +781,11 @@ _AUDIO_FP_CTES = """
       FROM rp2 JOIN members ma ON ma.rep = rp2.r1
                JOIN members mb ON mb.rep = rp2.r2
       UNION ALL
+      -- within-group pairs key on the stream digest alone: byte-identical
+      -- audio is a duplicate even below the 3-segment landmark floor
       SELECT wa.doc AS d1, wb.doc AS d2, 1.0 AS jaccard
       FROM members wa JOIN members wb
         ON wa.rep = wb.rep AND wa.doc < wb.doc
-      WHERE wa.rep IN (SELECT doc_id FROM lm)
     )
 """
 
@@ -806,14 +814,22 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (audio-content identity — a strictly coarser key than text identity:
     proportional frames share codes, so e.g. 'aa bb cc dd' and
     'ee ff gg hh' are audio-identical; the oracle reproduces this).
+    Within-group (byte-identical) pairs are emitted for EVERY digest
+    group at J = 1.0 — including streams below the 3-consecutive-segment
+    landmark floor, which produce no landmarks but are still exact
+    duplicates (ADVICE r8: exact-dup semantics key on the stream digest,
+    not on rep-has-landmarks). Streams with ZERO voiced segments (no
+    nonempty words) have no audio content and are excluded on both sides.
 
-    Scale shape: one Arrow-batched codec+DSP stage (linear, no shuffle,
-    no driver bytes); landmark window + stream digest are doc-keyed
-    (one exchange); candidate generation inherits the prefix-filter
-    bound (pair work ~ Σ C(prefix_df, 2), rare-first); expansion is
-    output-linear. Persist contract: ``segs`` and ``d`` stay cached
-    until the caller clears persisted RDDs (bench.py/check_oracle.py
-    discipline).
+    Scale shape: ONE fused Arrow-batched codec+DSP stage (synth → real
+    RIFF/WAV bytes → decode → fingerprint inside a single batch — the
+    codec round-trip stays in the loop, but the binary payload no longer
+    crosses Arrow twice; VERDICT r8 #3); landmark window + stream digest
+    are doc-keyed (one exchange); candidate generation inherits the
+    prefix-filter bound (pair work ~ Σ C(prefix_df, 2), rare-first);
+    expansion is output-linear. Persist contract: ``segs`` and ``d``
+    stay cached until the caller clears persisted RDDs
+    (bench.py/check_oracle.py discipline).
 
     Reference scope analogue: the reference dedups only exactly via the
     stage-store content hash (storages.go); audio fingerprinting is part
@@ -826,10 +842,11 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wav = _vad_synth(docs)
-    # persist: the codec+WHT stage is the expensive part and feeds both
-    # the stream digest and the landmark window
-    segs = AF.segment_fingerprints(wav).persist()
+    # persist: the fused codec+WHT stage is the expensive part and feeds
+    # both the stream digest and the landmark window
+    segs = AF.synth_segment_fingerprints(
+        docs, _synth_samples, _VAD_RATE
+    ).persist()
 
     stream = segs.groupBy("doc").agg(
         F.md5(
@@ -866,4 +883,6 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     rp = dedup.allpairs_prefix_join(d, 0.6)
-    return dedup._expand_member_pairs(rp, members, d)
+    return dedup._expand_member_pairs(
+        rp, members, d, within_requires_signature=False
+    )

@@ -16,12 +16,15 @@ def registry():
     return load_all()
 
 
-def _synth_stream(text: str, gap: int = 16) -> np.ndarray:
-    samples: list[int] = []
-    for word in text.split(" "):
-        samples.extend(256 * (1 + ord(c) % 96) for c in word)
-        samples.extend([0] * gap)
-    return np.asarray(samples, dtype=np.int16)
+def _synth_stream(text: str) -> np.ndarray:
+    # the query's own synth — imported, not duplicated, so these unit
+    # tests cannot drift from the stream shape the query produces
+    # (ADVICE r8: the old local copy hardcoded gap=16)
+    from data_pipelines_worker_spark.queries.media_queries import (
+        _synth_samples,
+    )
+
+    return _synth_samples(text)
 
 
 class TestAudioFingerprintUnit:
