@@ -931,6 +931,30 @@ def allpairs_prefix_pairs(
     return _expand_member_pairs(rp, members, d)
 
 
+def prefix_limit(threshold: float, n):
+    """Column: the prefix length the AllPairs theorem needs for a set of
+    size ``n`` at Jaccard ``threshold`` — ``n - ceil(t*n) + 1``. Derives
+    ceil(t*n) from the ACTUAL threshold as exact integer arithmetic via a
+    rational t = t_num/t_den (review fix: an earlier cut hardcoded 3/5,
+    silently under-indexing prefixes — losing completeness — for any
+    threshold < 0.6 passed through the public parameter). ``exact_floordiv``
+    keeps ceil(t*n) integer-exact even when t_den ~ 1e4 pushes t_num*n
+    toward 2^53 (a double-divide F.floor would round the bound there,
+    silently shortening prefixes and losing completeness). Shared by the
+    batch kernel (:func:`allpairs_prefix_join`) and the streaming probe
+    (``streaming/prefix_index.py``) so the bound can never fork."""
+    frac = Fraction(threshold).limit_denominator(10_000)
+    t_num, t_den = frac.numerator, frac.denominator
+    if not 0 < threshold <= 1 or abs(t_num / t_den - threshold) > 1e-12:
+        raise ValueError(f"threshold {threshold} not a small rational in (0,1]")
+    n = F.col(n) if isinstance(n, str) else n
+    return (
+        n
+        - exact_floordiv(F.lit(t_num).cast("long") * n + F.lit(t_den - 1), t_den)
+        + 1
+    )
+
+
 def allpairs_prefix_join(d: DataFrame, threshold: float) -> DataFrame:
     """The prefix-filtering core of :func:`allpairs_prefix_pairs`, over a
     precomputed ``(doc, sh: array<bigint>)`` frame of REPRESENTATIVE
@@ -941,25 +965,7 @@ def allpairs_prefix_join(d: DataFrame, threshold: float) -> DataFrame:
     ex = d.select("doc", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc").orderBy("df", "s")
-    # prefix bound: the theorem needs length >= n - ceil(t*n) + 1. Derive
-    # ceil(t*n) from the ACTUAL threshold as exact integer arithmetic via
-    # a rational t = t_num/t_den (review fix: an earlier cut hardcoded
-    # 3/5, silently under-indexing prefixes — losing completeness — for
-    # any threshold < 0.6 passed through the public parameter).
-    frac = Fraction(threshold).limit_denominator(10_000)
-    t_num, t_den = frac.numerator, frac.denominator
-    if not 0 < threshold <= 1 or abs(t_num / t_den - threshold) > 1e-12:
-        raise ValueError(f"threshold {threshold} not a small rational in (0,1]")
-    # exact_floordiv keeps ceil(t*n) integer-exact even when t_den ~ 1e4
-    # pushes t_num*n toward 2^53 (a double-divide F.floor would round the
-    # bound there, silently shortening prefixes and losing completeness).
-    lim = (
-        F.col("n")
-        - exact_floordiv(
-            F.lit(t_num).cast("long") * F.col("n") + F.lit(t_den - 1), t_den
-        )
-        + 1
-    )
+    lim = prefix_limit(threshold, "n")
     prefix = (
         ex.join(dfreq, "s")
         .withColumn("rk", F.row_number().over(w))

@@ -1584,3 +1584,96 @@ def test_merkle_sink_end_to_end(spark, tmp_path, sf_dir):
     }
     got = {(r.lvl, r.node, r.d) for r in read_tree(spark, tree_dir).collect()}
     assert got == expect
+
+
+# --- streaming prefix-filter index (round 9) --------------------------------
+
+
+def test_prefix_index_stream_matches_batch(spark, tmp_path, sf_dir):
+    # cumulative streamed pair set == the batch AllPairs operator over the
+    # same final corpus: the one-sided prefix probe (probe prefix vs FULL
+    # standing index) misses nothing even though the global df order
+    # drifts between batches
+    from data_pipelines_worker_spark.operators.dedup import (
+        allpairs_prefix_pairs,
+    )
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.prefix_index import (
+        doc_signatures,
+        merge_batch,
+        read_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expect = {
+        (r.d1, r.d2, r.jaccard)
+        for r in allpairs_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.6, k=3
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    store = str(tmp_path / "store")
+    for bid in range(3):
+        merge_batch(
+            doc_signatures(docs.where(f"doc_id % 3 = {bid}")), bid, store, 0.6
+        )
+    got = {(r.d1, r.d2, r.jaccard) for r in read_pairs(spark, store).collect()}
+    assert got == expect
+    assert len(expect) > 0  # the claim is vacuous on a pair-free corpus
+
+
+def test_prefix_index_cross_batch_pair_under_df_drift(spark, tmp_path):
+    # the adversarial case for any stored-prefix design: batch 1 indexes
+    # doc A when its tokens are all rare; batch 2 floods the vocabulary
+    # so A's old "rare" tokens become the most common ones (the rarest-
+    # first order inverts), then ships a near-dup of A. A two-sided
+    # stored-prefix index built under the old order could miss the pair;
+    # the full-index/probe-prefix design must find it.
+    from data_pipelines_worker_spark.streaming.prefix_index import (
+        doc_signatures,
+        merge_batch,
+        read_pairs,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = a + " lambda"  # J = 8/9 on 3-shingles >= 0.6
+    flood = [
+        (100 + i, f"{a} filler{i} {a}") for i in range(20)
+    ]  # every shingle of `a` becomes high-df
+    b0 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(2, near_a)] + flood, "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    merge_batch(doc_signatures(b0), 0, store, 0.6)
+    merge_batch(doc_signatures(b1), 1, store, 0.6)
+    got = {(r.d1, r.d2) for r in read_pairs(spark, store).collect()}
+    assert (1, 2) in got
+
+
+def test_prefix_index_replay_is_idempotent(spark, tmp_path, sf_dir):
+    # foreachBatch re-delivers the last batch after a crash anywhere in
+    # merge_batch: every write is an idempotent batch=<id> overwrite and
+    # every standing read excludes the batch's own partition, so the
+    # replay reproduces the state byte-for-byte
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.prefix_index import (
+        doc_signatures,
+        merge_batch,
+        read_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    merge_batch(doc_signatures(docs.where("doc_id % 2 = 0")), 0, store, 0.6)
+    merge_batch(doc_signatures(docs.where("doc_id % 2 = 1")), 1, store, 0.6)
+    first = {tuple(r) for r in read_pairs(spark, store).collect()}
+    dfv = spark.read.parquet(f"{store}/df/v1")
+    df_first = {tuple(r) for r in dfv.collect()}
+    merge_batch(  # replay
+        doc_signatures(docs.where("doc_id % 2 = 1")), 1, store, 0.6
+    )
+    assert {tuple(r) for r in read_pairs(spark, store).collect()} == first
+    assert {
+        tuple(r) for r in spark.read.parquet(f"{store}/df/v1").collect()
+    } == df_first
