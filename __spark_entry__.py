@@ -44,7 +44,9 @@ _DRIVER_PRIORITY = (
     # --- slot 1: the one never-driver-checked query (added r08 after the
     # rotation commit; VERDICT r8 mandate #1a) ---------------------------
     "audio_fingerprint_dedup",
-    # --- new r09 queries (never driver-checked) insert HERE -------------
+    # --- new r09 queries (never driver-checked) -------------------------
+    "suffix_array_ranks",
+    # --- new r10 queries (never driver-checked) insert HERE -------------
     # --- slots 2-3: the r04 arithmetic residue (the only queries whose
     # newest driver check predates r05) -----------------------------------
     "tfidf_top_terms",

@@ -897,3 +897,51 @@ def q_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-23 miss bound."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.allpairs_prefix_pairs(docs, "doc_id", "text", threshold=0.6, k=3)
+
+
+#: Oracle = the DIRECT definition: sort each document's suffixes as
+#: strings (DuckDB compares the actual suffix text; ties impossible —
+#: suffixes of one string differ in length). The engine side never
+#: compares a string after round 0 (prefix doubling over integer rank
+#: pairs), so agreement is two independent algorithms meeting on the
+#: full n-row permutation, per document.
+_SUFFIX_ARRAY_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       CAST(rank() OVER (PARTITION BY doc_id ORDER BY substr(text, i))
+            AS BIGINT) AS rank
+FROM pos
+"""
+
+
+@register("suffix_array_ranks", _SUFFIX_ARRAY_ORACLE)
+def q_suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document suffix arrays by distributed prefix doubling
+    (``operators/suffix_array.py`` — Manber-Myers doubling: integer rank
+    pairs, ``lead(rank, k)`` + ``dense_rank`` per round, no string
+    comparison after round 0). The exact-substring-dedup substrate
+    (Lee et al., ACL'22); output is the full rank permutation for every
+    position of every document, verified against DuckDB's direct
+    lexicographic suffix sort.
+
+    Scale shape: rows = corpus characters; the whole doubling loop rides
+    ONE doc-hashed exchange (every window keys on doc) and
+    O(log maxlen) in-partition sorts; no joins, no Python, one
+    control-plane scalar (maxlen). The corpus-wide single-array variant
+    (for cross-document repeated spans) swaps the doc window for a
+    global range-partitioned sort per round — same loop, same bound.
+
+    Reference scope analogue: none (the reference dedups only exact
+    content hashes, storages.go) — part of the training-data extension
+    surface.
+    """
+    from ..operators.suffix_array import suffix_ranks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return suffix_ranks(docs).select(
+        F.col("doc").alias("doc_id"), "pos", "rank"
+    )

@@ -940,3 +940,15 @@ class TestRound9Plans:
         # the landmark candidate join is a hash equi-join on the landmark
         # hash column (same kernel contract as dedup_allpairs_prefix)
         assert "HashJoin [s#" in plan
+
+    def test_suffix_array_one_exchange_no_joins_no_python(self, spark, registry):
+        # the doubling loop must ride ONE doc-hashed exchange: every
+        # window keys on doc, so Catalyst plans a single hashpartitioning
+        # exchange followed by O(log maxlen) in-partition sorts — no
+        # joins, no python, one scan
+        plan = plan_of(q(registry, "suffix_array_ranks", spark))
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "Join" not in plan
+        assert plan.count("FileScan parquet") == 1
+        assert plan.count("Exchange hashpartitioning") == 1
