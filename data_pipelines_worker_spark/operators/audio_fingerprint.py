@@ -154,8 +154,21 @@ def synth_segment_fingerprints(
     VERDICT r8 #3). ``synth_fn`` must be a module-level (picklable)
     callable; the unfused two-stage path (``segment_fingerprints`` over a
     payload column) remains for callers whose bytes arrive from storage.
+
+    The input is repartitioned to the cluster's parallelism first: the
+    documents table is one small parquet file = one input split, which
+    would serialize the whole Python stage on a single core (measured:
+    7.5 s one-task vs ~5 s single-core total DSP work at sf0.1). The
+    explicit partition COUNT matters — AQE would coalesce an unsized
+    repartition of a 1.5 MB frame back to one partition, which is
+    exactly the pathology being fixed; compute parallelism here must
+    track cores, not bytes.
     """
     from .wav_codec import wav_encode
+
+    docs_df = docs_df.repartition(
+        docs_df.sparkSession.sparkContext.defaultParallelism
+    )
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

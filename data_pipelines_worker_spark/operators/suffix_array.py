@@ -73,6 +73,11 @@ def suffix_ranks(
     base = df.where(F.length(text_col) > 0).select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
     )
+    # spread docs across cores BEFORE the 300x char explode: the table is
+    # one small parquet file = one input split, which would run the whole
+    # explode+substring stage on a single core (explicit count — AQE
+    # would coalesce an unsized repartition of a tiny frame back to one)
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # one row per character; `p` is dense 1..len, so the rank of the
     # suffix k positions ahead is exactly k ROWS ahead in `p` order
     ex = base.select(

@@ -422,6 +422,10 @@ def _vad_synth(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload_bin": payloads}
             )
 
+    # spread docs across cores first: one small parquet file = one input
+    # split would serialize the codec stage on a single core (explicit
+    # count — AQE coalesces unsized repartitions of tiny frames)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.mapInPandas(synth, enc_schema)
 
 
