@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = (
     "audio_fingerprint_dedup",
     # --- new r09 queries (never driver-checked) -------------------------
     "suffix_array_ranks",
+    "corpus_repeated_spans",
     # --- new r10 queries (never driver-checked) insert HERE -------------
     # --- slots 2-3: the r04 arithmetic residue (the only queries whose
     # newest driver check predates r05) -----------------------------------

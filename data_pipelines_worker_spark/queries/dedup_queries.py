@@ -945,3 +945,106 @@ def q_suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(docs).select(
         F.col("doc").alias("doc_id"), "pos", "rank"
     )
+
+
+#: Oracle = the DIRECT definition, by a wholly different algorithm:
+#: materialize every token suffix as a string, sort them (DuckDB compares
+#: the actual text), take adjacent pairs, and compute exact token-LCP by
+#: a BINARY DESCEND recursive CTE over list slices (k halves each step;
+#: a jump is taken only when the next k tokens match AND fit both
+#: suffixes — the fit guard stops an equal-prefix overshoot, so equal
+#: suffix pairs resolve to min length exactly like the engine's
+#: equal-top-rank branch). Both engines then reduce identically:
+#: per-position max over the (<=2) neighbor LCPs, threshold mask,
+#: interval-union coverage, per-doc aggregate. The per-position max is
+#: order-realization-free (nearest-neighbor lemma), so the two engines'
+#: different tie-breaking inside equal-suffix runs cannot diverge.
+_CORPUS_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE length(text) > 0
+),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i:] AS wsuf,
+         array_to_string(w[i:], ' ') AS suf
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+),
+ord AS (
+  SELECT doc_id, i, wsuf,
+         lag(doc_id) OVER o AS pdoc, lag(i) OVER o AS ppos,
+         lag(wsuf) OVER o AS pwsuf
+  FROM pos WINDOW o AS (ORDER BY suf, doc_id, i)
+),
+pairs AS (
+  SELECT doc_id, i, pdoc, ppos, wsuf AS wa, pwsuf AS wb
+  FROM ord WHERE pdoc IS NOT NULL
+),
+walk AS (
+  WITH RECURSIVE r AS (
+    SELECT doc_id, i, pdoc, ppos, wa, wb,
+           CAST(0 AS BIGINT) AS l, CAST(1024 AS BIGINT) AS k FROM pairs
+    UNION ALL
+    SELECT doc_id, i, pdoc, ppos, wa, wb,
+           CASE WHEN l + k <= least(len(wa), len(wb))
+                     AND wa[l+1:l+k] = wb[l+1:l+k]
+                THEN l + k ELSE l END,
+           k // 2
+    FROM r WHERE k >= 1
+  ) SELECT doc_id, i, pdoc, ppos, l FROM r WHERE k = 0
+),
+contrib AS (
+  SELECT doc_id, i, l FROM walk
+  UNION ALL
+  SELECT pdoc AS doc_id, ppos AS i, l FROM walk
+),
+maxl AS (SELECT doc_id, i, max(l) AS ml FROM contrib GROUP BY doc_id, i),
+posml AS (
+  SELECT a.doc_id, a.i, coalesce(m.ml, 0) AS ml
+  FROM (SELECT doc_id, i FROM pos) a
+  LEFT JOIN maxl m ON a.doc_id = m.doc_id AND a.i = m.i
+),
+dup AS (
+  SELECT doc_id,
+         least(CAST(8 AS BIGINT),
+               i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)) AS seg
+  FROM posml WHERE ml >= 8
+),
+cov AS (
+  SELECT doc_id, count(*) AS dup_pos_cnt,
+         sum(coalesce(seg, 8)) AS dup_token_cov
+  FROM dup GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(coalesce(c.dup_pos_cnt, 0) AS BIGINT) AS dup_pos_cnt,
+       CAST(coalesce(c.dup_token_cov, 0) AS BIGINT) AS dup_token_cov,
+       CAST(max(p.ml) AS BIGINT) AS max_rep_tokens
+FROM posml p LEFT JOIN cov c ON p.doc_id = c.doc_id
+GROUP BY p.doc_id, c.dup_pos_cnt, c.dup_token_cov
+"""
+
+
+@register("corpus_repeated_spans", _CORPUS_SPANS_ORACLE)
+def q_corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE repeated-span statistics from ONE global suffix array
+    (``operators/global_suffix.py`` — range-partitioned Manber-Myers
+    doubling with an exact, hash-free distributed rank; exact token-LCP
+    of suffix-order neighbors by the rank-table walk). Per doc: the
+    longest substring occurring anywhere else in the corpus (UNBOUNDED
+    length — the question fixed-L gram joins cannot answer), plus the
+    count and interval-union coverage of positions whose 8-token span
+    is duplicated — the Lee et al. (ACL'22) exact-substring-dedup mask.
+
+    Scale shape: rows = corpus tokens; O(log longest-repeat) doubling
+    rounds (no-split early stop), each a range exchange + two hash
+    exchanges of fixed-width longs — never a materialized suffix, never
+    a single-partition window, never a hash rank (exact past 4e9 keys
+    where 64-bit hashing collides); LCP walk = 2 left equi-joins per
+    level on the adjacent-pair frame. All joins equi; no Python.
+
+    Reference scope analogue: none (the reference dedups only exact
+    content hashes, storages.go) — training-data extension surface.
+    """
+    from ..operators.global_suffix import corpus_repeated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_repeated_span_stats(docs, "doc_id", "text", threshold=8)

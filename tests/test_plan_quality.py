@@ -952,3 +952,39 @@ class TestRound9Plans:
         assert "Join" not in plan
         assert plan.count("FileScan parquet") == 1
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestCorpusRepeatedSpans:
+    def test_no_scale_killers_and_frozen_leaves(self, spark, registry):
+        # the returned plan must be pure column work over FROZEN round
+        # tables: no cartesian, no BNLJ, no Python anywhere; every leaf
+        # is a checkpointed RDD scan (the eager doubling), never a
+        # re-readable parquet scan whose re-execution could resample the
+        # range boundaries; the sub-BASE residual joins are broadcasts
+        plan = plan_of(q(registry, "corpus_repeated_spans", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "FileScan parquet" not in plan
+        assert "Scan ExistingRDD" in plan
+        assert "BroadcastHashJoin" in plan
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    def test_build_plans_one_exchange_per_rank(self, spark):
+        # the non-unique global rank is ONE range exchange: the key
+        # window must be satisfied by the range partitioning (equal keys
+        # are co-partitioned — partition is a function of the key value),
+        # and the in-partition sort must survive under the id projection
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            global_eq_rank,
+        )
+
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, i long")
+        plan = plan_of(global_eq_rank(df, ["k"], out="r"))
+        assert plan.count("Exchange") == 1
+        assert "rangepartitioning" in plan
+        assert "Sort [k" in plan
+        assert "monotonically_increasing_id" in plan

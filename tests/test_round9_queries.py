@@ -58,3 +58,117 @@ class TestSuffixArrayUnit:
         got = _ranks(spark, [(1, ""), (2, "ab")])
         assert 1 not in got
         assert [got[2][p] for p in range(2)] == [1, 2]
+
+
+def _span_stats(spark, pairs, threshold=8):
+    from data_pipelines_worker_spark.operators.global_suffix import (
+        corpus_repeated_span_stats,
+    )
+
+    df = spark.createDataFrame(pairs, "doc_id long, text string")
+    out = corpus_repeated_span_stats(df, "doc_id", "text", threshold)
+    rows = {r.doc_id: (r.dup_pos_cnt, r.dup_token_cov, r.max_rep_tokens) for r in out.collect()}
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    return rows
+
+
+def _py_model(pairs, threshold):
+    """Independent O(n^2) model: token LCP over ALL suffix pairs."""
+    toks = {d: t.split(" ") for d, t in pairs if len(t) > 0}
+    sufs = [(d, i) for d, w in toks.items() for i in range(len(w))]
+
+    def lcp(a, b):
+        wa, wb = toks[a[0]][a[1]:], toks[b[0]][b[1]:]
+        n = 0
+        for x, y in zip(wa, wb):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    ml = {}
+    for i, s in enumerate(sufs):
+        best = 0
+        for j, t in enumerate(sufs):
+            if i != j:
+                best = max(best, lcp(s, t))
+        ml[s] = best
+    out = {}
+    for d, w in toks.items():
+        dup = sorted(i for i in range(len(w)) if ml[(d, i)] >= threshold)
+        cov = 0
+        for k, p in enumerate(dup):
+            cov += threshold if k == 0 else min(threshold, p - dup[k - 1])
+        out[d] = (len(dup), cov, max(ml[(d, i)] for i in range(len(w))))
+    return out
+
+
+class TestGlobalSuffixUnit:
+    def test_global_eq_rank_order_and_equality(self, spark):
+        # rank must be a pure function of the key (equality-preserving)
+        # and strictly increasing in key order (order-isomorphic) — the
+        # two properties the doubling recurrence consumes
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            global_eq_rank,
+        )
+
+        vals = ["b", "a", "c", "a", "b", "a", "d", "c"] * 7
+        df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "k string, i long")
+        got = global_eq_rank(df, ["k"], out="r").select("k", "r").collect()
+        by_key = {}
+        for r in got:
+            by_key.setdefault(r.k, set()).add(r.r)
+        assert all(len(s) == 1 for s in by_key.values()), by_key
+        ranks = [by_key[k].pop() for k in sorted(by_key)]
+        assert ranks == sorted(ranks) and len(set(ranks)) == len(ranks)
+        assert min(ranks) >= 1  # 0 stays free for the missing-partner sentinel
+
+    def test_identical_docs_fully_duplicated(self, spark):
+        # two byte-identical 10-token docs: every suffix repeats in the
+        # other doc, so max_rep = 10 and the T=8 mask covers positions
+        # 1..3 with interval-union coverage 8+1+1 = 10 (the whole doc)
+        t = "a b c d e f g h i j"
+        got = _span_stats(spark, [(1, t), (2, t)])
+        assert got == {1: (3, 10, 10), 2: (3, 10, 10)}
+
+    def test_within_doc_repeat_and_threshold(self, spark):
+        # 'x y z w x y z w q': the repeat is within ONE doc; at T=3 the
+        # mask is positions {1,2,5,6} -> coverage 3+1+3+1 = 8, max lcp 4
+        got = _span_stats(spark, [(1, "x y z w x y z w q")], threshold=3)
+        assert got == {1: (4, 8, 4)}
+
+    def test_equal_single_token_docs_hit_eq_branch(self, spark):
+        # equal suffixes shorter than BASE: lcp = min length via the
+        # equal-top-rank branch (a truncated base-slice tie), not the walk
+        got = _span_stats(spark, [(1, "q"), (2, "q"), (3, "zz")])
+        assert got == {1: (0, 0, 1), 2: (0, 0, 1), 3: (0, 0, 0)}
+
+    def test_prefix_suffix_truncation_rule(self, spark):
+        # 'a b' is a strict prefix of 'a b c': lcp 2 exactly (the
+        # missing-partner sentinel must not over- or under-count)
+        got = _span_stats(spark, [(1, "a b"), (2, "a b c")])
+        assert got[1] == (0, 0, 2) and got[2] == (0, 0, 2)
+
+    def test_long_shared_run_crosses_walk_levels(self, spark):
+        # a 19-token shared run: 19 = 16 (level accept) + 3 (sub-BASE
+        # residual) — exercises the walk and the residual count-while
+        run = " ".join(f"t{i}" for i in range(19))
+        got = _span_stats(spark, [(1, run + " p q"), (2, run + " r s")])
+        assert got[1][2] == 19 and got[2][2] == 19
+
+    def test_matches_python_all_pairs_model(self, spark):
+        # randomized small corpus vs the O(n^2) all-pairs model: pins the
+        # nearest-neighbor-lemma reduction AND every branch at once
+        import random
+
+        rng = random.Random(97)
+        vocab = [f"w{i}" for i in range(7)]
+        pairs = []
+        for d in range(12):
+            n = rng.randint(1, 14)
+            pairs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        pairs.append((50, pairs[3][1]))  # one exact dup
+        for t in (2, 8):
+            assert _span_stats(spark, pairs, t) == _py_model(pairs, t), t
