@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = (
     # --- new r09 queries (never driver-checked) -------------------------
     "suffix_array_ranks",
     "corpus_repeated_spans",
+    "dedup_weighted_jaccard",
     # --- new r10 queries (never driver-checked) insert HERE -------------
     # --- slots 2-3: the r04 arithmetic residue (the only queries whose
     # newest driver check predates r05) -----------------------------------

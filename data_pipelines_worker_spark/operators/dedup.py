@@ -931,6 +931,70 @@ def allpairs_prefix_pairs(
     return _expand_member_pairs(rp, members, d)
 
 
+def weighted_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6, k: int = 3
+) -> DataFrame:
+    """Exact WEIGHTED (multiset) Jaccard similarity join:
+    J_w = sum_t min(a_t, b_t) / sum_t max(a_t, b_t) over k-gram
+    multiplicities — the similarity that stays honest on repetitive
+    text, where set-Jaccard saturates (a doc that is one phrase repeated
+    400x has the same shingle SET as the phrase itself: set-J = 1.0,
+    J_w = #distinct/#total). The multiset domain is the weighted-minhash
+    literature's (Chum, Philbin & Zisserman, BMVC'08; Ioffe, ICDM'10) —
+    but where they sample, this is EXACT, by the classic reduction:
+
+        MULTIPLICITY EXPANSION — a gram with count c becomes c distinct
+        elements (gram, 1), .., (gram, c). For expanded sets,
+        |A^ ∩ B^| = sum_t min(a_t, b_t) and |A^ ∪ B^| = sum_t max —
+        so set-Jaccard of the expansions IS weighted Jaccard, and the
+        certified prefix-filtering kernel (:func:`allpairs_prefix_join`,
+        completeness a theorem, not a sampling bound) applies verbatim.
+
+    Same stage contract as :func:`allpairs_prefix_pairs`: exact-collapse
+    to representatives, expanded-signature build (one doc-keyed window +
+    one (doc, gram) count — the expansion is output-sized: total
+    elements = total grams, not distinct-grams x max-count), prefix
+    join, exact verify on full expanded sets, member fan-out (persist
+    contract identical — callers clear persisted RDDs between queries).
+
+    Scale: expanded-element df is SPLIT by occurrence index — (gram, 1),
+    (gram, 2), .. have strictly decreasing df — so rarest-first prefixes
+    naturally index the HIGH-multiplicity tail copies first: exactly the
+    elements that discriminate repetitive near-dups. Reference scope
+    analogue: none (storages.go dedups byte digests only).
+    """
+    members = _text_group_members(df, id_col, text_col).persist()
+    reps = members.select(F.col("rep").alias("doc")).distinct()
+
+    words = F.split(F.col(text_col), " ", -1)
+    wpos = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        *[F.col("w") if j == 0 else F.lead("w", j).over(win) for j in range(k)],
+    )
+    last = F.lead("w", k - 1).over(win)
+    grams = wpos.select(
+        "doc", last.alias("_last"), gram.alias("g")
+    ).where(F.col("_last").isNotNull())
+    counted = grams.groupBy("doc", "g").agg(F.count("*").alias("c"))
+    ex = counted.select(
+        "doc", "g", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("occ")
+    )
+    d = (
+        ex.select("doc", F.xxhash64("g", "occ").alias("h"))
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("h")).alias("sh"))
+        .where(F.size("sh") > 0)
+        .join(reps, "doc")
+        .persist()
+    )
+    rp = allpairs_prefix_join(d, threshold)
+    return _expand_member_pairs(rp, members, d)
+
+
 def prefix_limit(threshold: float, n):
     """Column: the prefix length the AllPairs theorem needs for a set of
     size ``n`` at Jaccard ``threshold`` — ``n - ceil(t*n) + 1``. Derives

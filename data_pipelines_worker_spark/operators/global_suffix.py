@@ -147,7 +147,9 @@ def global_eq_rank(
     for pid in sorted(counts):
         offs.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    from ..session import local_df
+
+    off_df = local_df(spark, offs, "_pid int, _off long")
     w_pid = Window.partitionBy("_pid").orderBy(*key)
     return (
         d.withColumn("_rn", F.row_number().over(w_pid))

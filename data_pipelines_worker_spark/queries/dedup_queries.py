@@ -1048,3 +1048,44 @@ def q_corpus_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return corpus_repeated_span_stats(docs, "doc_id", "text", threshold=8)
+
+
+#: Oracle = the DIRECT multiset definition, no expansion and no collapse:
+#: per-doc k-gram COUNTS, shared-gram join, J_w = sum(min)/ (n_a + n_b -
+#: sum(min)) — an independent formulation meeting the engine's
+#: expansion + prefix-filter + member-fan-out pipeline on the exact pair
+#: set. Identical-text pairs fall out of the direct formula as exactly
+#: 1.0, matching the engine's within-group literal.
+_WEIGHTED_JACCARD_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram,
+         count(*) AS c
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) s
+  WHERE len(words) >= 3
+  GROUP BY doc_id, gram
+),
+sz AS (SELECT doc_id, sum(c) AS n FROM g GROUP BY doc_id),
+ov AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(least(a.c, b.c)) AS common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ov.d1, ov.d2,
+       round(common / (sa.n + sb.n - common), 6) AS jaccard_w
+FROM ov JOIN sz sa ON sa.doc_id = ov.d1 JOIN sz sb ON sb.doc_id = ov.d2
+WHERE common / (sa.n + sb.n - common) >= 0.6
+"""
+
+
+@register("dedup_weighted_jaccard", _WEIGHTED_JACCARD_ORACLE)
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (multiset) Jaccard pairs at 0.6 via multiplicity
+    expansion through the certified prefix-filtering kernel
+    (``dedup.weighted_jaccard_pairs`` — completeness a theorem: expansion
+    reduces weighted to set Jaccard exactly). The similarity that stays
+    honest on repetitive text where set-Jaccard saturates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.weighted_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.6, k=3
+    ).select("d1", "d2", F.col("jaccard").alias("jaccard_w"))

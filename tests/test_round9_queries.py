@@ -172,3 +172,36 @@ class TestGlobalSuffixUnit:
         pairs.append((50, pairs[3][1]))  # one exact dup
         for t in (2, 8):
             assert _span_stats(spark, pairs, t) == _py_model(pairs, t), t
+
+
+class TestWeightedJaccardUnit:
+    def test_multiset_semantics_diverge_from_set_jaccard(self, spark):
+        # A = phrase x3, C = phrase x2: identical shingle SETS (set-J =
+        # 1.0) but J_w = sum(min)/sum(max) = 4/7 — the weighted join must
+        # exclude the pair at 0.6 and report it exactly at 0.5
+        from data_pipelines_worker_spark.operators.dedup import (
+            allpairs_prefix_pairs,
+            weighted_jaccard_pairs,
+        )
+
+        A = "a b c a b c a b c"
+        C = "a b c a b c"
+        df = spark.createDataFrame(
+            [(1, A), (2, C), (3, A)], "doc_id long, text string"
+        )
+        w06 = {
+            (r.d1, r.d2): r.jaccard
+            for r in weighted_jaccard_pairs(df, "doc_id", "text", 0.6).collect()
+        }
+        assert w06 == {(1, 3): 1.0}
+        s06 = {
+            (r.d1, r.d2)
+            for r in allpairs_prefix_pairs(df, "doc_id", "text", 0.6).collect()
+        }
+        assert s06 == {(1, 2), (1, 3), (2, 3)}  # set-J saturates at 1.0
+        w05 = {
+            (r.d1, r.d2): r.jaccard
+            for r in weighted_jaccard_pairs(df, "doc_id", "text", 0.5).collect()
+        }
+        assert w05 == {(1, 2): 0.571429, (1, 3): 1.0, (2, 3): 0.571429}
+        spark.catalog.clearCache()
