@@ -40,11 +40,11 @@ Design choices, each measured:
   that is one repeated token) lands in one partition; the algebraic
   fallback (groupBy(key).min + join back, which map-side combines) is
   the documented skew path — classes shrink geometrically per round,
-  so organic corpora never trip it. The ``unique=True`` variant (keys
-  asserted globally distinct) swaps the stripe for a control-plane
-  offsets pass (per-partition counts collected and broadcast) because
-  its consumer — suffix-array adjacency — needs a DENSE 1..n index to
-  equi-join neighbors on idx+1.
+  so organic corpora never trip it. The one place a DENSE 1..n index
+  is load-bearing — suffix-array adjacency equi-joins neighbors on
+  idx+1 — gets it from :func:`suffix_order`'s control-plane offsets
+  pass (per-partition counts + min-ids collected and broadcast over
+  the same frozen sort).
 
 - Lineage is CUT with an eager ``localCheckpoint`` on every round's
   rank table. Without the cut each round re-analyzes — and, because
@@ -108,70 +108,41 @@ def global_eq_rank(
     cols: list[str],
     out: str = "r",
     npart: int | None = None,
-    unique: bool = False,
 ) -> DataFrame:
     """Add column ``out``: an exact, equality-preserving, order-isomorphic
     global rank of the tuple ``cols`` (>= 1; see module docstring for
     the one-exchange partition-striped construction and its proof
-    obligations).
-
-    ``unique=True`` asserts keys are globally distinct (a tie-broken
-    total order) AND that the caller needs a DENSE 1..n index (suffix
-    adjacency joins on idx+1): that variant takes the offsets path —
-    range exchange frozen by an eager localCheckpoint, per-partition
-    counts collected (control-plane: #partitions rows) and broadcast
-    back as offsets under a per-partition row_number.
-    """
+    obligations)."""
     spark = df.sparkSession
     npart = npart or spark.sparkContext.defaultParallelism
     key = [F.col(c) for c in cols]
-    if not unique:
-        w_key = Window.partitionBy(*cols)
-        return (
-            df.repartitionByRange(npart, *key)
-            .sortWithinPartitions(*key)
-            .withColumn("_gpos", F.monotonically_increasing_id() + 1)
-            .withColumn(out, F.min("_gpos").over(w_key))
-            .drop("_gpos")
-        )
-    d = (
-        df.repartitionByRange(npart, *key)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += counts[pid]
-    from ..session import local_df
-
-    off_df = local_df(spark, offs, "_pid int, _off long")
-    w_pid = Window.partitionBy("_pid").orderBy(*key)
+    w_key = Window.partitionBy(*cols)
     return (
-        d.withColumn("_rn", F.row_number().over(w_pid))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn(out, F.col("_off") + F.col("_rn"))
-        .drop("_pid", "_rn", "_off")
+        df.repartitionByRange(npart, *key)
+        .sortWithinPartitions(*key)
+        .withColumn("_gpos", F.monotonically_increasing_id() + 1)
+        .withColumn(out, F.min("_gpos").over(w_key))
+        .drop("_gpos")
     )
 
 
 def corpus_suffix_tables(
     toks: DataFrame, doc_col: str = "doc", pos_col: str = "p", tok_col: str = "tok",
     maxlen: int | None = None,
-) -> tuple[dict[int, DataFrame], int]:
-    """Doubling rank tables {k: (doc, p, r)} for k = BASE, 2*BASE, .., K
-    over the token frame (``pos_col`` dense 1..len per doc, 1-based).
+) -> tuple[dict[int, DataFrame], DataFrame]:
+    """Doubling rank tables {k: (doc, p, r)} for k = BASE, 2*BASE, .., K/2
+    over the token frame (``pos_col`` dense 1..len per doc, 1-based),
+    PLUS the final round's unmaterialized pair frame (doc, p, r, r2) at
+    depth K = 2 * top-table >= maxlen — the fused order pass
+    (:func:`suffix_order`) ranks it and derives the adjacency index in
+    the same range exchange, saving a full round.
 
     rank_k equality <=> equality of the length-min(k, remaining) token
     prefix INCLUDING the truncation pattern (array compare at the base,
     preserved inductively by the 0-for-missing-partner rule, since a
-    real rank is >= 1) — so at the top level K >= maxlen, ties are
-    exactly the fully-identical suffixes. Each table is an eager
-    localCheckpoint (see module docstring).
+    real rank is >= 1) — so ties at depth K >= maxlen are exactly the
+    fully-identical suffixes. Each table is an eager localCheckpoint
+    (see module docstring).
     """
     if maxlen is None:
         maxlen = (
@@ -194,7 +165,7 @@ def corpus_suffix_tables(
     tables: dict[int, DataFrame] = {BASE: r}
 
     k = BASE
-    while k < maxlen:
+    while 2 * k < maxlen:
         pairs = tables[k].select(
             doc_col,
             pos_col,
@@ -208,7 +179,63 @@ def corpus_suffix_tables(
         )
         k *= 2
         tables[k] = nxt
-    return tables, k
+    last_pairs = tables[k].select(
+        doc_col,
+        pos_col,
+        "r",
+        F.coalesce(F.lead("r", k).over(w_doc), F.lit(0)).alias("r2"),
+    )
+    return tables, last_pairs
+
+
+def suffix_order(pairs: DataFrame, npart: int | None = None) -> DataFrame:
+    """The fused final pass: given the last round's (doc, p, r, r2) pair
+    frame (depth K >= maxlen), produce the suffix order in ONE range
+    exchange: (doc, p, r, r2, idx) where ``idx`` is the DENSE 1..n
+    adjacency index of the total order (r, r2, doc, p). No top-level
+    rank is materialized at all: downstream equality-of-suffixes tests
+    compare the (r, r2) pair directly (ties at depth K >= maxlen are
+    exactly the fully-identical suffixes), which deletes the min-window
+    — and the hash exchange Catalyst would have to insert for it, since
+    RangePartitioning on the 4-tuple cannot satisfy a clustering on
+    (r, r2) alone (a boundary may split a class by (doc, p)).
+
+    ``idx`` is stripe arithmetic over the frozen sort —
+    ``off[pid] + (mid - min_mid[pid]) + 1`` with per-partition counts
+    and min-ids collected in one control-plane job
+    (monotonically_increasing_id is consecutive within a partition by
+    its documented contract; subtracting the partition's own observed
+    min avoids assuming the bit layout).
+    """
+    spark = pairs.sparkSession
+    npart = npart or spark.sparkContext.defaultParallelism
+    key = [F.col(c) for c in ("r", "r2", "doc", "p")]
+    d = (
+        pairs.repartitionByRange(npart, *key)
+        .sortWithinPartitions(*key)
+        .localCheckpoint()
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    stats = {
+        row["_pid"]: (row["n"], row["m0"])
+        for row in d.groupBy("_pid")
+        .agg(F.count("*").alias("n"), F.min("_mid").alias("m0"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(stats):
+        n, m0 = stats[pid]
+        offs.append((pid, acc, m0))
+        acc += n
+    from ..session import local_df
+
+    off_df = local_df(spark, offs, "_pid int, _off long, _m0 long")
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn("idx", F.col("_off") + (F.col("_mid") - F.col("_m0")) + 1)
+        .select("doc", "p", "r", "r2", "idx")
+    )
 
 
 def adjacent_suffix_lcp(
@@ -219,16 +246,19 @@ def adjacent_suffix_lcp(
 ) -> DataFrame:
     """Exact token-LCP of every adjacent pair in the global suffix order.
 
-    ``sa``: (doc, p, r, rem, idx) with idx a dense 1..n total-order
-    index (ties in r broken by (doc, p)); ``docs_w``: (doc, w) the
-    broadcastable token-array frame for the sub-BASE residual. Output:
-    one row per adjacent pair: (adoc, apos, bdoc, bpos, lcp).
+    ``sa``: (doc, p, r, r2, rem, idx) with idx a dense 1..n total-order
+    index of (r, r2, doc, p); ``docs_w``: (doc, w) the broadcastable
+    token-array frame for the sub-BASE residual. Output: one row per
+    adjacent pair: (adoc, apos, bdoc, bpos, lcp).
 
-    Equal top ranks mean fully identical suffixes (lcp = both lengths);
-    everything else takes the rank-table walk — descend levels K..BASE,
-    and whenever rank_k at the current offsets matches on both sides,
-    the pair provably shares k more tokens (a truncated match would
-    force full suffix equality, contradicting the unequal top rank), so
+    An equal (r, r2) pair key means fully identical suffixes (lcp =
+    both lengths); everything else takes the rank-table walk — descend
+    levels K/2..BASE (level K itself is provably useless here: a
+    non-equal pair shares < maxlen <= K tokens, and the greedy walk
+    only needs its first level >= the answer's upper bound), and
+    whenever rank_k at the current offsets matches on both sides, the
+    pair provably shares k more tokens (a truncated match would force
+    full suffix equality, contradicting the unequal pair key), so
     lcp += k. Each level is two left equi-joins on (doc, shifted
     position); a missing row (offset past the doc end) is a skip. The
     final residual (< BASE tokens) is one broadcast join per side to
@@ -237,12 +267,18 @@ def adjacent_suffix_lcp(
     may not broadcast; the swap is the same two joins against the
     token frame (doc-keyed equi-joins, output-linear), or carrying the
     slices through the order frame.
+
+    The adjacency self-join result is localCheckpoint-ed: both the
+    equal-suffix branch and the walk consume it, and nondeterministic
+    id columns in its lineage defeat plan-cache reuse — without the cut
+    the join would execute once per consumer.
     """
     a = sa.select(
         F.col("idx").alias("i"),
         F.col(doc_col).alias("adoc"),
         F.col("p").alias("apos"),
         F.col("r").alias("ar"),
+        F.col("r2").alias("ar2"),
         F.col("rem").alias("arem"),
     )
     b = sa.select(
@@ -250,17 +286,17 @@ def adjacent_suffix_lcp(
         F.col(doc_col).alias("bdoc"),
         F.col("p").alias("bpos"),
         F.col("r").alias("br"),
+        F.col("r2").alias("br2"),
         F.col("rem").alias("brem"),
     )
-    pairs = a.join(b, "i").drop("i")
+    pairs = a.join(b, "i").drop("i").localCheckpoint()
 
-    eq = pairs.where(F.col("ar") == F.col("br")).select(
+    same = (F.col("ar") == F.col("br")) & (F.col("ar2") == F.col("br2"))
+    eq = pairs.where(same).select(
         "adoc", "apos", "bdoc", "bpos", F.least("arem", "brem").alias("lcp")
     )
 
-    ne = pairs.where(F.col("ar") != F.col("br")).withColumn(
-        "lcp", F.lit(0).cast("long")
-    )
+    ne = pairs.where(~same).withColumn("lcp", F.lit(0).cast("long"))
     for k in sorted(tables, reverse=True):
         ta = tables[k].select(
             F.col("doc").alias("_tda"),
@@ -380,32 +416,43 @@ def corpus_repeated_span_stats(
         toks = base.select("doc", F.posexplode("w").alias("p0", "tok")).select(
             "doc", (F.col("p0") + 1).alias("p"), "tok"
         )
-        tables, top = corpus_suffix_tables(toks, "doc", "p", "tok", maxlen=maxlen)
-
-        final = tables[top].join(F.broadcast(lens), "doc").withColumn(
+        tables, last_pairs = corpus_suffix_tables(
+            toks, "doc", "p", "tok", maxlen=maxlen
+        )
+        sa = suffix_order(last_pairs).join(F.broadcast(lens), "doc").withColumn(
             "rem", F.col("len") - F.col("p") + 1
         )
-        sa = (
-            global_eq_rank(final, ["r", "doc", "p"], out="idx", unique=True)
-            .select("doc", "p", "r", "rem", "idx")
+        lcps = adjacent_suffix_lcp(sa, tables, base, "doc")
+
+        # one explode pass fans each pair to both endpoint positions (a
+        # second reference to `lcps` would re-execute the whole walk —
+        # nondeterministic ids in the lineage defeat plan-cache reuse);
+        # the zeros union replaces a positions left-join: every position
+        # appears in >= 1 adjacent pair whenever the corpus has >= 2
+        # suffixes, and the union keeps the degenerate 1-suffix corpus
+        # correct with no join at all
+        contrib = lcps.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("adoc").alias("doc"), F.col("apos").alias("p")
+                    ),
+                    F.struct(
+                        F.col("bdoc").alias("doc"), F.col("bpos").alias("p")
+                    ),
+                )
+            ).alias("e"),
+            "lcp",
+        ).select("e.doc", "e.p", "lcp")
+        zeros = toks.select("doc", "p", F.lit(0).cast("long").alias("lcp"))
+        posml = (
+            contrib.unionByName(zeros)
+            .groupBy("doc", "p")
+            .agg(F.max("lcp").alias("ml"))
             .localCheckpoint()
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
-
-    lcps = adjacent_suffix_lcp(sa, tables, base, "doc")
-    contrib = lcps.select(
-        F.col("adoc").alias("doc"), F.col("apos").alias("p"), "lcp"
-    ).unionByName(
-        lcps.select(F.col("bdoc").alias("doc"), F.col("bpos").alias("p"), "lcp")
-    )
-    maxl = contrib.groupBy("doc", "p").agg(F.max("lcp").alias("ml"))
-    posml = (
-        toks.select("doc", "p")
-        .join(maxl, ["doc", "p"], "left")
-        .withColumn("ml", F.coalesce("ml", F.lit(0)).cast("long"))
-        .persist()
-    )
 
     T = threshold
     w_doc = Window.partitionBy("doc").orderBy("p")

@@ -956,11 +956,11 @@ class TestRound9Plans:
 
 class TestCorpusRepeatedSpans:
     def test_no_scale_killers_and_frozen_leaves(self, spark, registry):
-        # the returned plan must be pure column work over FROZEN round
-        # tables: no cartesian, no BNLJ, no Python anywhere; every leaf
-        # is a checkpointed RDD scan (the eager doubling), never a
+        # the returned plan must be pure column work over the FROZEN
+        # per-position frame: no cartesian, no BNLJ, no Python; every
+        # leaf is a checkpointed RDD scan (the eager doubling), never a
         # re-readable parquet scan whose re-execution could resample the
-        # range boundaries; the sub-BASE residual joins are broadcasts
+        # range boundaries
         plan = plan_of(q(registry, "corpus_repeated_spans", spark))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
@@ -968,6 +968,39 @@ class TestCorpusRepeatedSpans:
         assert "MapInPandas" not in plan
         assert "FileScan parquet" not in plan
         assert "Scan ExistingRDD" in plan
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    def test_lcp_walk_is_equi_joins_and_broadcast_residual(self, spark):
+        # the walk frame itself (eager inside the query, so audited
+        # directly): every level lookup is a hash equi-join on
+        # (doc, shifted position), the sub-BASE residual rides broadcast
+        # joins, and nothing falls back to cartesian/BNLJ/Python
+        from pyspark.sql import functions as F
+
+        from data_pipelines_worker_spark.operators import global_suffix as gs
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        base = (
+            docs.where(F.length("text") > 0)
+            .select(F.col("doc_id").alias("doc"), F.split("text", " ", -1).alias("w"))
+            .repartition(8)
+            .localCheckpoint()
+        )
+        lens = base.select("doc", F.size("w").alias("len"))
+        toks = base.select("doc", F.posexplode("w").alias("p0", "tok")).select(
+            "doc", (F.col("p0") + 1).alias("p"), "tok"
+        )
+        tables, last_pairs = gs.corpus_suffix_tables(toks, "doc", "p", "tok")
+        sa = gs.suffix_order(last_pairs).join(F.broadcast(lens), "doc").withColumn(
+            "rem", F.col("len") - F.col("p") + 1
+        )
+        plan = plan_of(gs.adjacent_suffix_lcp(sa, tables, base, "doc"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
         assert "BroadcastHashJoin" in plan
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
