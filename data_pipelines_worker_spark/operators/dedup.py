@@ -965,7 +965,20 @@ def weighted_jaccard_pairs(
     """
     members = _text_group_members(df, id_col, text_col).persist()
     reps = members.select(F.col("rep").alias("doc")).distinct()
+    d = _doc_weighted_shingles(df, id_col, text_col, k).join(reps, "doc").persist()
+    rp = allpairs_prefix_join(d, threshold)
+    return _expand_member_pairs(rp, members, d)
 
+
+def _doc_weighted_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc, sh: array<bigint>) — the multiplicity-EXPANDED k-gram
+    signature: a gram with count c contributes c elements hashed as
+    (gram, 1), .., (gram, c), so downstream set operations compute
+    multiset semantics exactly. Shared by the batch weighted join and
+    the streaming prefix-index face so the two cannot fork on what an
+    expanded element is. Output-sized: total elements = total grams."""
     words = F.split(F.col(text_col), " ", -1)
     wpos = df.select(
         F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
@@ -983,16 +996,12 @@ def weighted_jaccard_pairs(
     ex = counted.select(
         "doc", "g", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("occ")
     )
-    d = (
+    return (
         ex.select("doc", F.xxhash64("g", "occ").alias("h"))
         .groupBy("doc")
         .agg(F.sort_array(F.collect_set("h")).alias("sh"))
         .where(F.size("sh") > 0)
-        .join(reps, "doc")
-        .persist()
     )
-    rp = allpairs_prefix_join(d, threshold)
-    return _expand_member_pairs(rp, members, d)
 
 
 def prefix_limit(threshold: float, n):

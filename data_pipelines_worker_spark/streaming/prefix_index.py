@@ -88,6 +88,20 @@ def doc_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     return _doc_shingles(docs, "doc_id", "text", k)
 
 
+def weighted_doc_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc, sh) — the multiplicity-EXPANDED signature map shared with
+    the batch ``dedup_weighted_jaccard`` query: everything downstream of
+    the signature build is signature-agnostic (the one-sided prefix
+    theorem, the probe, the exact verify, the df snapshot), so streaming
+    the index over expanded signatures maintains the exact WEIGHTED
+    (multiset) Jaccard >= t pair set with zero changes to the state
+    machinery — the same reduction that let the batch kernel apply
+    verbatim."""
+    from ..operators.dedup import _doc_weighted_shingles
+
+    return _doc_weighted_shingles(docs, "doc_id", "text", k)
+
+
 def _standing(spark: SparkSession, store_dir: str, sub: str, batch_id: int):
     """All stored rows of ``sub`` EXCLUDING the current batch's own
     partition — the read discipline that makes a replayed batch see

@@ -1677,3 +1677,39 @@ def test_prefix_index_replay_is_idempotent(spark, tmp_path, sf_dir):
     assert {
         tuple(r) for r in spark.read.parquet(f"{store}/df/v1").collect()
     } == df_first
+
+
+def test_prefix_index_weighted_stream_matches_batch(spark, tmp_path, sf_dir):
+    # the index machinery is signature-agnostic: streamed over
+    # multiplicity-EXPANDED signatures it maintains the exact WEIGHTED
+    # Jaccard pair set — cumulative union == the batch
+    # weighted_jaccard_pairs operator over the same final corpus
+    from data_pipelines_worker_spark.operators.dedup import (
+        weighted_jaccard_pairs,
+    )
+    from data_pipelines_worker_spark.session import load_table
+    from data_pipelines_worker_spark.streaming.prefix_index import (
+        merge_batch,
+        read_pairs,
+        weighted_doc_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expect = {
+        (r.d1, r.d2, r.jaccard)
+        for r in weighted_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, k=3
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    store = str(tmp_path / "store")
+    for bid in range(3):
+        merge_batch(
+            weighted_doc_signatures(docs.where(f"doc_id % 3 = {bid}")),
+            bid,
+            store,
+            0.6,
+        )
+    got = {(r.d1, r.d2, r.jaccard) for r in read_pairs(spark, store).collect()}
+    assert got == expect
+    assert len(expect) > 0  # the claim is vacuous on a pair-free corpus
