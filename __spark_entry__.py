@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = (
     "suffix_array_ranks",
     "corpus_repeated_spans",
     "dedup_weighted_jaccard",
+    "corpus_maximal_repeats",
     # --- new r10 queries (never driver-checked) insert HERE -------------
     # --- slots 2-3: the r04 arithmetic residue (the only queries whose
     # newest driver check predates r05) -----------------------------------

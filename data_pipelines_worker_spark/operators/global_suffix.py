@@ -370,6 +370,39 @@ def adjacent_suffix_lcp(
     return eq.unionByName(ne)
 
 
+def _suffix_pipeline(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, dict[int, DataFrame], DataFrame]:
+    """The shared heavy build: tokenize, double, order, walk. Returns
+    (base(doc, w), toks(doc, p, tok), tables, lcps(adoc, apos, bdoc,
+    bpos, lcp)). Caller owns the AQE toggle; every returned frame is
+    rooted in checkpointed data."""
+    spark = docs.sparkSession
+    base = (
+        docs.where(F.length(text_col) > 0)
+        .select(
+            F.col(id_col).alias("doc"), F.split(text_col, " ", -1).alias("w")
+        )
+        # the table is one small parquet split; spread BEFORE the explode
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    lens = base.select("doc", F.size("w").alias("len"))
+    maxlen = lens.agg(F.max("len").alias("m")).collect()[0]["m"] or 0
+
+    toks = base.select("doc", F.posexplode("w").alias("p0", "tok")).select(
+        "doc", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    tables, last_pairs = corpus_suffix_tables(
+        toks, "doc", "p", "tok", maxlen=maxlen
+    )
+    sa = suffix_order(last_pairs).join(F.broadcast(lens), "doc").withColumn(
+        "rem", F.col("len") - F.col("p") + 1
+    )
+    lcps = adjacent_suffix_lcp(sa, tables, base, "doc")
+    return base, toks, tables, lcps
+
+
 def corpus_repeated_span_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -401,28 +434,7 @@ def corpus_repeated_span_stats(
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        base = (
-            docs.where(F.length(text_col) > 0)
-            .select(
-                F.col(id_col).alias("doc"), F.split(text_col, " ", -1).alias("w")
-            )
-            # the table is one small parquet split; spread BEFORE the explode
-            .repartition(spark.sparkContext.defaultParallelism)
-            .localCheckpoint()
-        )
-        lens = base.select("doc", F.size("w").alias("len"))
-        maxlen = lens.agg(F.max("len").alias("m")).collect()[0]["m"] or 0
-
-        toks = base.select("doc", F.posexplode("w").alias("p0", "tok")).select(
-            "doc", (F.col("p0") + 1).alias("p"), "tok"
-        )
-        tables, last_pairs = corpus_suffix_tables(
-            toks, "doc", "p", "tok", maxlen=maxlen
-        )
-        sa = suffix_order(last_pairs).join(F.broadcast(lens), "doc").withColumn(
-            "rem", F.col("len") - F.col("p") + 1
-        )
-        lcps = adjacent_suffix_lcp(sa, tables, base, "doc")
+        base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
 
         # one explode pass fans each pair to both endpoint positions (a
         # second reference to `lcps` would re-execute the whole walk —
@@ -479,3 +491,135 @@ def corpus_repeated_span_stats(
             F.col("max_rep_tokens").cast("long"),
         )
     )
+
+
+def corpus_maximal_repeats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N LONGEST right-maximal repeated spans in the corpus, with
+    exact occurrence counts and document spread — boilerplate mining
+    (the suffix-tree-internal-node enumeration; Abouelhoda et al.'s
+    LCP-interval nodes, realized as a dataflow instead of a stack):
+
+    every repeated right-maximal span is the shared prefix of some
+    suffix-order-ADJACENT pair, so the candidate node set is exactly
+    {(prefix_l(suffix), l) : l = adjacent-pair LCP, l >= min_len} — and
+    that SET is tie-break-invariant (equal-suffix runs are contiguous
+    under any valid order with identical boundary neighbors), which is
+    what lets a DuckDB direct sort verify it.
+
+    Scale discipline: candidates are deduplicated by INTEGER CLASS KEYS
+    before any text exists — node identity at length l is the pair
+    (rank_k(p), rank_k(p + l - k)) with k the largest table level <= l
+    (valid while l <= 2k: the two k-windows tile the l-prefix), so a
+    10x-duplicated corpus collapses to the SAME node frame as the 1x
+    corpus before the expensive steps. Span text is materialized only
+    for distinct nodes (one broadcast token-array join), the top-N by
+    (length DESC, text) is a TakeOrdered — never a single-partition
+    window — and counting joins the BROADCAST top-N back to the level-8
+    rank table on the class key (equi), verifying with an exact
+    token-slice compare, so count work is (interval size at depth 8) x
+    N, output-shaped.
+
+    Output: (span, len_tokens, n_occ, n_docs), n_occ >= 2 by
+    construction. ``min_len`` must be >= BASE: both the class-key
+    dedupe and the count prefilter key on the level-8 rank table, so a
+    node shorter than 8 tokens has no integer identity here (its
+    occurrences need not share a level-8 class). Shorter thresholds are
+    a different design point — a token-level rank table (3x more
+    doubling rounds) or plain fixed-L gram grouping, which IS cheap at
+    L < 8. Reference scope analogue: none — training-data extension
+    surface (Lee et al. ACL'22 report exactly these "most repeated
+    span" tables).
+    """
+    if min_len < BASE:
+        raise ValueError(
+            f"min_len must be >= {BASE} (level-8 class keys); got {min_len}"
+        )
+    spark = docs.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
+
+        cands = lcps.where(F.col("lcp") >= min_len).select(
+            F.col("adoc").alias("doc"), F.col("apos").alias("p"),
+            F.col("lcp").alias("l"),
+        )
+        levels = sorted(tables)
+        keyed = []
+        for k in levels:
+            if k == levels[-1]:
+                cond = F.col("l") >= k
+            else:
+                cond = (F.col("l") >= k) & (F.col("l") < 2 * k)
+            ta = tables[k].select(
+                F.col("doc").alias("_da"), F.col("p").alias("_pa"),
+                F.col("r").alias("keyA"),
+            )
+            tb = tables[k].select(
+                F.col("doc").alias("_db"), F.col("p").alias("_pb"),
+                F.col("r").alias("keyB"),
+            )
+            keyed.append(
+                cands.where(cond)
+                .join(ta, (F.col("doc") == F.col("_da")) & (F.col("p") == F.col("_pa")))
+                .join(
+                    tb,
+                    (F.col("doc") == F.col("_db"))
+                    & (F.col("p") + F.col("l") - F.lit(k) == F.col("_pb")),
+                )
+                .select("doc", "p", "l", "keyA", "keyB", F.lit(k).alias("k"))
+            )
+        nodes = keyed[0]
+        for part in keyed[1:]:
+            nodes = nodes.unionByName(part)
+        nodes = nodes.groupBy("l", "k", "keyA", "keyB").agg(
+            F.min(F.struct("doc", "p")).alias("rep")
+        )
+
+        docs_w = base.select(F.col("doc").alias("_wd"), "w")
+        named = (
+            nodes.join(F.broadcast(docs_w), F.col("rep.doc") == F.col("_wd"))
+            .withColumn("toks", F.slice("w", F.col("rep.p"), F.col("l")))
+            .select(
+                F.concat_ws(" ", "toks").alias("span"),
+                "l",
+                "toks",
+                F.col("rep.doc").alias("rdoc"),
+                F.col("rep.p").alias("rp"),
+            )
+        )
+        top = named.orderBy(F.col("l").desc(), "span").limit(top_n)
+
+        r8 = tables[BASE]
+        top_k8 = top.join(
+            r8.select(
+                F.col("doc").alias("rdoc"), F.col("p").alias("rp"),
+                F.col("r").alias("key8"),
+            ),
+            ["rdoc", "rp"],
+        ).select("span", "l", "toks", "key8").localCheckpoint()
+
+        counted = (
+            r8.join(F.broadcast(top_k8), F.col("r") == F.col("key8"))
+            .join(F.broadcast(docs_w), F.col("doc") == F.col("_wd"))
+            .where(F.slice("w", F.col("p"), F.col("l")) == F.col("toks"))
+            .groupBy("span", "l")
+            .agg(
+                F.count("*").alias("n_occ"),
+                F.countDistinct("doc").alias("n_docs"),
+            )
+        )
+        return counted.select(
+            "span",
+            F.col("l").cast("long").alias("len_tokens"),
+            F.col("n_occ").cast("long"),
+            F.col("n_docs").cast("long"),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -1089,3 +1089,73 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.weighted_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.6, k=3
     ).select("d1", "d2", F.col("jaccard").alias("jaccard_w"))
+
+
+#: Oracle = the direct definition end-to-end: sort every token suffix,
+#: binary-descend token-LCP on adjacent pairs (same recursive CTE as the
+#: span-stats oracle), DISTINCT the (span text, length) node set (the
+#: candidate set is tie-break-invariant, so the two engines' different
+#: adjacency realizations name the same nodes), top-N by (length DESC,
+#: text), then count occurrences by a literal slice-equality join against
+#: every position.
+_MAXIMAL_REPEATS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE length(text) > 0
+),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i:] AS wsuf,
+         array_to_string(w[i:], ' ') AS suf
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+),
+ord AS (
+  SELECT wsuf, lag(wsuf) OVER (ORDER BY suf, doc_id, i) AS pw FROM pos
+),
+pairs AS (SELECT wsuf AS wa, pw AS wb FROM ord WHERE pw IS NOT NULL),
+walk AS (
+  WITH RECURSIVE r AS (
+    SELECT wa, wb, CAST(0 AS BIGINT) AS l, CAST(1024 AS BIGINT) AS k
+    FROM pairs
+    UNION ALL
+    SELECT wa, wb,
+           CASE WHEN l + k <= least(len(wa), len(wb))
+                     AND wa[l+1:l+k] = wb[l+1:l+k]
+                THEN l + k ELSE l END,
+           k // 2
+    FROM r WHERE k >= 1
+  ) SELECT wa, l FROM r WHERE k = 0
+),
+nodes AS (
+  SELECT DISTINCT array_to_string(wa[1:l], ' ') AS span, l
+  FROM walk WHERE l >= 8
+),
+top AS (
+  SELECT span, l, string_split(span, ' ') AS toks
+  FROM nodes ORDER BY l DESC, span LIMIT 20
+),
+cnt AS (
+  SELECT t.span, t.l, count(*) AS n_occ,
+         count(DISTINCT p.doc_id) AS n_docs
+  FROM top t JOIN pos p ON p.wsuf[1:t.l] = t.toks
+  GROUP BY t.span, t.l
+)
+SELECT span, CAST(l AS BIGINT) AS len_tokens,
+       CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
+FROM cnt
+"""
+
+
+@register("corpus_maximal_repeats", _MAXIMAL_REPEATS_ORACLE)
+def q_corpus_maximal_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 longest right-maximal repeated spans with exact occurrence
+    counts and doc spread (``global_suffix.corpus_maximal_repeats`` —
+    suffix-tree-internal-node enumeration from adjacent-pair LCPs,
+    deduplicated by integer rank-class keys BEFORE any span text is
+    materialized; counting = broadcast top-N equi-joined to the level-8
+    rank table + exact token-slice verify). The boilerplate-mining
+    table Lee et al. (ACL'22) report; unreachable by fixed-L gram joins
+    because node lengths are data-dependent and unbounded."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..operators.global_suffix import corpus_maximal_repeats
+
+    return corpus_maximal_repeats(docs, "doc_id", "text", min_len=8, top_n=20)

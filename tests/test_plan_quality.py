@@ -1021,3 +1021,23 @@ class TestCorpusRepeatedSpans:
         assert "rangepartitioning" in plan
         assert "Sort [k" in plan
         assert "monotonically_increasing_id" in plan
+
+
+class TestCorpusMaximalRepeats:
+    def test_count_plan_is_broadcast_equi_over_frozen_tables(self, spark, registry):
+        # the returned plan is the counting tail: level-8 rank table
+        # equi-joined to the BROADCAST top-N on the class key, token
+        # verify via a second broadcast — no cartesian/BNLJ fallback for
+        # the slice-equality verify (it rides the equi join as a filter),
+        # no Python, and only frozen checkpoint leaves
+        plan = plan_of(q(registry, "corpus_maximal_repeats", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "FileScan parquet" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "Scan ExistingRDD" in plan
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()

@@ -205,3 +205,100 @@ class TestWeightedJaccardUnit:
         }
         assert w05 == {(1, 2): 0.571429, (1, 3): 1.0, (2, 3): 0.571429}
         spark.catalog.clearCache()
+
+
+def _repeats(spark, pairs, min_len=8, top_n=20):
+    from data_pipelines_worker_spark.operators.global_suffix import (
+        corpus_maximal_repeats,
+    )
+
+    df = spark.createDataFrame(pairs, "doc_id long, text string")
+    out = corpus_maximal_repeats(df, "doc_id", "text", min_len, top_n)
+    rows = {(r.span, r.len_tokens, r.n_occ, r.n_docs) for r in out.collect()}
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    return rows
+
+
+def _repeats_model(pairs, min_len, top_n):
+    """Independent model: literal suffix sort + adjacent token-LCP +
+    distinct nodes + brute-force occurrence counting."""
+    toks = {d: t.split(" ") for d, t in pairs if len(t) > 0}
+    sufs = sorted(
+        ((w[i:], d, i) for d, w in toks.items() for i in range(len(w))),
+        key=lambda s: (" ".join(s[0]), s[1], s[2]),
+    )
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    nodes = set()
+    for (wa, _, _), (wb, _, _) in zip(sufs, sufs[1:]):
+        l = lcp(wa, wb)
+        if l >= min_len:
+            nodes.add((" ".join(wa[:l]), l))
+    top = sorted(nodes, key=lambda n: (-n[1], n[0]))[:top_n]
+    out = set()
+    for span, l in top:
+        occ = [
+            d
+            for d, w in toks.items()
+            for i in range(len(w))
+            if w[i : i + l] == span.split(" ") and i + l <= len(w)
+        ]
+        out.add((span, l, len(occ), len(set(occ))))
+    return out
+
+
+class TestMaximalRepeatsUnit:
+    def test_shared_run_produces_nested_node_ladder(self, spark):
+        run = "a b c d e f g h i j"
+        pairs = [(1, run + " k l"), (2, "x " + run + " y")]
+        got = _repeats(spark, pairs)
+        assert got == {
+            ("a b c d e f g h i j", 10, 2, 2),
+            ("b c d e f g h i j", 9, 2, 2),
+            ("c d e f g h i j", 8, 2, 2),
+        }
+
+    def test_self_overlapping_repetition_and_params(self, spark):
+        # one doc = an 8-token phrase x3: occurrences overlap; counts
+        # must be per-POSITION (suffix-array semantics), and min_len /
+        # top_n must both bind
+        phrase = "p q r s t u v w"
+        pairs = [(1, " ".join([phrase] * 3))]
+        for min_len, top_n in ((8, 20), (9, 3)):
+            got = _repeats(spark, pairs, min_len, top_n)
+            assert got == _repeats_model(pairs, min_len, top_n), (min_len, top_n)
+        top = max(_repeats(spark, pairs), key=lambda r: r[1])
+        assert top == (" ".join([phrase] * 2), 16, 2, 1)
+
+    def test_min_len_below_base_is_rejected(self, spark):
+        # the class-key dedupe and count prefilter key on the level-8
+        # table: a silent min_len=3 would DROP every node shorter than 8
+        # (caught by the model comparison before the guard existed)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="min_len"):
+            _repeats(spark, [(1, "a b c a b c")], 3, 5)
+
+    def test_matches_model_on_random_corpus(self, spark):
+        import random
+
+        rng = random.Random(31)
+        vocab = [f"w{i}" for i in range(6)]
+        pairs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 18))))
+            for d in range(10)
+        ]
+        # planted concat + full dup: guarantees cross-doc nodes >= 8
+        pairs.append((99, pairs[4][1] + " " + pairs[7][1]))
+        pairs.append((100, pairs[-1][1]))
+        got = _repeats(spark, pairs, 8, 12)
+        assert got == _repeats_model(pairs, 8, 12)
