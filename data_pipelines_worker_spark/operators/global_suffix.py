@@ -546,9 +546,16 @@ def corpus_maximal_repeats(
     try:
         base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
 
-        cands = lcps.where(F.col("lcp") >= min_len).select(
-            F.col("adoc").alias("doc"), F.col("apos").alias("p"),
-            F.col("lcp").alias("l"),
+        # the level loop references this frame once per table level, and
+        # its lineage is the whole (id-bearing, cache-defeating) walk —
+        # freeze it or the walk executes once per level
+        cands = (
+            lcps.where(F.col("lcp") >= min_len)
+            .select(
+                F.col("adoc").alias("doc"), F.col("apos").alias("p"),
+                F.col("lcp").alias("l"),
+            )
+            .localCheckpoint()
         )
         levels = sorted(tables)
         keyed = []
