@@ -989,15 +989,19 @@ def _doc_weighted_shingles(
         *[F.col("w") if j == 0 else F.lead("w", j).over(win) for j in range(k)],
     )
     last = F.lead("w", k - 1).over(win)
+    # hash BEFORE the doc-keyed exchange — the text body never rides past
+    # the hash (the _text_group_members discipline): only 8-byte longs
+    # cross the shuffle; the expanded element is the hash of (gram-hash,
+    # occurrence index), same collision class as hashing the pair directly
     grams = wpos.select(
-        "doc", last.alias("_last"), gram.alias("g")
+        "doc", last.alias("_last"), F.xxhash64(gram).alias("hg")
     ).where(F.col("_last").isNotNull())
-    counted = grams.groupBy("doc", "g").agg(F.count("*").alias("c"))
+    counted = grams.groupBy("doc", "hg").agg(F.count("*").alias("c"))
     ex = counted.select(
-        "doc", "g", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("occ")
+        "doc", "hg", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("occ")
     )
     return (
-        ex.select("doc", F.xxhash64("g", "occ").alias("h"))
+        ex.select("doc", F.xxhash64("hg", "occ").alias("h"))
         .groupBy("doc")
         .agg(F.sort_array(F.collect_set("h")).alias("sh"))
         .where(F.size("sh") > 0)

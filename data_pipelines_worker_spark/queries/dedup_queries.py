@@ -982,7 +982,8 @@ pairs AS (
 walk AS (
   WITH RECURSIVE r AS (
     SELECT doc_id, i, pdoc, ppos, wa, wb,
-           CAST(0 AS BIGINT) AS l, CAST(1024 AS BIGINT) AS k FROM pairs
+           CAST(0 AS BIGINT) AS l, (SELECT CAST(power(2, ceil(log2(greatest(2, max(len(w)))))) AS BIGINT)
+            FROM d) AS k FROM pairs
     UNION ALL
     SELECT doc_id, i, pdoc, ppos, wa, wb,
            CASE WHEN l + k <= least(len(wa), len(wb))
@@ -1114,7 +1115,8 @@ ord AS (
 pairs AS (SELECT wsuf AS wa, pw AS wb FROM ord WHERE pw IS NOT NULL),
 walk AS (
   WITH RECURSIVE r AS (
-    SELECT wa, wb, CAST(0 AS BIGINT) AS l, CAST(1024 AS BIGINT) AS k
+    SELECT wa, wb, CAST(0 AS BIGINT) AS l, (SELECT CAST(power(2, ceil(log2(greatest(2, max(len(w)))))) AS BIGINT)
+            FROM d) AS k
     FROM pairs
     UNION ALL
     SELECT wa, wb,
