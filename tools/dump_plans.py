@@ -103,6 +103,10 @@ HEADLINERS = {
     "mixture_waterfill": "one corpus agg, manifest-frame windows, integer saturation test",
     "merkle_diff": "fingerprint agg ladders, full-outer on tree rows only",
     "leakage_safe_split": "LSH+CC kernels, map-only fold tag, pair-sized audit join",
+    "suffix_array_ranks": "one doc exchange, O(log maxlen) in-partition window sorts, no joins",
+    "corpus_repeated_spans": "per-doc reduction over the frozen per-position LCP frame (build is eager: one range exchange per doubling round)",
+    "dedup_weighted_jaccard": "multiplicity expansion -> rarest-first prefix equi-join -> full expanded-set verify -> member lift",
+    "corpus_maximal_repeats": "broadcast top-N count join on level-8 class keys, token-slice verify, frozen leaves",
 }
 
 
