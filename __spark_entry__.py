@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = (
     "corpus_repeated_spans",
     "dedup_weighted_jaccard",
     "corpus_maximal_repeats",
+    "lcp_interval_census",
     # --- new r10 queries (never driver-checked) insert HERE -------------
     # --- slots 2-3: the r04 arithmetic residue (the only queries whose
     # newest driver check predates r05) -----------------------------------

@@ -249,7 +249,9 @@ def adjacent_suffix_lcp(
     ``sa``: (doc, p, r, r2, rem, idx) with idx a dense 1..n total-order
     index of (r, r2, doc, p); ``docs_w``: (doc, w) the broadcastable
     token-array frame for the sub-BASE residual. Output: one row per
-    adjacent pair: (adoc, apos, bdoc, bpos, lcp).
+    adjacent pair: (i, adoc, apos, bdoc, bpos, lcp) — ``i`` is the
+    pair's LEFT total-order index, i.e. the LCP-array position, which
+    the interval-node census consumes.
 
     An equal (r, r2) pair key means fully identical suffixes (lcp =
     both lengths); everything else takes the rank-table walk — descend
@@ -289,11 +291,12 @@ def adjacent_suffix_lcp(
         F.col("r2").alias("br2"),
         F.col("rem").alias("brem"),
     )
-    pairs = a.join(b, "i").drop("i").localCheckpoint()
+    pairs = a.join(b, "i").localCheckpoint()
 
     same = (F.col("ar") == F.col("br")) & (F.col("ar2") == F.col("br2"))
     eq = pairs.where(same).select(
-        "adoc", "apos", "bdoc", "bpos", F.least("arem", "brem").alias("lcp")
+        "i", "adoc", "apos", "bdoc", "bpos",
+        F.least("arem", "brem").alias("lcp"),
     )
 
     ne = pairs.where(~same).withColumn("lcp", F.lit(0).cast("long"))
@@ -365,7 +368,7 @@ def adjacent_suffix_lcp(
                 ).otherwise(acc),
             ),
         )
-        .select("adoc", "apos", "bdoc", "bpos", "lcp")
+        .select("i", "adoc", "apos", "bdoc", "bpos", "lcp")
     )
     return eq.unionByName(ne)
 
@@ -627,6 +630,197 @@ def corpus_maximal_repeats(
             F.col("l").cast("long").alias("len_tokens"),
             F.col("n_occ").cast("long"),
             F.col("n_docs").cast("long"),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def _ansv_scan(pdf_iter):
+    """Per-partition monotonic-stack pass of the distributed
+    all-nearest-smaller-values kernel (see :func:`lcp_interval_census`).
+
+    Input batches: (i, l) sorted by i within the partition. Emits one
+    row per edge with partition-LOCAL PSV/NSV edge indices (-1 when the
+    answer lies outside the partition) plus `kind` 1 rows carrying the
+    partition's LEFT-facing candidate stack (the right-to-left prefix
+    minima — the only edges that can ever answer a later partition's
+    pending PSV; symmetrically usable for earlier partitions' NSV).
+    The stack is at most one entry per distinct l value (~log-size on
+    organic LCP arrays, <= maxlen always) — control-plane sized.
+    """
+    import pandas as pd
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    n = len(rows)
+    if n == 0:
+        return
+    ii = rows["i"].to_numpy()
+    ll = rows["l"].to_numpy()
+    psv = [-1] * n
+    nsv = [-1] * n
+    stack: list[int] = []  # indices into the local arrays
+    for x in range(n):
+        while stack and ll[stack[-1]] >= ll[x]:
+            stack.pop()
+        if stack:
+            psv[x] = int(ii[stack[-1]])
+        stack.append(x)
+    left_stack = [(int(ii[x]), int(ll[x])) for x in stack]
+    stack = []
+    for x in range(n - 1, -1, -1):
+        while stack and ll[stack[-1]] >= ll[x]:
+            stack.pop()
+        if stack:
+            nsv[x] = int(ii[stack[-1]])
+        stack.append(x)
+    right_stack = [(int(ii[x]), int(ll[x])) for x in stack]
+    yield pd.DataFrame(
+        {"kind": 0, "i": ii, "l": ll, "psv": psv, "nsv": nsv}
+    )
+    bnd = left_stack + right_stack
+    if bnd:
+        yield pd.DataFrame(
+            {
+                "kind": 1,
+                "i": [b[0] for b in bnd],
+                "l": [b[1] for b in bnd],
+                "psv": -1,
+                "nsv": -1,
+            }
+        )
+
+
+def lcp_interval_census(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """The FULL LCP-interval node census: for every span length
+    l >= min_len, how many DISTINCT right-maximal repeated spans of that
+    length exist in the corpus and how many positions they cover in
+    total — the whole suffix-tree internal-node profile
+    (``corpus_maximal_repeats`` reports the top-N longest; this reports
+    them ALL, in O(n) total work, because occurrence counts come from
+    interval bounds instead of per-node joins).
+
+    The new primitive is distributed ALL-NEAREST-SMALLER-VALUES over
+    the LCP array (Berkman-Schieber-Vishkin's ANSV, realized as a
+    dataflow): for edge i (between suffix-order neighbors i, i+1) with
+    LCP value l_i, PSV(i)/NSV(i) are the nearest edges on either side
+    with a strictly smaller value; the node containing edge i at depth
+    l_i spans suffixes [PSV(i)+1, NSV(i)] and therefore occurs exactly
+    NSV(i) - PSV(i) times. Edges in the same run with equal value
+    produce the SAME triple (psv, nsv, l) — one distinct-pass
+    deduplicates nodes — and (psv, nsv, l) is in bijection with the
+    node's span string, which is what lets a DuckDB oracle that counts
+    by literal slice-equality joins verify these counts.
+
+    Distribution: one range exchange on the edge index, a per-partition
+    monotonic-stack pass in ONE Arrow-batched mapInPandas (the honest
+    place for per-row sequential logic — no window function expresses
+    a data-dependent stack), and a CONTROL-PLANE boundary merge: the
+    only rows a partition cannot resolve are its prefix minima (for
+    PSV) / suffix minima (for NSV), at most one per distinct LCP value
+    (<= maxlen each), so every partition's pending rows AND its
+    candidate stacks fit in a driver-side merge measured in kilobytes;
+    resolved answers broadcast back as a fix-up frame. Memory: the scan
+    holds one partition's edges (n / #partitions fixed-width rows).
+
+    Output: (len_tokens, n_nodes, total_occ), one row per length.
+    """
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    spark = docs.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
+        n_suffixes = toks.count()
+
+        edges = lcps.select("i", F.col("lcp").alias("l"))
+        npart = spark.sparkContext.defaultParallelism
+        d = (
+            edges.repartitionByRange(npart, F.col("i"))
+            .sortWithinPartitions("i")
+            .localCheckpoint()
+        )
+        scanned = d.mapInPandas(
+            _ansv_scan, "kind int, i long, l long, psv long, nsv long"
+        ).localCheckpoint()
+
+        # control-plane boundary merge: resolve every pending PSV/NSV
+        # against the global candidate list (all partitions' stacks,
+        # <= one entry per distinct l per partition side)
+        cand = sorted(
+            (r["i"], r["l"])
+            for r in scanned.where(F.col("kind") == 1)
+            .select("i", "l")
+            .distinct()
+            .collect()
+        )
+        pend = (
+            scanned.where(
+                (F.col("kind") == 0)
+                & ((F.col("psv") == -1) | (F.col("nsv") == -1))
+            )
+            .select("i", "l", "psv", "nsv")
+            .collect()
+        )
+        ci = [c[0] for c in cand]
+        import bisect
+
+        fix = []
+        for r in pend:
+            psv, nsv = r["psv"], r["nsv"]
+            if psv == -1:
+                # nearest candidate left of i with l < r.l (sentinel 0)
+                psv = 0
+                for x in range(bisect.bisect_left(ci, r["i"]) - 1, -1, -1):
+                    if cand[x][1] < r["l"]:
+                        psv = cand[x][0]
+                        break
+            if nsv == -1:
+                # nearest candidate right of i with l < r.l (sentinel n)
+                nsv = n_suffixes
+                for x in range(bisect.bisect_right(ci, r["i"]), len(cand)):
+                    if cand[x][1] < r["l"]:
+                        nsv = cand[x][0]
+                        break
+            fix.append((r["i"], psv, nsv))
+        if not fix:  # degenerate <=1-suffix corpus: keep local_df non-empty
+            fix.append((-1, 0, 0))
+        from ..session import local_df
+
+        fix_df = local_df(spark, fix, "i long, fpsv long, fnsv long")
+        resolved = (
+            scanned.where(F.col("kind") == 0)
+            .join(F.broadcast(fix_df), "i", "left")
+            .select(
+                "i",
+                "l",
+                F.when(F.col("psv") == -1, F.col("fpsv"))
+                .otherwise(F.col("psv"))
+                .alias("psv"),
+                F.when(F.col("nsv") == -1, F.col("fnsv"))
+                .otherwise(F.col("nsv"))
+                .alias("nsv"),
+            )
+        )
+        return (
+            resolved.where(F.col("l") >= min_len)
+            .select("l", "psv", "nsv")
+            .distinct()
+            .groupBy("l")
+            .agg(
+                F.count("*").alias("n_nodes"),
+                F.sum(F.col("nsv") - F.col("psv")).alias("total_occ"),
+            )
+            .select(
+                F.col("l").cast("long").alias("len_tokens"),
+                F.col("n_nodes").cast("long"),
+                F.col("total_occ").cast("long"),
+            )
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -1161,3 +1161,72 @@ def q_corpus_maximal_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.global_suffix import corpus_maximal_repeats
 
     return corpus_maximal_repeats(docs, "doc_id", "text", min_len=8, top_n=20)
+
+
+#: Oracle = counts with NO interval machinery at all: the same
+#: tie-break-invariant node set (distinct adjacent-pair LCP prefixes),
+#: each node's occurrences counted by a literal slice-equality join
+#: against every position, then the per-length rollup. The engine gets
+#: identical numbers from ANSV interval bounds (occ = NSV - PSV) without
+#: ever touching a span string — two unrelated counting algorithms
+#: agreeing per length is the strongest check this query admits.
+_LCP_CENSUS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE length(text) > 0
+),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i:] AS wsuf,
+         array_to_string(w[i:], ' ') AS suf
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+),
+ord AS (
+  SELECT wsuf, lag(wsuf) OVER (ORDER BY suf, doc_id, i) AS pw FROM pos
+),
+pairs AS (SELECT wsuf AS wa, pw AS wb FROM ord WHERE pw IS NOT NULL),
+walk AS (
+  WITH RECURSIVE r AS (
+    SELECT wa, wb, CAST(0 AS BIGINT) AS l,
+           (SELECT CAST(power(2, ceil(log2(greatest(2, max(len(w))))))
+                   AS BIGINT) FROM d) AS k
+    FROM pairs
+    UNION ALL
+    SELECT wa, wb,
+           CASE WHEN l + k <= least(len(wa), len(wb))
+                     AND wa[l+1:l+k] = wb[l+1:l+k]
+                THEN l + k ELSE l END,
+           k // 2
+    FROM r WHERE k >= 1
+  ) SELECT wa, l FROM r WHERE k = 0
+),
+nodes AS (
+  SELECT DISTINCT array_to_string(wa[1:l], ' ') AS span, l
+  FROM walk WHERE l >= 8
+),
+cnt AS (
+  SELECT n.span, n.l, count(*) AS occ
+  FROM (SELECT span, l, string_split(span, ' ') AS toks FROM nodes) n
+  JOIN pos p ON p.wsuf[1:n.l] = n.toks
+  GROUP BY n.span, n.l
+)
+SELECT CAST(l AS BIGINT) AS len_tokens,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(occ) AS BIGINT) AS total_occ
+FROM cnt GROUP BY l
+"""
+
+
+@register("lcp_interval_census", _LCP_CENSUS_ORACLE)
+def q_lcp_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full suffix-tree internal-node profile: per span length >= 8,
+    the number of DISTINCT right-maximal repeated spans and their total
+    position coverage (``global_suffix.lcp_interval_census``). Counts
+    come from distributed ALL-NEAREST-SMALLER-VALUES over the LCP array
+    (per-partition monotonic stacks in one Arrow stage + a control-plane
+    boundary merge; occ = NSV - PSV), so the census is O(n) with no
+    per-node joins — the profile Lee et al.-style dedup reports draw
+    their 'how much boilerplate at each length' curves from."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..operators.global_suffix import lcp_interval_census
+
+    return lcp_interval_census(docs, "doc_id", "text", min_len=8)

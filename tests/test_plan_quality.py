@@ -1041,3 +1041,44 @@ class TestCorpusMaximalRepeats:
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+
+
+class TestLcpIntervalCensus:
+    def test_census_plan_frozen_and_single_arrow_stage(self, spark, registry):
+        # the returned plan is the rollup over the frozen ANSV output
+        # plus the broadcast fix-up join — no cartesian/BNLJ, no Python
+        # in the returned plan (the one legitimate Arrow stage — the
+        # per-partition monotonic stack — ran eagerly and is audited
+        # below), only checkpoint leaves
+        plan = plan_of(q(registry, "lcp_interval_census", spark))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "FileScan parquet" not in plan
+        assert "Scan ExistingRDD" in plan
+        assert "BroadcastHashJoin" in plan
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    def test_ansv_stage_is_one_arrow_pass_over_range_sort(self, spark):
+        # the ANSV kernel itself: ONE MapInPandas over one range
+        # exchange + in-partition sort — per-row sequential stack logic
+        # is the documented honest place for Python, and it appears
+        # exactly once
+        from pyspark.sql import functions as F
+
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            _ansv_scan,
+        )
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 5) for i in range(1, 50)], "i long, l long"
+        )
+        d = edges.repartitionByRange(8, F.col("i")).sortWithinPartitions("i")
+        plan = plan_of(
+            d.mapInPandas(_ansv_scan, "kind int, i long, l long, psv long, nsv long")
+        )
+        assert plan.count("MapInPandas") == 1
+        assert "rangepartitioning" in plan
+        assert plan.count("Exchange") == 1

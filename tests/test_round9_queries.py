@@ -302,3 +302,92 @@ class TestMaximalRepeatsUnit:
         pairs.append((100, pairs[-1][1]))
         got = _repeats(spark, pairs, 8, 12)
         assert got == _repeats_model(pairs, 8, 12)
+
+
+def _census(spark, pairs, min_len=8):
+    from data_pipelines_worker_spark.operators.global_suffix import (
+        lcp_interval_census,
+    )
+
+    df = spark.createDataFrame(pairs, "doc_id long, text string")
+    out = lcp_interval_census(df, "doc_id", "text", min_len)
+    rows = {(r.len_tokens, r.n_nodes, r.total_occ) for r in out.collect()}
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    return rows
+
+
+def _census_model(pairs, min_len):
+    """Independent model: distinct adjacent-LCP node set + brute-force
+    prefix-match counting + per-length rollup (no interval machinery)."""
+    toks = {d: t.split(" ") for d, t in pairs if len(t) > 0}
+    sufs = sorted(
+        ((w[i:], d, i) for d, w in toks.items() for i in range(len(w))),
+        key=lambda s: (" ".join(s[0]), s[1], s[2]),
+    )
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    nodes = set()
+    for (wa, _, _), (wb, _, _) in zip(sufs, sufs[1:]):
+        l = lcp(wa, wb)
+        if l >= min_len:
+            nodes.add((tuple(wa[:l]), l))
+    per_len = {}
+    for span, l in nodes:
+        occ = sum(
+            1
+            for d, w in toks.items()
+            for i in range(len(w) - l + 1)
+            if tuple(w[i : i + l]) == span
+        )
+        n_nodes, tot = per_len.get(l, (0, 0))
+        per_len[l] = (n_nodes + 1, tot + occ)
+    return {(l, n, t) for l, (n, t) in per_len.items()}
+
+
+class TestLcpIntervalCensusUnit:
+    def test_nested_ladder_counts(self, spark):
+        # phrase x3 in one doc: nodes 8..16 with interval counts that
+        # must match brute-force prefix matching exactly (overlapping
+        # occurrences included - suffix-array position semantics)
+        phrase = "p q r s t u v w"
+        pairs = [(1, " ".join([phrase] * 3))]
+        assert _census(spark, pairs) == _census_model(pairs, 8)
+
+    def test_cross_partition_boundary_resolution(self, spark):
+        # tiny corpora spread over defaultParallelism range partitions:
+        # nearly every edge's PSV/NSV crosses a partition boundary, so
+        # this pins the control-plane merge path specifically
+        import random
+
+        rng = random.Random(53)
+        vocab = [f"w{i}" for i in range(5)]
+        pairs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+            for d in range(8)
+        ]
+        pairs.append((90, pairs[2][1]))
+        pairs.append((91, pairs[2][1] + " " + pairs[5][1]))
+        for t in (2, 8):
+            assert _census(spark, pairs, t) == _census_model(pairs, t), t
+
+    def test_census_consistent_with_maximal_repeats(self, spark):
+        # cross-operator invariant: the census's n_nodes at the MAXIMUM
+        # length must equal the number of top-length rows the top-N
+        # query reports (two different node keyings - class keys vs
+        # interval bounds - naming the same node set)
+        run = " ".join(f"t{i}" for i in range(11))
+        pairs = [(1, run + " a b"), (2, run + " c d"), (3, "x " + run)]
+        census = _census(spark, pairs)
+        top_len = max(r[0] for r in census)
+        n_at_top = next(r[1] for r in census if r[0] == top_len)
+        got = _repeats(spark, pairs, 8, 50)
+        assert n_at_top == sum(1 for r in got if r[1] == top_len)
