@@ -128,7 +128,7 @@ def global_eq_rank(
 
 def corpus_suffix_tables(
     toks: DataFrame, doc_col: str = "doc", pos_col: str = "p", tok_col: str = "tok",
-    maxlen: int | None = None,
+    maxlen: int | None = None, npart: int | None = None,
 ) -> tuple[dict[int, DataFrame], DataFrame]:
     """Doubling rank tables {k: (doc, p, r)} for k = BASE, 2*BASE, .., K/2
     over the token frame (``pos_col`` dense 1..len per doc, 1-based),
@@ -158,7 +158,7 @@ def corpus_suffix_tables(
     )
     base = toks.select(doc_col, pos_col, slice8.alias("_s"))
     r = (
-        global_eq_rank(base, ["_s"], out="r")
+        global_eq_rank(base, ["_s"], out="r", npart=npart)
         .select(doc_col, pos_col, "r")
         .localCheckpoint()
     )
@@ -173,7 +173,7 @@ def corpus_suffix_tables(
             F.coalesce(F.lead("r", k).over(w_doc), F.lit(0)).alias("r2"),
         )
         nxt = (
-            global_eq_rank(pairs, ["r", "r2"], out="rn")
+            global_eq_rank(pairs, ["r", "r2"], out="rn", npart=npart)
             .select(doc_col, pos_col, F.col("rn").alias("r"))
             .localCheckpoint()
         )
@@ -373,13 +373,36 @@ def adjacent_suffix_lcp(
     return eq.unionByName(ne)
 
 
+def _suffix_npart(n_tokens: int, spark) -> int:
+    """Partition count for the suffix build's exchanges, derived from the
+    DATA SIZE instead of a constant (the r10 lever NEXT.md listed as
+    untried; measured at sf0.1: 32 -> 16 partitions cut
+    corpus_repeated_spans 9.4 -> 7.0 s and the census 9.9 -> 8.3 s warm
+    — the build is ~15 small stages of fixed-width longs, so task
+    overhead dominates below ~100k rows/task). Three regimes:
+
+    - local floor: never below 8 (empty/tiny corpora);
+    - overhead regime: ~100k suffix rows per partition, capped at
+      defaultParallelism — small corpora stop paying per-task overhead
+      they can't amortize;
+    - scale regime: at least ceil(n/2M) so a partition never exceeds
+      ~2M fixed-width rows (~100 MB) regardless of cluster width — at
+      100 TB this term dominates and grows with the corpus.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    return max(8, min(dp, -(-n_tokens // 100_000)), -(-n_tokens // 2_000_000))
+
+
 def _suffix_pipeline(
     docs: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame, dict[int, DataFrame], DataFrame]:
     """The shared heavy build: tokenize, double, order, walk. Returns
     (base(doc, w), toks(doc, p, tok), tables, lcps(adoc, apos, bdoc,
-    bpos, lcp)). Caller owns the AQE toggle; every returned frame is
-    rooted in checkpointed data."""
+    bpos, lcp)). Caller owns the AQE + shuffle.partitions save/restore;
+    this function SETS spark.sql.shuffle.partitions to the data-derived
+    :func:`_suffix_npart` so the window/join/groupBy exchanges downstream
+    match the explicit range exchanges. Every returned frame is rooted
+    in checkpointed data."""
     spark = docs.sparkSession
     base = (
         docs.where(F.length(text_col) > 0)
@@ -391,17 +414,22 @@ def _suffix_pipeline(
         .localCheckpoint()
     )
     lens = base.select("doc", F.size("w").alias("len"))
-    maxlen = lens.agg(F.max("len").alias("m")).collect()[0]["m"] or 0
+    agg = lens.agg(
+        F.max("len").alias("m"), F.sum("len").alias("t")
+    ).collect()[0]
+    maxlen = agg["m"] or 0
+    npart = _suffix_npart(agg["t"] or 0, spark)
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
 
     toks = base.select("doc", F.posexplode("w").alias("p0", "tok")).select(
         "doc", (F.col("p0") + 1).alias("p"), "tok"
     )
     tables, last_pairs = corpus_suffix_tables(
-        toks, "doc", "p", "tok", maxlen=maxlen
+        toks, "doc", "p", "tok", maxlen=maxlen, npart=npart
     )
-    sa = suffix_order(last_pairs).join(F.broadcast(lens), "doc").withColumn(
-        "rem", F.col("len") - F.col("p") + 1
-    )
+    sa = suffix_order(last_pairs, npart).join(
+        F.broadcast(lens), "doc"
+    ).withColumn("rem", F.col("len") - F.col("p") + 1)
     lcps = adjacent_suffix_lcp(sa, tables, base, "doc")
     return base, toks, tables, lcps
 
@@ -435,6 +463,7 @@ def corpus_repeated_span_stats(
     """
     spark = docs.sparkSession
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
@@ -468,6 +497,7 @@ def corpus_repeated_span_stats(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
 
     T = threshold
     w_doc = Window.partitionBy("doc").orderBy("p")
@@ -545,6 +575,7 @@ def corpus_maximal_repeats(
         )
     spark = docs.sparkSession
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
@@ -633,6 +664,7 @@ def corpus_maximal_repeats(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
 
 
 def _ansv_scan(pdf_iter):
@@ -650,10 +682,11 @@ def _ansv_scan(pdf_iter):
     """
     import pandas as pd
 
-    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    parts = [p for p in pdf_iter if len(p)]
+    if not parts:  # empty range partition (edge count < npart, or a
+        return  # sampled bound equal to the max key) — emit nothing
+    rows = pd.concat(parts, ignore_index=True)
     n = len(rows)
-    if n == 0:
-        return
     ii = rows["i"].to_numpy()
     ll = rows["l"].to_numpy()
     psv = [-1] * n
@@ -690,6 +723,75 @@ def _ansv_scan(pdf_iter):
         )
 
 
+def _ansv_resolve(cand_i, cand_l, n_suffixes: int):
+    """Executor-side fix-up of the partition-unresolved PSV/NSV edges.
+
+    ``cand_i``/``cand_l`` are the GLOBAL candidate stacks (every
+    partition's prefix/suffix minima, <= one entry per distinct LCP
+    value per partition side — control-plane sized), sorted by edge
+    index and captured in the task closure; ``n_suffixes`` supplies the
+    right sentinel. The pending set itself is NOT bounded — on a
+    boilerplate corpus an equal-LCP plateau that is its partition's
+    prefix minimum leaves EVERY edge of the run pending, O(partition
+    size) — which is exactly why it must never be collected: this
+    resolver runs where those rows already live, as a chunked
+    vectorized numpy mask over the (pending-chunk x candidate) grid.
+    The candidate axis is control-plane bounded, so total work is
+    O(pending) with a small constant and peak memory one chunk x
+    |cand| booleans. Semantics match the in-partition stack pass:
+    PSV = max candidate index < i with value < l (sentinel 0),
+    NSV = min candidate index > i with value < l (sentinel n) —
+    strictness on BOTH comparisons, so a same-partition stack entry
+    (which by pendingness has value >= l) can never win.
+    """
+    import numpy as np
+
+    ci = np.asarray(cand_i, dtype=np.int64)
+    cl = np.asarray(cand_l, dtype=np.int64)
+    chunk = 8192
+
+    def fn(pdf_iter):
+        import pandas as pd  # noqa: F401  (Arrow batch frames)
+
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ii = pdf["i"].to_numpy()
+            ll = pdf["l"].to_numpy()
+            psv = pdf["psv"].to_numpy().copy()
+            nsv = pdf["nsv"].to_numpy().copy()
+            for vec, sentinel, is_left in (
+                (psv, np.int64(0), True),
+                (nsv, np.int64(n_suffixes), False),
+            ):
+                mask = vec == -1
+                if not mask.any():
+                    continue
+                qi = ii[mask]
+                ql = ll[mask]
+                res = np.full(len(qi), sentinel, dtype=np.int64)
+                for s in range(0, len(qi), chunk) if ci.size else ():
+                    e = min(s + chunk, len(qi))
+                    smaller = cl[None, :] < ql[s:e, None]
+                    if is_left:
+                        m = smaller & (ci[None, :] < qi[s:e, None])
+                        vals = np.where(m, ci[None, :], sentinel)
+                        hit = m.any(axis=1)
+                        res[s:e] = np.where(hit, vals.max(axis=1), sentinel)
+                    else:
+                        m = smaller & (ci[None, :] > qi[s:e, None])
+                        vals = np.where(m, ci[None, :], sentinel)
+                        hit = m.any(axis=1)
+                        res[s:e] = np.where(hit, vals.min(axis=1), sentinel)
+                vec[mask] = res
+            out = pdf.copy()
+            out["psv"] = psv
+            out["nsv"] = nsv
+            yield out
+
+    return fn
+
+
 def lcp_interval_census(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -719,13 +821,18 @@ def lcp_interval_census(
     Distribution: one range exchange on the edge index, a per-partition
     monotonic-stack pass in ONE Arrow-batched mapInPandas (the honest
     place for per-row sequential logic — no window function expresses
-    a data-dependent stack), and a CONTROL-PLANE boundary merge: the
-    only rows a partition cannot resolve are its prefix minima (for
-    PSV) / suffix minima (for NSV), at most one per distinct LCP value
-    (<= maxlen each), so every partition's pending rows AND its
-    candidate stacks fit in a driver-side merge measured in kilobytes;
-    resolved answers broadcast back as a fix-up frame. Memory: the scan
-    holds one partition's edges (n / #partitions fixed-width rows).
+    a data-dependent stack), and a boundary merge split by what is
+    actually bounded: the CANDIDATE stacks (strictly increasing, <= one
+    entry per distinct LCP value per partition side) are control-plane
+    sized and are the only thing the driver collects; the PENDING set —
+    every edge whose PSV/NSV lies outside its partition — is NOT
+    bounded (an equal-LCP plateau that is its partition's prefix
+    minimum pends in full, O(partition size) on boilerplate corpora),
+    so it is resolved executor-side by :func:`_ansv_resolve`, a second
+    mapInPandas over the kind-0 frame with the candidate list in its
+    closure. The driver never materializes a kind-0 row. Memory: the
+    scan holds one partition's edges (n / #partitions fixed-width
+    rows); the resolver one Arrow batch plus the candidate arrays.
 
     Output: (len_tokens, n_nodes, total_occ), one row per length.
     """
@@ -733,13 +840,15 @@ def lcp_interval_census(
         raise ValueError("min_len must be >= 1")
     spark = docs.sparkSession
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
         n_suffixes = toks.count()
 
         edges = lcps.select("i", F.col("lcp").alias("l"))
-        npart = spark.sparkContext.defaultParallelism
+        # the tuned data-derived count _suffix_pipeline installed
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
         d = (
             edges.repartitionByRange(npart, F.col("i"))
             .sortWithinPartitions("i")
@@ -749,9 +858,12 @@ def lcp_interval_census(
             _ansv_scan, "kind int, i long, l long, psv long, nsv long"
         ).localCheckpoint()
 
-        # control-plane boundary merge: resolve every pending PSV/NSV
-        # against the global candidate list (all partitions' stacks,
-        # <= one entry per distinct l per partition side)
+        # control-plane boundary merge, candidates ONLY: the driver
+        # collects just the partitions' candidate stacks (<= one entry
+        # per distinct l per partition side — provably bounded by
+        # 2 x npart x distinct-LCP), ships them back in the resolver's
+        # closure, and the O(partition)-sized pending set is resolved
+        # WHERE IT LIVES — no kind-0 row ever reaches the driver.
         cand = sorted(
             (r["i"], r["l"])
             for r in scanned.where(F.col("kind") == 1)
@@ -759,57 +871,20 @@ def lcp_interval_census(
             .distinct()
             .collect()
         )
-        pend = (
+        resolved = (
             scanned.where(
-                (F.col("kind") == 0)
-                & ((F.col("psv") == -1) | (F.col("nsv") == -1))
+                (F.col("kind") == 0) & (F.col("l") >= min_len)
             )
             .select("i", "l", "psv", "nsv")
-            .collect()
-        )
-        ci = [c[0] for c in cand]
-        import bisect
-
-        fix = []
-        for r in pend:
-            psv, nsv = r["psv"], r["nsv"]
-            if psv == -1:
-                # nearest candidate left of i with l < r.l (sentinel 0)
-                psv = 0
-                for x in range(bisect.bisect_left(ci, r["i"]) - 1, -1, -1):
-                    if cand[x][1] < r["l"]:
-                        psv = cand[x][0]
-                        break
-            if nsv == -1:
-                # nearest candidate right of i with l < r.l (sentinel n)
-                nsv = n_suffixes
-                for x in range(bisect.bisect_right(ci, r["i"]), len(cand)):
-                    if cand[x][1] < r["l"]:
-                        nsv = cand[x][0]
-                        break
-            fix.append((r["i"], psv, nsv))
-        if not fix:  # degenerate <=1-suffix corpus: keep local_df non-empty
-            fix.append((-1, 0, 0))
-        from ..session import local_df
-
-        fix_df = local_df(spark, fix, "i long, fpsv long, fnsv long")
-        resolved = (
-            scanned.where(F.col("kind") == 0)
-            .join(F.broadcast(fix_df), "i", "left")
-            .select(
-                "i",
-                "l",
-                F.when(F.col("psv") == -1, F.col("fpsv"))
-                .otherwise(F.col("psv"))
-                .alias("psv"),
-                F.when(F.col("nsv") == -1, F.col("fnsv"))
-                .otherwise(F.col("nsv"))
-                .alias("nsv"),
+            .mapInPandas(
+                _ansv_resolve(
+                    [c[0] for c in cand], [c[1] for c in cand], n_suffixes
+                ),
+                "i long, l long, psv long, nsv long",
             )
         )
         return (
-            resolved.where(F.col("l") >= min_len)
-            .select("l", "psv", "nsv")
+            resolved.select("l", "psv", "nsv")
             .distinct()
             .groupBy("l")
             .agg(
@@ -824,3 +899,4 @@ def lcp_interval_census(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", sp)

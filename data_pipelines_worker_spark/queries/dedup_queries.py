@@ -959,6 +959,19 @@ def q_suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: interval-union coverage, per-doc aggregate. The per-position max is
 #: order-realization-free (nearest-neighbor lemma), so the two engines'
 #: different tie-breaking inside equal-suffix runs cannot diverge.
+#:
+#: Data assumption (shared by every suffix oracle in this module,
+#: including suffix_array_ranks and the census): the oracle orders
+#: suffixes by the BYTE order of the space-joined string while the
+#: engine orders token ARRAYS; the two orders agree iff no token
+#: contains a byte below 0x20 (space, 0x20, is the joiner — a control
+#: character inside a token would sort the joined string before the
+#: space boundary and make equal-token-prefix runs non-contiguous).
+#: The documents tokenizer splits on the space character and the test
+#: corpora are printable, so the assumption holds for every gated
+#: dataset; a corpus with control bytes inside tokens would need the
+#: oracle to ORDER BY the token list (wsuf) instead of the joined
+#: string.
 _CORPUS_SPANS_ORACLE = """
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w
@@ -1222,10 +1235,12 @@ def q_lcp_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number of DISTINCT right-maximal repeated spans and their total
     position coverage (``global_suffix.lcp_interval_census``). Counts
     come from distributed ALL-NEAREST-SMALLER-VALUES over the LCP array
-    (per-partition monotonic stacks in one Arrow stage + a control-plane
-    boundary merge; occ = NSV - PSV), so the census is O(n) with no
-    per-node joins — the profile Lee et al.-style dedup reports draw
-    their 'how much boilerplate at each length' curves from."""
+    (per-partition monotonic stacks in one Arrow stage; the driver
+    collects only the bounded candidate stacks, and the O(partition)
+    pending set resolves executor-side — r10 fix; occ = NSV - PSV), so
+    the census is O(n) with no per-node joins — the profile Lee
+    et al.-style dedup reports draw their 'how much boilerplate at each
+    length' curves from."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     from ..operators.global_suffix import lcp_interval_census
 

@@ -1046,17 +1046,67 @@ class TestCorpusMaximalRepeats:
 class TestLcpIntervalCensus:
     def test_census_plan_frozen_and_single_arrow_stage(self, spark, registry):
         # the returned plan is the rollup over the frozen ANSV output
-        # plus the broadcast fix-up join — no cartesian/BNLJ, no Python
-        # in the returned plan (the one legitimate Arrow stage — the
-        # per-partition monotonic stack — ran eagerly and is audited
-        # below), only checkpoint leaves
+        # plus EXACTLY ONE Arrow stage — the executor-side boundary
+        # resolver (_ansv_resolve) — and NO join of any kind: the
+        # r09-era driver fix-up (pending collect + broadcast join) is
+        # gone. The scan stage (_ansv_scan) ran eagerly into a
+        # checkpoint and is audited below.
         plan = plan_of(q(registry, "lcp_interval_census", spark))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
         assert "FileScan parquet" not in plan
         assert "Scan ExistingRDD" in plan
-        assert "BroadcastHashJoin" in plan
+        assert "Join" not in plan
+        assert plan.count("MapInPandas") == 1
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
+    def test_driver_never_materializes_pending_edges(self, spark, monkeypatch):
+        # plateau corpus: 300 identical 12-token docs — every equal-LCP
+        # run that is its partition's prefix minimum pends in FULL
+        # (O(partition size) rows; ~2/3 of all 3599 edges here). The
+        # r09 implementation collect()ed that pending set to the driver
+        # for the boundary fix-up; this pins the r10 fix (executor-side
+        # _ansv_resolve): during the census every driver collect is
+        # control-plane sized — candidate stacks + per-partition stats
+        # — never O(edges).
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            lcp_interval_census,
+        )
+
+        phrase = " ".join(f"tok{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(d, phrase) for d in range(300)], "doc_id long, text string"
+        )
+        n_edges = 300 * 12 - 1
+        sizes = []
+        cls = type(docs)  # the concrete DataFrame class (pyspark 4
+        orig = cls.collect  # routes collect through a subclass)
+
+        def spy(df):
+            rows = orig(df)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(cls, "collect", spy)
+        try:
+            out = lcp_interval_census(docs, "doc_id", "text", 8)
+            result = orig(out)  # the user-facing collect is not under test
+        finally:
+            monkeypatch.undo()
+        assert sizes, "expected control-plane collects during the census"
+        assert max(sizes) <= 300, (
+            f"driver collected {max(sizes)} rows (edges={n_edges}) — "
+            "a data-plane set reached the driver"
+        )
+        # the corpus is 300 copies of one 12-token doc with all-distinct
+        # tokens: the only right-maximal repeats of length >= 8 are the
+        # suffixes themselves (any shorter span always extends by the
+        # same next token), one node per length 8..12, 300 occurrences
+        got = {(r.len_tokens, r.n_nodes, r.total_occ) for r in result}
+        assert got == {(l, 1, 300) for l in range(8, 13)}
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()

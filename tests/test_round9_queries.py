@@ -379,6 +379,26 @@ class TestLcpIntervalCensusUnit:
         for t in (2, 8):
             assert _census(spark, pairs, t) == _census_model(pairs, t), t
 
+    def test_single_token_repeated_doc(self, spark):
+        # the degenerate suffix corpus: one token repeated N times.
+        # Every suffix is a prefix of every longer one, the LCP array is
+        # a staircase of all-distinct values, and the interval counts
+        # must match overlapping brute-force prefix matching exactly
+        pairs = [(1, " ".join(["dup"] * 60))]
+        assert _census(spark, pairs) == _census_model(pairs, 8)
+
+    def test_boilerplate_plateau_pair(self, spark):
+        # constant-LCP plateaus: the same long boilerplate block
+        # repeated across docs produces equal-LCP runs that pend in
+        # full inside their range partition — the executor-side
+        # boundary-resolution path (r10 fix) under its worst shape
+        boiler = " ".join(f"b{i}" for i in range(10))
+        pairs = [(d, boiler) for d in range(40)]
+        pairs.append((90, boiler + " tail one"))
+        pairs.append((91, "head " + boiler))
+        for t in (2, 8):
+            assert _census(spark, pairs, t) == _census_model(pairs, t), t
+
     def test_census_consistent_with_maximal_repeats(self, spark):
         # cross-operator invariant: the census's n_nodes at the MAXIMUM
         # length must equal the number of top-length rows the top-N
