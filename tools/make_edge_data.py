@@ -52,6 +52,28 @@ EDGE_DOCS = [
     # length_quantile_filter, which must keep every doc), including two
     # byte-identical texts (exact-collapse inside the degenerate source),
     # and a single-document source (rank 1 is both bounds).
+    # round-10 suffix/ANSV edges (VERDICT r9 #1): the degenerate LCP
+    # shapes. 9014 is ONE token repeated 5000x — the staircase corpus
+    # where every suffix is a prefix of every longer one; 9015/9016
+    # share a 24-token boilerplate block verbatim — together with the
+    # corpus-wide duplicate groups this drives constant-LCP plateaus,
+    # the shape whose pending set is O(partition) inside the ANSV
+    # range partitions (the executor-side resolver's worst case).
+    (9014, ("dup " * 5000).strip(), "en", "src_edge", 5000 * 4 - 1),
+    (
+        9015,
+        " ".join(f"boiler{i}" for i in range(24)) + " unique tail alpha",
+        "en",
+        "src_edge",
+        len(" ".join(f"boiler{i}" for i in range(24)) + " unique tail alpha"),
+    ),
+    (
+        9016,
+        "unique head beta " + " ".join(f"boiler{i}" for i in range(24)),
+        "en",
+        "src_edge",
+        len("unique head beta " + " ".join(f"boiler{i}" for i in range(24))),
+    ),
     (9010, "aa bb cc dd", "en", "src_same", 11),
     (9011, "ee ff gg hh", "en", "src_same", 11),
     (9012, "ee ff gg hh", "en", "src_same", 11),  # byte-identical to 9011
