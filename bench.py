@@ -25,6 +25,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def local_record_path(here: str, env_round: str | None) -> str:
+    """Where this run's full per-query record lands.
+
+    Explicit ``SPARK_GRAFT_ROUND`` wins and MAY overwrite (the builder's
+    deliberate recert flow). A DERIVED tag (max committed BENCH_r{N} + 1
+    — during a round-N run the driver writes BENCH_r{N} only after this
+    script, so the max on disk is N-1) never overwrites: the driver's
+    end-of-round run derives the same rN the builder already committed
+    a local record under, and clobbered it in r08 (VERDICT r8 #1,
+    hardcoded tag) and again in r09 (VERDICT r9 #2, derived tag) — on
+    collision the run lands in ``BENCH_LOCAL_rN.driver.json`` instead.
+    """
+    rnd = env_round
+    if not rnd:
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = f"r{(max(seen) + 1 if seen else 0):02d}"
+    path = os.path.join(here, f"BENCH_LOCAL_{rnd}.json")
+    if not env_round and os.path.exists(path):
+        path = path[: -len(".json")] + ".driver.json"
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_pipelines_worker_spark.queries import load_all
@@ -207,23 +233,11 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # Full per-query maps go to a committed local artifact, not stdout.
-    # Round tag: explicit env var wins; otherwise derive "current round" as
-    # max committed BENCH_r{N}.json + 1 (the driver writes BENCH_r{N} only
-    # AFTER running this script, so during a round-N run the max on disk is
-    # N-1). This can never clobber a prior round's committed local record —
-    # the hardcoded-"r07" default did exactly that in r08 (VERDICT r8 #1).
-    rnd = os.environ.get("SPARK_GRAFT_ROUND")
-    if not rnd:
-        here = os.path.dirname(os.path.abspath(__file__))
-        seen = [
-            int(m.group(1))
-            for f in os.listdir(here)
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        rnd = f"r{(max(seen) + 1 if seen else 0):02d}"
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_{rnd}.json"
+    # Full per-query maps go to a committed local artifact, not stdout
+    # (see local_record_path for the collision rules).
+    local_path = local_record_path(
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_ROUND"),
     )
     try:
         with open(local_path, "w") as fh:

@@ -61,3 +61,27 @@ def test_every_registered_query_analyzes(spark, sf_dir):
         except Exception as ex:  # noqa: BLE001
             failed[name] = str(ex)[:200]
     assert not failed, failed
+
+
+def test_bench_local_record_path_never_clobbers_derived(tmp_path):
+    # VERDICT r8 #1 / r9 #2: two rounds running, the driver's
+    # end-of-round bench run (env tag unset) overwrote the builder's
+    # committed BENCH_LOCAL record. The derived tag must divert to a
+    # .driver.json name on collision; an explicit tag may overwrite
+    # (the builder's deliberate recert flow).
+    import bench
+
+    d = str(tmp_path)
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+    # fresh round: derives r09
+    assert bench.local_record_path(d, None).endswith("BENCH_LOCAL_r09.json")
+    # builder committed its local record; a derived-tag rerun diverts
+    (tmp_path / "BENCH_LOCAL_r09.json").write_text("{}")
+    got = bench.local_record_path(d, None)
+    assert got.endswith("BENCH_LOCAL_r09.driver.json")
+    # explicit tag keeps the plain name even when the file exists
+    assert bench.local_record_path(d, "r09").endswith("BENCH_LOCAL_r09.json")
+    # no BENCH_r files at all: round zero
+    for f in tmp_path.iterdir():
+        f.unlink()
+    assert bench.local_record_path(d, None).endswith("BENCH_LOCAL_r00.json")
