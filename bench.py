@@ -46,8 +46,11 @@ def local_record_path(here: str, env_round: str | None) -> str:
         ]
         rnd = f"r{(max(seen) + 1 if seen else 0):02d}"
     path = os.path.join(here, f"BENCH_LOCAL_{rnd}.json")
-    if not env_round and os.path.exists(path):
-        path = path[: -len(".json")] + ".driver.json"
+    n = 1
+    while not env_round and os.path.exists(path):
+        n += 1
+        suffix = ".driver.json" if n == 2 else f".driver{n - 1}.json"
+        path = os.path.join(here, f"BENCH_LOCAL_{rnd}{suffix}")
     return path
 
 

@@ -96,6 +96,8 @@ Lee et al. ACL'22).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -393,16 +395,38 @@ def _suffix_npart(n_tokens: int, spark) -> int:
     return max(8, min(dp, -(-n_tokens // 100_000)), -(-n_tokens // 2_000_000))
 
 
+@contextmanager
+def _suffix_build_confs(spark):
+    """The suffix build's session-conf scope: AQE off for the eager
+    build (per-stage adaptive re-planning adds a driver barrier per
+    exchange — measured ~2x wall on ~15 statically-shaped exchanges)
+    and spark.sql.shuffle.partitions owned by :func:`_suffix_pipeline`
+    (which sets it to the data-derived :func:`_suffix_npart`). One
+    place restores BOTH confs, so no future caller can leak the tiny-
+    corpus partition floor into the shared session."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+
+
 def _suffix_pipeline(
     docs: DataFrame, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame, dict[int, DataFrame], DataFrame]:
+) -> tuple[DataFrame, DataFrame, dict[int, DataFrame], DataFrame, int]:
     """The shared heavy build: tokenize, double, order, walk. Returns
     (base(doc, w), toks(doc, p, tok), tables, lcps(adoc, apos, bdoc,
-    bpos, lcp)). Caller owns the AQE + shuffle.partitions save/restore;
-    this function SETS spark.sql.shuffle.partitions to the data-derived
-    :func:`_suffix_npart` so the window/join/groupBy exchanges downstream
-    match the explicit range exchanges. Every returned frame is rooted
-    in checkpointed data."""
+    bpos, lcp), n_tokens). ``n_tokens`` (== the suffix count — one
+    suffix per token) rides out from the sizing agg so callers never
+    re-count the exploded frame. Call inside
+    :func:`_suffix_build_confs`; this function SETS
+    spark.sql.shuffle.partitions to the data-derived
+    :func:`_suffix_npart` so the window/join/groupBy exchanges
+    downstream match the explicit range exchanges. Every returned frame
+    is rooted in checkpointed data."""
     spark = docs.sparkSession
     base = (
         docs.where(F.length(text_col) > 0)
@@ -418,7 +442,8 @@ def _suffix_pipeline(
         F.max("len").alias("m"), F.sum("len").alias("t")
     ).collect()[0]
     maxlen = agg["m"] or 0
-    npart = _suffix_npart(agg["t"] or 0, spark)
+    n_tokens = int(agg["t"] or 0)
+    npart = _suffix_npart(n_tokens, spark)
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
 
     toks = base.select("doc", F.posexplode("w").alias("p0", "tok")).select(
@@ -431,7 +456,7 @@ def _suffix_pipeline(
         F.broadcast(lens), "doc"
     ).withColumn("rem", F.col("len") - F.col("p") + 1)
     lcps = adjacent_suffix_lcp(sa, tables, base, "doc")
-    return base, toks, tables, lcps
+    return base, toks, tables, lcps, n_tokens
 
 
 def corpus_repeated_span_stats(
@@ -462,11 +487,10 @@ def corpus_repeated_span_stats(
     One row per doc with non-empty text.
     """
     spark = docs.sparkSession
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
+    with _suffix_build_confs(spark):
+        base, toks, tables, lcps, _nt = _suffix_pipeline(
+            docs, id_col, text_col
+        )
 
         # one explode pass fans each pair to both endpoint positions (a
         # second reference to `lcps` would re-execute the whole walk —
@@ -495,9 +519,6 @@ def corpus_repeated_span_stats(
             .agg(F.max("lcp").alias("ml"))
             .localCheckpoint()
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", sp)
 
     T = threshold
     w_doc = Window.partitionBy("doc").orderBy("p")
@@ -574,11 +595,10 @@ def corpus_maximal_repeats(
             f"min_len must be >= {BASE} (level-8 class keys); got {min_len}"
         )
     spark = docs.sparkSession
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
+    with _suffix_build_confs(spark):
+        base, toks, tables, lcps, _nt = _suffix_pipeline(
+            docs, id_col, text_col
+        )
 
         # the level loop references this frame once per table level, and
         # its lineage is the whole (id-bearing, cache-defeating) walk —
@@ -662,9 +682,6 @@ def corpus_maximal_repeats(
             F.col("n_occ").cast("long"),
             F.col("n_docs").cast("long"),
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", sp)
 
 
 def _ansv_scan(pdf_iter):
@@ -723,71 +740,118 @@ def _ansv_scan(pdf_iter):
         )
 
 
+def _nearest_smaller_sweep(ci, cl, qi, ql, sentinel):
+    """Offline nearest-smaller-value-with-threshold: for every query
+    (qi[q], ql[q]) return the LARGEST candidate index strictly left of
+    qi[q] whose value is strictly below ql[q], or ``sentinel`` when none
+    exists. ``ci`` must be sorted ascending (``cl`` parallel). The NSV
+    mirror is the same call on negated indices.
+
+    One merge sweep: queries sorted by position; candidates consumed in
+    position order into a monotonic stack whose values (and positions)
+    strictly increase toward the top — a candidate is popped only when a
+    nearer candidate with an equal-or-smaller value supersedes it for
+    every possible threshold, so for a threshold ``l`` the qualifying
+    stack entries are exactly the prefix with value < l and the nearest
+    is the LAST of them: one vectorized ``searchsorted`` per group of
+    queries between candidate arrivals. O((C + P) + P log C) with O(C)
+    memory — no (pending x candidate) grid (the first cut of this
+    resolver built one; on a staircase corpus, where |cand| is
+    maxlen-sized, that grid was quadratic work and ~chunk x |cand| x 8
+    bytes of memory — caught in review before shipping a round).
+    """
+    import numpy as np
+
+    res = np.full(len(qi), sentinel, dtype=np.int64)
+    if len(ci) == 0 or len(qi) == 0:
+        return res
+    order = np.argsort(qi, kind="stable")
+    sq = qi[order]
+    sl = ql[order]
+    # number of candidates strictly left of each query position
+    avail = np.searchsorted(ci, sq, side="left")
+    s_val = np.empty(len(ci), dtype=np.int64)
+    s_pos = np.empty(len(ci), dtype=np.int64)
+    top = 0
+    k = 0
+    out = np.full(len(sq), sentinel, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, avail[1:] != avail[:-1]])
+    bounds = np.r_[starts[1:], len(sq)]
+    for g0, g1 in zip(starts, bounds):
+        a = int(avail[g0])
+        while k < a:
+            v = cl[k]
+            while top and s_val[top - 1] >= v:
+                top -= 1
+            s_val[top] = v
+            s_pos[top] = ci[k]
+            top += 1
+            k += 1
+        if top:
+            j = np.searchsorted(s_val[:top], sl[g0:g1], side="left") - 1
+            out[g0:g1] = np.where(
+                j >= 0, s_pos[np.maximum(j, 0)], sentinel
+            )
+    res[order] = out
+    return res
+
+
 def _ansv_resolve(cand_i, cand_l, n_suffixes: int):
     """Executor-side fix-up of the partition-unresolved PSV/NSV edges.
 
     ``cand_i``/``cand_l`` are the GLOBAL candidate stacks (every
-    partition's prefix/suffix minima, <= one entry per distinct LCP
-    value per partition side — control-plane sized), sorted by edge
-    index and captured in the task closure; ``n_suffixes`` supplies the
-    right sentinel. The pending set itself is NOT bounded — on a
-    boilerplate corpus an equal-LCP plateau that is its partition's
-    prefix minimum leaves EVERY edge of the run pending, O(partition
-    size) — which is exactly why it must never be collected: this
-    resolver runs where those rows already live, as a chunked
-    vectorized numpy mask over the (pending-chunk x candidate) grid.
-    The candidate axis is control-plane bounded, so total work is
-    O(pending) with a small constant and peak memory one chunk x
-    |cand| booleans. Semantics match the in-partition stack pass:
-    PSV = max candidate index < i with value < l (sentinel 0),
-    NSV = min candidate index > i with value < l (sentinel n) —
-    strictness on BOTH comparisons, so a same-partition stack entry
-    (which by pendingness has value >= l) can never win.
+    partition's prefix/suffix minima), sorted by edge index and captured
+    in the task closure; ``n_suffixes`` supplies the right sentinel.
+    Honest size accounting: each partition side emits <= one entry per
+    DISTINCT LCP value it contains, so |cand| <= 2 x npart x
+    distinct-LCP <= 2 x npart x maxlen — bounded by a DOCUMENT property
+    (the longest doc's token count), never by corpus size, but on a
+    staircase corpus (one token repeated n times: all LCP values
+    distinct) it does reach maxlen-sized, so nothing downstream may be
+    quadratic in |cand|. The pending set is worse — O(partition size)
+    on boilerplate plateaus — which is why it is never collected: this
+    resolver runs where those rows live. Each task drains its batches
+    (same memory class as the scan stage: one partition's fixed-width
+    edges) and runs one :func:`_nearest_smaller_sweep` per side —
+    O((P + C) + P log C) total, no grids.
+
+    Semantics match the in-partition stack pass: PSV = max candidate
+    index < i with value < l (sentinel 0), NSV = min candidate index > i
+    with value < l (sentinel n) — strictness on BOTH comparisons, so a
+    same-partition stack entry (which by pendingness has value >= l)
+    can never win.
     """
     import numpy as np
 
     ci = np.asarray(cand_i, dtype=np.int64)
     cl = np.asarray(cand_l, dtype=np.int64)
-    chunk = 8192
 
     def fn(pdf_iter):
-        import pandas as pd  # noqa: F401  (Arrow batch frames)
+        import pandas as pd
 
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            ii = pdf["i"].to_numpy()
-            ll = pdf["l"].to_numpy()
-            psv = pdf["psv"].to_numpy().copy()
-            nsv = pdf["nsv"].to_numpy().copy()
-            for vec, sentinel, is_left in (
-                (psv, np.int64(0), True),
-                (nsv, np.int64(n_suffixes), False),
-            ):
-                mask = vec == -1
-                if not mask.any():
-                    continue
-                qi = ii[mask]
-                ql = ll[mask]
-                res = np.full(len(qi), sentinel, dtype=np.int64)
-                for s in range(0, len(qi), chunk) if ci.size else ():
-                    e = min(s + chunk, len(qi))
-                    smaller = cl[None, :] < ql[s:e, None]
-                    if is_left:
-                        m = smaller & (ci[None, :] < qi[s:e, None])
-                        vals = np.where(m, ci[None, :], sentinel)
-                        hit = m.any(axis=1)
-                        res[s:e] = np.where(hit, vals.max(axis=1), sentinel)
-                    else:
-                        m = smaller & (ci[None, :] > qi[s:e, None])
-                        vals = np.where(m, ci[None, :], sentinel)
-                        hit = m.any(axis=1)
-                        res[s:e] = np.where(hit, vals.min(axis=1), sentinel)
-                vec[mask] = res
-            out = pdf.copy()
-            out["psv"] = psv
-            out["nsv"] = nsv
-            yield out
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        ii = pdf["i"].to_numpy()
+        ll = pdf["l"].to_numpy()
+        psv = pdf["psv"].to_numpy().copy()
+        nsv = pdf["nsv"].to_numpy().copy()
+        pq = np.flatnonzero(psv == -1)
+        if pq.size:
+            psv[pq] = _nearest_smaller_sweep(
+                ci, cl, ii[pq], ll[pq], sentinel=np.int64(0)
+            )
+        nq = np.flatnonzero(nsv == -1)
+        if nq.size:
+            # NSV = PSV under index negation (reverse so ci stays sorted)
+            nsv[nq] = -_nearest_smaller_sweep(
+                -ci[::-1], cl[::-1], -ii[nq], ll[nq],
+                sentinel=np.int64(-n_suffixes),
+            )
+        pdf["psv"] = psv
+        pdf["nsv"] = nsv
+        yield pdf
 
     return fn
 
@@ -823,28 +887,30 @@ def lcp_interval_census(
     place for per-row sequential logic — no window function expresses
     a data-dependent stack), and a boundary merge split by what is
     actually bounded: the CANDIDATE stacks (strictly increasing, <= one
-    entry per distinct LCP value per partition side) are control-plane
-    sized and are the only thing the driver collects; the PENDING set —
-    every edge whose PSV/NSV lies outside its partition — is NOT
-    bounded (an equal-LCP plateau that is its partition's prefix
-    minimum pends in full, O(partition size) on boilerplate corpora),
-    so it is resolved executor-side by :func:`_ansv_resolve`, a second
-    mapInPandas over the kind-0 frame with the candidate list in its
-    closure. The driver never materializes a kind-0 row. Memory: the
-    scan holds one partition's edges (n / #partitions fixed-width
-    rows); the resolver one Arrow batch plus the candidate arrays.
+    entry per distinct LCP value per partition side — so <= 2 x npart x
+    maxlen, a document-property bound that a staircase corpus does
+    reach) are the only thing the driver collects; the PENDING set —
+    every edge whose PSV/NSV lies outside its partition — is worse, NOT
+    bounded by any document property (an equal-LCP plateau that is its
+    partition's prefix minimum pends in full, O(partition size) on
+    boilerplate corpora), so it is resolved executor-side by
+    :func:`_ansv_resolve`, a second mapInPandas over the kind-0 frame
+    with the candidate list in its closure, via the offline
+    :func:`_nearest_smaller_sweep` — linear-ish in BOTH pending and
+    candidate counts, never their product. The driver never
+    materializes a kind-0 row. Memory: scan and resolver each hold one
+    partition's edges (n / #partitions fixed-width rows) plus, in the
+    resolver, the candidate arrays and an O(|cand|) stack.
 
     Output: (len_tokens, n_nodes, total_occ), one row per length.
     """
     if min_len < 1:
         raise ValueError("min_len must be >= 1")
     spark = docs.sparkSession
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        base, toks, tables, lcps = _suffix_pipeline(docs, id_col, text_col)
-        n_suffixes = toks.count()
+    with _suffix_build_confs(spark):
+        base, toks, tables, lcps, n_suffixes = _suffix_pipeline(
+            docs, id_col, text_col
+        )
 
         edges = lcps.select("i", F.col("lcp").alias("l"))
         # the tuned data-derived count _suffix_pipeline installed
@@ -897,6 +963,3 @@ def lcp_interval_census(
                 F.col("total_occ").cast("long"),
             )
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", sp)

@@ -79,6 +79,10 @@ def test_bench_local_record_path_never_clobbers_derived(tmp_path):
     (tmp_path / "BENCH_LOCAL_r09.json").write_text("{}")
     got = bench.local_record_path(d, None)
     assert got.endswith("BENCH_LOCAL_r09.driver.json")
+    # a SECOND derived-tag run must not clobber the first diversion
+    (tmp_path / "BENCH_LOCAL_r09.driver.json").write_text("{}")
+    got = bench.local_record_path(d, None)
+    assert got.endswith("BENCH_LOCAL_r09.driver2.json")
     # explicit tag keeps the plain name even when the file exists
     assert bench.local_record_path(d, "r09").endswith("BENCH_LOCAL_r09.json")
     # no BENCH_r files at all: round zero

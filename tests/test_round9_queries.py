@@ -411,3 +411,58 @@ class TestLcpIntervalCensusUnit:
         n_at_top = next(r[1] for r in census if r[0] == top_len)
         got = _repeats(spark, pairs, 8, 50)
         assert n_at_top == sum(1 for r in got if r[1] == top_len)
+
+
+class TestAnsvSweepUnit:
+    def test_sweep_matches_brute_force(self):
+        # the executor-side boundary resolver's kernel: offline
+        # nearest-smaller-with-threshold, both sides, fuzzed against an
+        # O(P x C) brute force (ties, empty candidate sets, duplicate
+        # query positions, thresholds off the value grid)
+        import numpy as np
+
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            _nearest_smaller_sweep,
+        )
+
+        rng = np.random.default_rng(11)
+        for trial in range(200):
+            n_c = int(rng.integers(0, 40))
+            n_q = int(rng.integers(1, 60))
+            ci = np.unique(rng.integers(0, 100, n_c)).astype(np.int64)
+            cl = rng.integers(0, 12, len(ci)).astype(np.int64)
+            qi = rng.integers(0, 100, n_q).astype(np.int64)
+            ql = rng.integers(0, 12, n_q).astype(np.int64)
+            psv = _nearest_smaller_sweep(ci, cl, qi, ql, np.int64(-777))
+            nsv = -_nearest_smaller_sweep(
+                -ci[::-1], cl[::-1], -qi, ql, np.int64(-999_999)
+            )
+            for q in range(n_q):
+                left = [c for c in range(len(ci)) if ci[c] < qi[q] and cl[c] < ql[q]]
+                right = [c for c in range(len(ci)) if ci[c] > qi[q] and cl[c] < ql[q]]
+                assert psv[q] == (ci[left[-1]] if left else -777), (trial, q)
+                assert nsv[q] == (ci[right[0]] if right else 999_999), (trial, q)
+
+    def test_sweep_is_not_quadratic_memory(self):
+        # staircase regression: |cand| is maxlen-sized there, so the
+        # resolver must never build a (pending x candidate) grid — the
+        # sweep handles 200k x 200k in well under a second and flat memory
+        import time
+
+        import numpy as np
+
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            _nearest_smaller_sweep,
+        )
+
+        n = 200_000
+        ci = np.arange(1, 2 * n, 2, dtype=np.int64)
+        cl = np.arange(n, dtype=np.int64)  # staircase values
+        qi = np.arange(2, 2 * n + 1, 2, dtype=np.int64)
+        ql = np.full(n, 1, dtype=np.int64)
+        t0 = time.time()
+        out = _nearest_smaller_sweep(ci, cl, qi, ql, np.int64(0))
+        dt = time.time() - t0
+        # the only candidate with value < 1 is index 1 (value 0)
+        assert (out == np.where(qi > 1, 1, 0)).all()
+        assert dt < 5.0, dt

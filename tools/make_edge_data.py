@@ -24,6 +24,12 @@ import duckdb
 
 SRC = "/root/testdata/sf0.001"
 
+#: degenerate suffix-structure shapes (round 10): the staircase (one
+#: token repeated — every suffix a prefix of every longer one) and the
+#: boilerplate block two docs share verbatim (constant-LCP plateaus)
+_STAIRCASE = ("dup " * 5000).strip()
+_BOILER = " ".join(f"boiler{i}" for i in range(24))
+
 EDGE_DOCS = [
     (9001, "", "en", "src_edge", 0),
     (9002, "word", "en", "src_edge", 4),
@@ -59,21 +65,11 @@ EDGE_DOCS = [
     # corpus-wide duplicate groups this drives constant-LCP plateaus,
     # the shape whose pending set is O(partition) inside the ANSV
     # range partitions (the executor-side resolver's worst case).
-    (9014, ("dup " * 5000).strip(), "en", "src_edge", 5000 * 4 - 1),
-    (
-        9015,
-        " ".join(f"boiler{i}" for i in range(24)) + " unique tail alpha",
-        "en",
-        "src_edge",
-        len(" ".join(f"boiler{i}" for i in range(24)) + " unique tail alpha"),
-    ),
-    (
-        9016,
-        "unique head beta " + " ".join(f"boiler{i}" for i in range(24)),
-        "en",
-        "src_edge",
-        len("unique head beta " + " ".join(f"boiler{i}" for i in range(24))),
-    ),
+    (9014, _STAIRCASE, "en", "src_edge", len(_STAIRCASE)),
+    (9015, _BOILER + " unique tail alpha", "en", "src_edge",
+     len(_BOILER + " unique tail alpha")),
+    (9016, "unique head beta " + _BOILER, "en", "src_edge",
+     len("unique head beta " + _BOILER)),
     (9010, "aa bb cc dd", "en", "src_same", 11),
     (9011, "ee ff gg hh", "en", "src_same", 11),
     (9012, "ee ff gg hh", "en", "src_same", 11),  # byte-identical to 9011
