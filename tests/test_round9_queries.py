@@ -466,3 +466,24 @@ class TestAnsvSweepUnit:
         # the only candidate with value < 1 is index 1 (value 0)
         assert (out == np.where(qi > 1, 1, 0)).all()
         assert dt < 5.0, dt
+
+
+class TestSuffixNpartUnit:
+    def test_three_regimes(self, spark):
+        # the data-derived partition count (r10 lever): floor 8, the
+        # ~100k-rows-per-task overhead regime capped at
+        # defaultParallelism, and the ~2M-row partition cap that takes
+        # over at scale regardless of cluster width
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            _suffix_npart,
+        )
+
+        dp = spark.sparkContext.defaultParallelism
+        assert _suffix_npart(0, spark) == 8
+        assert _suffix_npart(100, spark) == 8
+        # overhead regime: ceil(n/100k), capped at dp
+        assert _suffix_npart(1_500_000, spark) == max(8, min(dp, 15))
+        assert _suffix_npart(100_000_000, spark) == max(dp, 50)
+        # scale regime dominates: 10^10 tokens -> 5000 partitions even
+        # on a small cluster (a partition never holds more than ~2M rows)
+        assert _suffix_npart(10_000_000_000, spark) == 5000
