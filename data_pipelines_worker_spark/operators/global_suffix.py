@@ -898,7 +898,13 @@ def lcp_interval_census(
     with the candidate list in its closure, via the offline
     :func:`_nearest_smaller_sweep` — linear-ish in BOTH pending and
     candidate counts, never their product. The driver never
-    materializes a kind-0 row. Memory: scan and resolver each hold one
+    materializes a kind-0 row. If the candidate collect itself ever
+    outgrew the driver (it would take npart x maxlen ~ 10^10 — 100k
+    partitions of 100k-token documents), the same construction nests:
+    treat the candidate frame as the edge frame of a second, npart-fold
+    smaller ANSV round (range-exchange candidates, per-partition
+    stacks, collect only the stacks-of-stacks) — log-depth, classic
+    tree ANSV — rather than ever widening the single collect. Memory: scan and resolver each hold one
     partition's edges (n / #partitions fixed-width rows) plus, in the
     resolver, the candidate arrays and an O(|cand|) stack.
 
