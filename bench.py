@@ -29,9 +29,11 @@ def local_record_path(here: str, env_round: str | None) -> str:
     """Where this run's full per-query record lands.
 
     Explicit ``SPARK_GRAFT_ROUND`` wins and MAY overwrite (the builder's
-    deliberate recert flow). A DERIVED tag (max committed BENCH_r{N} + 1
-    — during a round-N run the driver writes BENCH_r{N} only after this
-    script, so the max on disk is N-1) never overwrites: the driver's
+    deliberate recert flow). A DERIVED tag (max ``BENCH_r{N}.json`` ON
+    DISK in the repo root + 1 — committed or not; during a round-N run
+    the driver writes BENCH_r{N} only after this script, so the max
+    present is normally N-1, but an untracked BENCH_r{N} advances the
+    derived round too) never overwrites: the driver's
     end-of-round run derives the same rN the builder already committed
     a local record under, and clobbered it in r08 (VERDICT r8 #1,
     hardcoded tag) and again in r09 (VERDICT r9 #2, derived tag) — on

@@ -1165,11 +1165,13 @@ def q_corpus_maximal_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 longest right-maximal repeated spans with exact occurrence
     counts and doc spread (``global_suffix.corpus_maximal_repeats`` —
     suffix-tree-internal-node enumeration from adjacent-pair LCPs,
-    deduplicated by integer rank-class keys BEFORE any span text is
-    materialized; counting = broadcast top-N equi-joined to the level-8
-    rank table + exact token-slice verify). The boilerplate-mining
-    table Lee et al. (ACL'22) report; unreachable by fixed-L gram joins
-    because node lengths are data-dependent and unbounded."""
+    deduplicated by the census's ANSV interval triple (l, psv, nsv)
+    BEFORE any span text is materialized — one join-free distinct pass;
+    n_occ is interval arithmetic, n_docs one broadcast interval join of
+    the top-N bounds against the dense order index). The
+    boilerplate-mining table Lee et al. (ACL'22) report; unreachable by
+    fixed-L gram joins because node lengths are data-dependent and
+    unbounded."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     from ..operators.global_suffix import corpus_maximal_repeats
 

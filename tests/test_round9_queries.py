@@ -279,14 +279,20 @@ class TestMaximalRepeatsUnit:
         top = max(_repeats(spark, pairs), key=lambda r: r[1])
         assert top == (" ".join([phrase] * 2), 16, 2, 1)
 
-    def test_min_len_below_base_is_rejected(self, spark):
-        # the class-key dedupe and count prefilter key on the level-8
-        # table: a silent min_len=3 would DROP every node shorter than 8
-        # (caught by the model comparison before the guard existed)
+    def test_min_len_below_base_now_supported(self, spark):
+        # the r10 class-key form rejected min_len < 8 (node identity
+        # keyed on the level-8 rank table); the r11 ANSV-interval form
+        # has no level dependence — sub-8 thresholds are exact now,
+        # checked against the literal model (and min_len < 1 still
+        # raises)
         import pytest as _pytest
 
+        pairs = [(1, "a b c a b c"), (2, "b c a b")]
+        for min_len in (1, 2, 3):
+            got = _repeats(spark, pairs, min_len, 20)
+            assert got == _repeats_model(pairs, min_len, 20), min_len
         with _pytest.raises(ValueError, match="min_len"):
-            _repeats(spark, [(1, "a b c a b c")], 3, 5)
+            _repeats(spark, [(1, "a b c a b c")], 0, 5)
 
     def test_matches_model_on_random_corpus(self, spark):
         import random
@@ -468,6 +474,57 @@ class TestAnsvSweepUnit:
         assert dt < 5.0, dt
 
 
+class TestDocsBroadcastSwap:
+    def test_shuffle_path_parity_with_broadcast_path(self, spark, monkeypatch):
+        # the 100 TB branch (VERDICT r10 #3): above _DOCS_BCAST_MAX_TOKENS
+        # the walk's sub-BASE residual joins swap from the whole-corpus
+        # token-array broadcast to doc-keyed shuffle equi-joins. Both
+        # paths must be result-identical — exercised on a corpus with
+        # non-multiple-of-8 LCPs (the residual actually binds), plateau
+        # duplicates, and a staircase, across all three suffix consumers.
+        from data_pipelines_worker_spark.operators import global_suffix as gs
+
+        pairs = [
+            (1, "a b c d e f g h i j k"),
+            (2, "x a b c d e f g h i j y"),
+            (3, "t " * 20 + "z"),
+            (4, "p q r s t u v w p q r s t u v w"),
+            (5, "a b c d e f g h i j k"),
+        ]
+        pairs = [(d, t.strip()) for d, t in pairs]
+        docs = spark.createDataFrame(pairs, "doc_id long, text string")
+
+        def snapshot():
+            reps = {
+                tuple(r)
+                for r in gs.corpus_maximal_repeats(
+                    docs, "doc_id", "text", 8, 20
+                ).collect()
+            }
+            spans = {
+                tuple(r)
+                for r in gs.corpus_repeated_span_stats(
+                    docs, "doc_id", "text", 8
+                ).collect()
+            }
+            census = {
+                tuple(r)
+                for r in gs.lcp_interval_census(
+                    docs, "doc_id", "text", 8
+                ).collect()
+            }
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            return reps, spans, census
+
+        bcast = snapshot()
+        monkeypatch.setattr(gs, "_DOCS_BCAST_MAX_TOKENS", 0)
+        shuffled = snapshot()
+        assert bcast == shuffled
+        assert bcast[0] and bcast[1] and bcast[2]
+
+
 class TestSuffixNpartUnit:
     def test_three_regimes(self, spark):
         # the data-derived partition count (r10 lever): floor 8, the
@@ -483,7 +540,9 @@ class TestSuffixNpartUnit:
         assert _suffix_npart(100, spark) == 8
         # overhead regime: ceil(n/100k), capped at dp
         assert _suffix_npart(1_500_000, spark) == max(8, min(dp, 15))
-        assert _suffix_npart(100_000_000, spark) == max(dp, 50)
+        # exact formula, valid at any host dp (ADVICE r10: max(dp, 50)
+        # only coincides with it while dp <= 1000)
+        assert _suffix_npart(100_000_000, spark) == max(8, min(dp, 1000), 50)
         # scale regime dominates: 10^10 tokens -> 5000 partitions even
         # on a small cluster (a partition never holds more than ~2M rows)
         assert _suffix_npart(10_000_000_000, spark) == 5000
