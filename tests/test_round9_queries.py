@@ -449,6 +449,46 @@ class TestAnsvSweepUnit:
                 assert psv[q] == (ci[left[-1]] if left else -777), (trial, q)
                 assert nsv[q] == (ci[right[0]] if right else 999_999), (trial, q)
 
+    def test_kernel_passthrough_columns_and_brute_force_psv_nsv(self, spark):
+        # the r11 generalization: _ansv_resolved_edges carries arbitrary
+        # extra long columns through BOTH Arrow stages (scan emits them
+        # on kind-0 rows, zeroed on kind-1; the resolver passes them
+        # untouched), and the resolved PSV/NSV must match an O(n^2)
+        # whole-array brute force regardless of how the range exchange
+        # split the edges. Fuzzed with duplicate values and plateaus.
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            _ansv_resolved_edges,
+            _suffix_build_confs,
+        )
+
+        rng = random.Random(7)
+        for trial in range(4):
+            n = rng.randint(1, 120)
+            ll = [rng.randint(0, 6) for _ in range(n)]
+            rows = [(i + 1, ll[i], 1000 + i, 7 * i) for i in range(n)]
+            edges = spark.createDataFrame(
+                rows, "i long, l long, rdoc long, rp long"
+            )
+            with _suffix_build_confs(spark):
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+                got = {
+                    r["i"]: (r["psv"], r["nsv"], r["rdoc"], r["rp"])
+                    for r in _ansv_resolved_edges(edges, n + 1, 0).collect()
+                }
+            assert len(got) == n, trial
+            for x in range(n):
+                lefts = [j + 1 for j in range(x) if ll[j] < ll[x]]
+                rights = [j + 1 for j in range(x + 1, n) if ll[j] < ll[x]]
+                exp = (lefts[-1] if lefts else 0, rights[0] if rights else n + 1)
+                assert got[x + 1] == (*exp, 1000 + x, 7 * x), (trial, x)
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+
     def test_sweep_is_not_quadratic_memory(self):
         # staircase regression: |cand| is maxlen-sized there, so the
         # resolver must never build a (pending x candidate) grid — the
