@@ -410,6 +410,17 @@ def _suffix_npart(n_tokens: int, spark) -> int:
 #: instead of shipping the whole corpus to every executor.
 _DOCS_BCAST_MAX_TOKENS = 16_000_000
 
+#: largest span-materialization boundary set (distinct nodes at the
+#: top lengths) that rides the repeats tail's endpoint/slice joins as
+#: a BROADCAST: ~1M fixed-width rows ~ 40-60 MB. The histogram that
+#: picks the cutoff also reports this size for free, so the gate costs
+#: nothing; above it the two joins run as plain idx-/doc-keyed shuffle
+#: equi-joins (output-shaped — each boundary row matches exactly one
+#: order row and one doc row), so a pathological corpus whose top
+#: length class alone holds millions of distinct spans can never force
+#: an unbounded broadcast.
+_BOUNDARY_BCAST_MAX_NODES = 1_000_000
+
 
 @contextmanager
 def _suffix_build_confs(spark):
@@ -607,16 +618,25 @@ def corpus_maximal_repeats(
     suffix-order interval, and nearest-strictly-smaller boundaries are
     exactly its maximal extent) — so a 10x-duplicated corpus's edge
     inflation collapses in ONE distinct pass with NO join at all, and
-    the occurrence count is interval arithmetic (nsv - psv), deleting
-    the count-back join entirely. Span text is materialized only for
-    the top-length boundary set: a <= maxlen-row length histogram
-    (control-plane) picks the smallest cutoff covering top_n nodes,
-    the (few) surviving nodes broadcast-join the token-array frame
-    once, and the final top-N by (length DESC, text) is a TakeOrdered
-    over that boundary set — never a single-partition window, never a
-    whole-corpus broadcast. ``n_docs`` joins the dense suffix-order
-    index: the top-N intervals (broadcast, <= top_n rows) against the
-    order frame's (idx, doc) — one parallel pass, output-shaped.
+    ``n_occ`` is pure interval arithmetic (nsv - psv): the count-back
+    join is gone. A node's representative endpoint comes from joining
+    its minimal edge index back to the dense suffix-order frame (edge
+    i's left suffix IS order index i), so document ids never enter the
+    ANSV kernel's Arrow schema — any id type works, as in the r10
+    form. Span text is materialized only for the top-length boundary
+    set: a <= maxlen-row length histogram (control-plane) picks the
+    smallest cutoff covering top_n nodes; the surviving nodes ride two
+    tiny-side joins (against the order frame for the endpoint, against
+    the token-array frame for the slice) — broadcast while the
+    histogram says the boundary is small, doc/idx-keyed shuffle
+    equi-joins above ``_BOUNDARY_BCAST_MAX_NODES`` (a corpus whose
+    top length class alone holds millions of distinct spans), so no
+    unbounded frame is ever forced through a broadcast. The final
+    top-N by (length DESC, text) is a TakeOrdered over that boundary
+    set — never a single-partition window. ``n_docs`` joins the dense
+    suffix-order index: the top-N interval bounds (broadcast,
+    <= top_n rows ALWAYS — post-limit) against the order frame's
+    (idx, doc) — one parallel pass, output-shaped.
 
     Output: (span, len_tokens, n_occ, n_docs), n_occ >= 2 by
     construction. ``min_len`` >= 1 (the ANSV node identity needs no
@@ -632,27 +652,21 @@ def corpus_maximal_repeats(
         base, toks, tables, sa, lcps, n_suffixes = _suffix_pipeline(
             docs, id_col, text_col
         )
-        # each edge carries its left endpoint as the node's candidate
-        # representative; min() over the interval group makes the pick
-        # deterministic (any member works: every suffix in the interval
-        # has the span as its l-token prefix)
         resolved = _ansv_resolved_edges(
-            lcps.select(
-                "i", F.col("lcp").alias("l"),
-                F.col("adoc").alias("rdoc"), F.col("apos").alias("rp"),
-            ),
-            n_suffixes,
-            min_len,
+            lcps.select("i", F.col("lcp").alias("l")), n_suffixes, min_len
         )
+        # min edge index = deterministic representative (any member
+        # suffix of the interval has the span as its l-token prefix)
         nodes = (
             resolved.groupBy("l", "psv", "nsv")
-            .agg(F.min(F.struct("rdoc", "rp")).alias("rep"))
+            .agg(F.min("i").alias("ri"))
             .localCheckpoint()
         )
 
         # control-plane cutoff: smallest length whose descending
         # cumulative node count covers top_n — the global top-N by
-        # (l DESC, span) is provably inside {l >= cutoff}
+        # (l DESC, span) is provably inside {l >= cutoff}; cum IS the
+        # boundary-set size, which decides the join strategy below
         hist = sorted(
             ((r["l"], r["n"]) for r in
              nodes.groupBy("l").agg(F.count("*").alias("n")).collect()),
@@ -664,19 +678,28 @@ def corpus_maximal_repeats(
             if cum >= top_n:
                 break
         boundary = nodes.where(F.col("l") >= cutoff)
+        small = cum <= _BOUNDARY_BCAST_MAX_NODES
+        if small:
+            boundary = F.broadcast(boundary)
 
+        # edge ri's left endpoint: suffix-order row idx == ri
+        reps = boundary.join(
+            sa.select("idx", F.col("doc").alias("_rd"), F.col("p").alias("_rp")),
+            F.col("ri") == F.col("idx"),
+        ).select("l", "psv", "nsv", "_rd", "_rp")
+        if small:
+            reps = F.broadcast(reps)
         top = (
-            base.join(
-                F.broadcast(boundary), F.col("doc") == F.col("rep.rdoc")
-            )
+            base.join(reps, F.col("doc") == F.col("_rd"))
             .select(
                 F.concat_ws(
-                    " ", F.slice("w", F.col("rep.rp"), F.col("l"))
+                    " ", F.slice("w", F.col("_rp"), F.col("l"))
                 ).alias("span"),
                 "l", "psv", "nsv",
             )
             .orderBy(F.col("l").desc(), "span")
             .limit(top_n)
+            .withColumn("n_occ", F.col("nsv") - F.col("psv"))
         )
 
         counted = (
@@ -685,11 +708,8 @@ def corpus_maximal_repeats(
                 F.broadcast(top),
                 (F.col("idx") > F.col("psv")) & (F.col("idx") <= F.col("nsv")),
             )
-            .groupBy("span", "l")
-            .agg(
-                F.count("*").alias("n_occ"),
-                F.countDistinct("doc").alias("n_docs"),
-            )
+            .groupBy("span", "l", "n_occ")
+            .agg(F.countDistinct("doc").alias("n_docs"))
         )
         return counted.select(
             "span",
@@ -703,19 +723,18 @@ def _ansv_scan(pdf_iter):
     """Per-partition monotonic-stack pass of the distributed
     all-nearest-smaller-values kernel (see :func:`lcp_interval_census`).
 
-    Input batches: (i, l, *extra) sorted by i within the partition —
-    any extra columns (e.g. the representative endpoint the maximal-
-    repeats consumer carries) pass through untouched on the kind-0
-    rows. Emits one row per edge with partition-LOCAL PSV/NSV edge
-    indices (-1 when the answer lies outside the partition) plus
-    `kind` 1 rows carrying the partition's LEFT-facing candidate stack
-    (the right-to-left prefix minima — the only edges that can ever
-    answer a later partition's pending PSV; symmetrically usable for
-    earlier partitions' NSV), extras zeroed. The stack is at most one
-    entry per distinct l value (~log-size on organic LCP arrays,
-    <= maxlen always) — control-plane sized. Output column order is
-    (kind, i, l, psv, nsv, *extra-in-input-order) — callers build the
-    mapInPandas schema the same way (:func:`_ansv_resolved_edges`).
+    Input batches: (i, l) sorted by i within the partition. Emits one
+    row per edge with partition-LOCAL PSV/NSV edge indices (-1 when the
+    answer lies outside the partition) plus `kind` 1 rows carrying the
+    partition's LEFT-facing candidate stack (the right-to-left prefix
+    minima — the only edges that can ever answer a later partition's
+    pending PSV; symmetrically usable for earlier partitions' NSV).
+    The stack is at most one entry per distinct l value (~log-size on
+    organic LCP arrays, <= maxlen always) — control-plane sized.
+    Deliberately narrow: edges carry NO document columns, so document
+    id types never enter the Arrow schema (consumers that need a
+    node's representative endpoint join the edge index back to the
+    suffix-order frame instead — :func:`corpus_maximal_repeats`).
     """
     import pandas as pd
 
@@ -723,7 +742,6 @@ def _ansv_scan(pdf_iter):
     if not parts:  # empty range partition (edge count < npart, or a
         return  # sampled bound equal to the max key) — emit nothing
     rows = pd.concat(parts, ignore_index=True)
-    extra = [c for c in rows.columns if c not in ("i", "l")]
     n = len(rows)
     ii = rows["i"].to_numpy()
     ll = rows["l"].to_numpy()
@@ -745,13 +763,12 @@ def _ansv_scan(pdf_iter):
             nsv[x] = int(ii[stack[-1]])
         stack.append(x)
     right_stack = [(int(ii[x]), int(ll[x])) for x in stack]
-    out = pd.DataFrame({"kind": 0, "i": ii, "l": ll, "psv": psv, "nsv": nsv})
-    for c in extra:
-        out[c] = rows[c].to_numpy()
-    yield out
+    yield pd.DataFrame(
+        {"kind": 0, "i": ii, "l": ll, "psv": psv, "nsv": nsv}
+    )
     bnd = left_stack + right_stack
     if bnd:
-        b = pd.DataFrame(
+        yield pd.DataFrame(
             {
                 "kind": 1,
                 "i": [x[0] for x in bnd],
@@ -760,9 +777,6 @@ def _ansv_scan(pdf_iter):
                 "nsv": -1,
             }
         )
-        for c in extra:
-            b[c] = 0
-        yield b
 
 
 def _nearest_smaller_sweep(ci, cl, qi, ql, sentinel):
@@ -848,7 +862,7 @@ def _ansv_resolve(cand_bc, n_suffixes: int):
     index < i with value < l (sentinel 0), NSV = min candidate index > i
     with value < l (sentinel n) — strictness on BOTH comparisons, so a
     same-partition stack entry (which by pendingness has value >= l)
-    can never win. Extra input columns pass through untouched.
+    can never win.
     """
 
     def fn(pdf_iter):
@@ -891,16 +905,20 @@ def _ansv_resolved_edges(
     """Distributed ANSV over an LCP-edge frame — the shared kernel of
     :func:`lcp_interval_census` and :func:`corpus_maximal_repeats`.
 
-    ``edges``: (i, l, *extra) — edge index, LCP value, any passthrough
-    columns (must be long-typed). One range exchange on i, the
+    ``edges``: (i, l) — edge index and LCP value, nothing else (keeping
+    document columns out of the kernel keeps the Arrow schema free of
+    any doc-id type assumption). One range exchange on i, the
     per-partition monotonic-stack scan (:func:`_ansv_scan`, one
     Arrow-batched mapInPandas), a candidate-stacks-ONLY driver collect
     (provably <= 2 x npart x distinct-LCP rows — the pending set never
     reaches the driver), and the executor-side resolver
     (:func:`_ansv_resolve`, candidates shipped per-executor via a
-    broadcast). Returns the resolved frame
-    (i, l, psv, nsv, *extra) filtered to l >= ``min_len`` — the filter
-    runs BELOW the resolver so it never fixes up edges nobody wants.
+    broadcast; like any execution broadcast its blocks live until the
+    plan is garbage-collected — it cannot be destroyed eagerly because
+    the returned plan executes lazily, and the harnesses' inter-query
+    gc pass is what reclaims it). Returns the resolved frame
+    (i, l, psv, nsv) filtered to l >= ``min_len`` — the filter runs
+    BELOW the resolver so it never fixes up edges nobody wants.
 
     Caller contract: call inside :func:`_suffix_build_confs` with
     spark.sql.shuffle.partitions already set by
@@ -908,16 +926,14 @@ def _ansv_resolved_edges(
     edge indices with sentinels 0 / n_suffixes.
     """
     spark = edges.sparkSession
-    extra = [c for c in edges.columns if c not in ("i", "l")]
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         edges.repartitionByRange(npart, F.col("i"))
         .sortWithinPartitions("i")
         .localCheckpoint()
     )
-    tail = "".join(f", {c} long" for c in extra)
     scanned = d.mapInPandas(
-        _ansv_scan, "kind int, i long, l long, psv long, nsv long" + tail
+        _ansv_scan, "kind int, i long, l long, psv long, nsv long"
     ).localCheckpoint()
 
     # control-plane boundary merge, candidates ONLY: the driver
@@ -938,10 +954,10 @@ def _ansv_resolved_edges(
     )
     return (
         scanned.where((F.col("kind") == 0) & (F.col("l") >= min_len))
-        .select("i", "l", "psv", "nsv", *extra)
+        .select("i", "l", "psv", "nsv")
         .mapInPandas(
             _ansv_resolve(cand_bc, n_suffixes),
-            "i long, l long, psv long, nsv long" + tail,
+            "i long, l long, psv long, nsv long",
         )
     )
 

@@ -1031,15 +1031,21 @@ class TestCorpusMaximalRepeats:
         # tail over the FROZEN distinct-node checkpoint. Pinned join
         # census: EXACTLY one BroadcastNestedLoopJoin — the DELIBERATE
         # top-N interval count (<= top_n broadcast rows of interval
-        # bounds against the dense order index; one parallel pass, zero
-        # exchange of the corpus side — the correct 100 TB plan for a
-        # tiny-side range join, not a fallback) — and exactly three
-        # broadcast equi-joins (suffix_order's stripe offsets, the
-        # per-doc lens, the boundary-node span fetch). No rank-table
-        # join survives anywhere, node extraction is join-free, no
-        # Python in the returned plan (the ANSV stages ran eagerly into
-        # checkpoints), the top-N is a TakeOrdered (never a
-        # single-partition window), and every leaf is frozen.
+        # bounds against the dense order index; ALWAYS post-limit, so
+        # the broadcast side is bounded by top_n at any corpus size;
+        # one parallel pass, zero exchange of the corpus side — the
+        # correct 100 TB plan for a tiny-side range join, not a
+        # fallback) — and exactly six broadcast equi-joins: the order
+        # frame's stripe offsets + per-doc lens (x2, the order frame is
+        # referenced for both the endpoint fetch and the count), the
+        # boundary-node endpoint join, and the span-slice fetch (the
+        # latter two gated: above _BOUNDARY_BCAST_MAX_NODES they become
+        # shuffle equi-joins instead of unbounded broadcasts). No
+        # rank-table join survives anywhere, node extraction is
+        # join-free, document ids never enter the kernel's Arrow
+        # schema, no Python in the returned plan (the ANSV stages ran
+        # eagerly into checkpoints), the top-N is a TakeOrdered (never
+        # a single-partition window), and every leaf is frozen.
         plan = plan_of(q(registry, "corpus_maximal_repeats", spark))
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
@@ -1047,7 +1053,7 @@ class TestCorpusMaximalRepeats:
         assert "MapInPandas" not in plan
         assert "FileScan parquet" not in plan
         assert plan.count("BroadcastNestedLoopJoin") == 1
-        assert plan.count("BroadcastHashJoin") == 3
+        assert plan.count("BroadcastHashJoin") == 6
         assert "TakeOrdered" in plan
         assert "Scan ExistingRDD" in plan
         spark.catalog.clearCache()

@@ -294,6 +294,29 @@ class TestMaximalRepeatsUnit:
         with _pytest.raises(ValueError, match="min_len"):
             _repeats(spark, [(1, "a b c a b c")], 0, 5)
 
+    def test_string_doc_ids_supported(self, spark):
+        # r11 review regression guard: document ids never enter the
+        # ANSV kernel's Arrow schema (the representative endpoint is
+        # fetched by joining the edge index back to the order frame),
+        # so non-long id types work exactly as they did in the r10 form
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            corpus_maximal_repeats,
+        )
+
+        pairs = [
+            ("doc-a", "a b c d e f g h i j k"),
+            ("doc-b", "x a b c d e f g h i j y"),
+        ]
+        df = spark.createDataFrame(pairs, "doc_id string, text string")
+        got = {
+            (r.span, r.len_tokens, r.n_occ, r.n_docs)
+            for r in corpus_maximal_repeats(df, "doc_id", "text", 8, 20).collect()
+        }
+        assert got == _repeats_model(pairs, 8, 20)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     def test_matches_model_on_random_corpus(self, spark):
         import random
 
@@ -449,16 +472,14 @@ class TestAnsvSweepUnit:
                 assert psv[q] == (ci[left[-1]] if left else -777), (trial, q)
                 assert nsv[q] == (ci[right[0]] if right else 999_999), (trial, q)
 
-    def test_kernel_passthrough_columns_and_brute_force_psv_nsv(self, spark):
-        # the r11 generalization: _ansv_resolved_edges carries arbitrary
-        # extra long columns through BOTH Arrow stages (scan emits them
-        # on kind-0 rows, zeroed on kind-1; the resolver passes them
-        # untouched), and the resolved PSV/NSV must match an O(n^2)
-        # whole-array brute force regardless of how the range exchange
-        # split the edges. Fuzzed with duplicate values and plateaus.
+    def test_distributed_kernel_matches_brute_force_psv_nsv(self, spark):
+        # the full distributed kernel (_ansv_resolved_edges: range
+        # exchange -> per-partition stack scan -> candidate-only
+        # collect -> broadcast-shipped executor resolve): resolved
+        # global PSV/NSV must match an O(n^2) whole-array brute force
+        # regardless of how the range exchange split the edges. Fuzzed
+        # with duplicate values and plateaus.
         import random
-
-        from pyspark.sql import functions as F
 
         from data_pipelines_worker_spark.operators.global_suffix import (
             _ansv_resolved_edges,
@@ -469,14 +490,13 @@ class TestAnsvSweepUnit:
         for trial in range(4):
             n = rng.randint(1, 120)
             ll = [rng.randint(0, 6) for _ in range(n)]
-            rows = [(i + 1, ll[i], 1000 + i, 7 * i) for i in range(n)]
             edges = spark.createDataFrame(
-                rows, "i long, l long, rdoc long, rp long"
+                [(i + 1, ll[i]) for i in range(n)], "i long, l long"
             )
             with _suffix_build_confs(spark):
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
                 got = {
-                    r["i"]: (r["psv"], r["nsv"], r["rdoc"], r["rp"])
+                    r["i"]: (r["psv"], r["nsv"])
                     for r in _ansv_resolved_edges(edges, n + 1, 0).collect()
                 }
             assert len(got) == n, trial
@@ -484,7 +504,7 @@ class TestAnsvSweepUnit:
                 lefts = [j + 1 for j in range(x) if ll[j] < ll[x]]
                 rights = [j + 1 for j in range(x + 1, n) if ll[j] < ll[x]]
                 exp = (lefts[-1] if lefts else 0, rights[0] if rights else n + 1)
-                assert got[x + 1] == (*exp, 1000 + x, 7 * x), (trial, x)
+                assert got[x + 1] == exp, (trial, x)
             spark.catalog.clearCache()
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()

@@ -106,7 +106,7 @@ HEADLINERS = {
     "suffix_array_ranks": "one doc exchange, O(log maxlen) in-partition window sorts, no joins",
     "corpus_repeated_spans": "per-doc reduction over the frozen per-position LCP frame (build is eager: one range exchange per doubling round)",
     "dedup_weighted_jaccard": "multiplicity expansion -> rarest-first prefix equi-join -> full expanded-set verify -> member lift",
-    "corpus_maximal_repeats": "broadcast top-N count join on level-8 class keys, token-slice verify, frozen leaves",
+    "corpus_maximal_repeats": "ANSV interval nodes (frozen), boundary-set endpoint/slice joins, one deliberate top-N interval BNLJ for n_docs; n_occ = nsv - psv",
 }
 
 
