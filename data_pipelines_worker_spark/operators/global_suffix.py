@@ -652,71 +652,98 @@ def corpus_maximal_repeats(
         base, toks, tables, sa, lcps, n_suffixes = _suffix_pipeline(
             docs, id_col, text_col
         )
-        resolved = _ansv_resolved_edges(
+        resolved, cand_bc = _ansv_resolved_edges(
             lcps.select("i", F.col("lcp").alias("l")), n_suffixes, min_len
         )
-        # min edge index = deterministic representative (any member
-        # suffix of the interval has the span as its l-token prefix)
-        nodes = (
-            resolved.groupBy("l", "psv", "nsv")
-            .agg(F.min("i").alias("ri"))
-            .localCheckpoint()
-        )
+        nodes = _interval_nodes(resolved)
+        # the node checkpoint above is EAGER and truncates lineage —
+        # the resolver can never re-run, so its candidate broadcast is
+        # reclaimed NOW instead of whenever the plan object is
+        # garbage-collected (ADVICE r11: long-lived sessions issuing
+        # many suffix queries otherwise accumulate broadcast blocks)
+        cand_bc.destroy()
+        return _repeats_tail(nodes, base, sa, min_len, top_n)
 
-        # control-plane cutoff: smallest length whose descending
-        # cumulative node count covers top_n — the global top-N by
-        # (l DESC, span) is provably inside {l >= cutoff}; cum IS the
-        # boundary-set size, which decides the join strategy below
-        hist = sorted(
-            ((r["l"], r["n"]) for r in
-             nodes.groupBy("l").agg(F.count("*").alias("n")).collect()),
-            reverse=True,
-        )
-        cutoff, cum = min_len, 0
-        for length, n in hist:
-            cutoff, cum = length, cum + n
-            if cum >= top_n:
-                break
-        boundary = nodes.where(F.col("l") >= cutoff)
-        small = cum <= _BOUNDARY_BCAST_MAX_NODES
-        if small:
-            boundary = F.broadcast(boundary)
 
-        # edge ri's left endpoint: suffix-order row idx == ri
-        reps = boundary.join(
-            sa.select("idx", F.col("doc").alias("_rd"), F.col("p").alias("_rp")),
-            F.col("ri") == F.col("idx"),
-        ).select("l", "psv", "nsv", "_rd", "_rp")
-        if small:
-            reps = F.broadcast(reps)
-        top = (
-            base.join(reps, F.col("doc") == F.col("_rd"))
-            .select(
-                F.concat_ws(
-                    " ", F.slice("w", F.col("_rp"), F.col("l"))
-                ).alias("span"),
-                "l", "psv", "nsv",
-            )
-            .orderBy(F.col("l").desc(), "span")
-            .limit(top_n)
-            .withColumn("n_occ", F.col("nsv") - F.col("psv"))
-        )
+def _interval_nodes(resolved: DataFrame) -> DataFrame:
+    """Distinct LCP-interval nodes from the resolved ANSV edge frame,
+    frozen into an (eager) localCheckpoint: node identity is the triple
+    (l, psv, nsv) — duplicate-edge inflation collapses in this ONE
+    join-free distinct — and the min edge index ``ri`` is the node's
+    deterministic representative (any member suffix of the interval has
+    the span as its l-token prefix). Shared by
+    :func:`corpus_maximal_repeats` and the phase probe
+    (tools/probe_repeats_phases.py)."""
+    return (
+        resolved.groupBy("l", "psv", "nsv")
+        .agg(F.min("i").alias("ri"))
+        .localCheckpoint()
+    )
 
-        counted = (
-            sa.select("idx", "doc")
-            .join(
-                F.broadcast(top),
-                (F.col("idx") > F.col("psv")) & (F.col("idx") <= F.col("nsv")),
-            )
-            .groupBy("span", "l", "n_occ")
-            .agg(F.countDistinct("doc").alias("n_docs"))
+
+def _repeats_tail(
+    nodes: DataFrame, base: DataFrame, sa: DataFrame, min_len: int, top_n: int
+) -> DataFrame:
+    """The output-shaped tail of :func:`corpus_maximal_repeats` over the
+    frozen node checkpoint: histogram-gated span materialization, the
+    top-N TakeOrdered, and the interval-bound occurrence count. Factored
+    out (ADVICE r11) so tools/probe_repeats_phases.py times THIS code —
+    the probe's phase C is this function, not a re-implementation that
+    could silently diverge from the operator."""
+    # control-plane cutoff: smallest length whose descending
+    # cumulative node count covers top_n — the global top-N by
+    # (l DESC, span) is provably inside {l >= cutoff}; cum IS the
+    # boundary-set size, which decides the join strategy below
+    hist = sorted(
+        ((r["l"], r["n"]) for r in
+         nodes.groupBy("l").agg(F.count("*").alias("n")).collect()),
+        reverse=True,
+    )
+    cutoff, cum = min_len, 0
+    for length, n in hist:
+        cutoff, cum = length, cum + n
+        if cum >= top_n:
+            break
+    boundary = nodes.where(F.col("l") >= cutoff)
+    small = cum <= _BOUNDARY_BCAST_MAX_NODES
+    if small:
+        boundary = F.broadcast(boundary)
+
+    # edge ri's left endpoint: suffix-order row idx == ri
+    reps = boundary.join(
+        sa.select("idx", F.col("doc").alias("_rd"), F.col("p").alias("_rp")),
+        F.col("ri") == F.col("idx"),
+    ).select("l", "psv", "nsv", "_rd", "_rp")
+    if small:
+        reps = F.broadcast(reps)
+    top = (
+        base.join(reps, F.col("doc") == F.col("_rd"))
+        .select(
+            F.concat_ws(
+                " ", F.slice("w", F.col("_rp"), F.col("l"))
+            ).alias("span"),
+            "l", "psv", "nsv",
         )
-        return counted.select(
-            "span",
-            F.col("l").cast("long").alias("len_tokens"),
-            F.col("n_occ").cast("long"),
-            F.col("n_docs").cast("long"),
+        .orderBy(F.col("l").desc(), "span")
+        .limit(top_n)
+        .withColumn("n_occ", F.col("nsv") - F.col("psv"))
+    )
+
+    counted = (
+        sa.select("idx", "doc")
+        .join(
+            F.broadcast(top),
+            (F.col("idx") > F.col("psv")) & (F.col("idx") <= F.col("nsv")),
         )
+        .groupBy("span", "l", "n_occ")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+    )
+    return counted.select(
+        "span",
+        F.col("l").cast("long").alias("len_tokens"),
+        F.col("n_occ").cast("long"),
+        F.col("n_docs").cast("long"),
+    )
 
 
 def _ansv_scan(pdf_iter):
@@ -899,39 +926,38 @@ def _ansv_resolve(cand_bc, n_suffixes: int):
     return fn
 
 
-def _ansv_resolved_edges(
-    edges: DataFrame, n_suffixes: int, min_len: int
-) -> DataFrame:
-    """Distributed ANSV over an LCP-edge frame — the shared kernel of
-    :func:`lcp_interval_census` and :func:`corpus_maximal_repeats`.
+def _ansv_exchange(edges: DataFrame) -> DataFrame:
+    """Phase one of the distributed ANSV kernel: ONE range exchange of
+    the (i, l) edge frame on the edge index, sorted within partitions,
+    frozen into a localCheckpoint (the scan needs each partition to be
+    a contiguous, ordered slice of the global edge array). Split out so
+    the phase probe (tools/probe_repeats_phases.py) times EXACTLY the
+    operator's own code, never a re-implementation."""
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        edges.repartitionByRange(npart, F.col("i"))
+        .sortWithinPartitions("i")
+        .localCheckpoint()
+    )
 
-    ``edges``: (i, l) — edge index and LCP value, nothing else (keeping
-    document columns out of the kernel keeps the Arrow schema free of
-    any doc-id type assumption). One range exchange on i, the
+
+def _ansv_resolve_from(d: DataFrame, n_suffixes: int, min_len: int):
+    """Phases two+three of the distributed ANSV kernel, over an
+    already-exchanged edge frame (:func:`_ansv_exchange`): the
     per-partition monotonic-stack scan (:func:`_ansv_scan`, one
     Arrow-batched mapInPandas), a candidate-stacks-ONLY driver collect
     (provably <= 2 x npart x distinct-LCP rows — the pending set never
     reaches the driver), and the executor-side resolver
     (:func:`_ansv_resolve`, candidates shipped per-executor via a
-    broadcast; like any execution broadcast its blocks live until the
-    plan is garbage-collected — it cannot be destroyed eagerly because
-    the returned plan executes lazily, and the harnesses' inter-query
-    gc pass is what reclaims it). Returns the resolved frame
-    (i, l, psv, nsv) filtered to l >= ``min_len`` — the filter runs
-    BELOW the resolver so it never fixes up edges nobody wants.
-
-    Caller contract: call inside :func:`_suffix_build_confs` with
-    spark.sql.shuffle.partitions already set by
-    :func:`_suffix_pipeline`; every output row's (psv, nsv) are global
-    edge indices with sentinels 0 / n_suffixes.
-    """
-    spark = edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    d = (
-        edges.repartitionByRange(npart, F.col("i"))
-        .sortWithinPartitions("i")
-        .localCheckpoint()
-    )
+    broadcast). Returns ``(resolved, cand_bc)``: the resolved frame
+    (i, l, psv, nsv) filtered to l >= ``min_len`` (the filter runs
+    BELOW the resolver so it never fixes up edges nobody wants) plus
+    the candidate Broadcast handle, so a caller that materializes the
+    resolved frame eagerly can ``destroy()`` the broadcast the moment
+    its last consumer has executed (ADVICE r11) instead of leaving the
+    blocks to Spark's ContextCleaner."""
+    spark = d.sparkSession
     scanned = d.mapInPandas(
         _ansv_scan, "kind int, i long, l long, psv long, nsv long"
     ).localCheckpoint()
@@ -952,7 +978,7 @@ def _ansv_resolved_edges(
     cand_bc = spark.sparkContext.broadcast(
         ([c[0] for c in cand], [c[1] for c in cand])
     )
-    return (
+    resolved = (
         scanned.where((F.col("kind") == 0) & (F.col("l") >= min_len))
         .select("i", "l", "psv", "nsv")
         .mapInPandas(
@@ -960,6 +986,37 @@ def _ansv_resolved_edges(
             "i long, l long, psv long, nsv long",
         )
     )
+    return resolved, cand_bc
+
+
+def _ansv_resolved_edges(edges: DataFrame, n_suffixes: int, min_len: int):
+    """Distributed ANSV over an LCP-edge frame — the shared kernel of
+    :func:`lcp_interval_census` and :func:`corpus_maximal_repeats`;
+    the composition of :func:`_ansv_exchange` and
+    :func:`_ansv_resolve_from`.
+
+    ``edges``: (i, l) — edge index and LCP value, nothing else (keeping
+    document columns out of the kernel keeps the Arrow schema free of
+    any doc-id type assumption).
+
+    Returns ``(resolved, cand_bc)``. Broadcast reclamation contract
+    (ADVICE r11): a caller that forces the resolved frame eagerly
+    (``corpus_maximal_repeats`` checkpoints its node distinct) MUST
+    ``cand_bc.destroy()`` right after — the checkpoint truncates
+    lineage, so the resolver can never re-run. A caller that returns a
+    LAZY plan over the resolved frame (``lcp_interval_census``) must
+    leave the handle alive — the plan's resolver closure references it,
+    and Spark's ContextCleaner reclaims the blocks once the plan object
+    is garbage-collected driver-side; the per-invocation leak bound
+    until then is the candidate arrays, <= 2 x npart x distinct-LCP
+    longs (documented at the census's public docstring).
+
+    Caller contract: call inside :func:`_suffix_build_confs` with
+    spark.sql.shuffle.partitions already set by
+    :func:`_suffix_pipeline`; every output row's (psv, nsv) are global
+    edge indices with sentinels 0 / n_suffixes.
+    """
+    return _ansv_resolve_from(_ansv_exchange(edges), n_suffixes, min_len)
 
 
 def lcp_interval_census(
@@ -1017,6 +1074,17 @@ def lcp_interval_census(
     resolver, the candidate arrays and an O(|cand|) stack.
 
     Output: (len_tokens, n_nodes, total_occ), one row per length.
+
+    Resource note (ADVICE r11): the returned plan is LAZY and its
+    resolver closure references one SparkContext broadcast holding the
+    ANSV candidate arrays — <= 2 x npart x distinct-LCP longs, control-
+    plane sized. It cannot be destroyed eagerly here (the plan has not
+    executed yet); the blocks are reclaimed by Spark's ContextCleaner
+    once the returned DataFrame is garbage-collected driver-side, so a
+    long-lived session's leak bound is that candidate array per LIVE
+    census plan, not per invocation. (``corpus_maximal_repeats``, whose
+    resolver runs eagerly into a checkpoint, destroys its broadcast
+    before returning.)
     """
     if min_len < 1:
         raise ValueError("min_len must be >= 1")
@@ -1025,7 +1093,9 @@ def lcp_interval_census(
         base, toks, tables, _sa, lcps, n_suffixes = _suffix_pipeline(
             docs, id_col, text_col
         )
-        resolved = _ansv_resolved_edges(
+        # the broadcast handle stays alive inside the returned plan's
+        # resolver closure — see the resource note above
+        resolved, _cand_bc = _ansv_resolved_edges(
             lcps.select("i", F.col("lcp").alias("l")), n_suffixes, min_len
         )
         return (

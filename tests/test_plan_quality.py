@@ -1052,8 +1052,14 @@ class TestCorpusMaximalRepeats:
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert "FileScan parquet" not in plan
+        # the deliberate top-N interval count must be present and be the
+        # ONLY non-equi join; the equi-join tally is BOUNDED not pinned
+        # (ADVICE r11: a planner-rule change that legally reuses an
+        # exchange should not fail the suite) — at least one join
+        # materializes the spans, and anything above the six the r11
+        # census enumerated means a join class slipped back in
         assert plan.count("BroadcastNestedLoopJoin") == 1
-        assert plan.count("BroadcastHashJoin") == 6
+        assert 1 <= plan.count("BroadcastHashJoin") <= 6
         assert "TakeOrdered" in plan
         assert "Scan ExistingRDD" in plan
         spark.catalog.clearCache()

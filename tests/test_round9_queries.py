@@ -294,6 +294,48 @@ class TestMaximalRepeatsUnit:
         with _pytest.raises(ValueError, match="min_len"):
             _repeats(spark, [(1, "a b c a b c")], 0, 5)
 
+    def test_candidate_broadcast_destroyed_before_return(self, spark, monkeypatch):
+        # ADVICE r11: the ANSV candidate broadcast must be reclaimed as
+        # soon as the node checkpoint exists — a long-lived session
+        # issuing many suffix queries must not accumulate broadcast
+        # blocks. For corpus_maximal_repeats the destroy happens at
+        # plan-BUILD time (the resolver ran eagerly into the node
+        # checkpoint) and the returned plan must still execute
+        # correctly afterwards; lcp_interval_census returns a LAZY plan
+        # whose resolver closure references its broadcast, so it must
+        # NOT destroy (documented leak bound — ContextCleaner reclaims
+        # on plan gc).
+        from pyspark.broadcast import Broadcast
+
+        from data_pipelines_worker_spark.operators.global_suffix import (
+            corpus_maximal_repeats,
+            lcp_interval_census,
+        )
+
+        destroyed = []
+        orig = Broadcast.destroy
+
+        def spy(self, blocking=False):
+            destroyed.append(self)
+            return orig(self, blocking)
+
+        monkeypatch.setattr(Broadcast, "destroy", spy)
+        docs = spark.createDataFrame(
+            [(d, "a b c d e f g h i j") for d in range(6)],
+            "doc_id long, text string",
+        )
+        out = corpus_maximal_repeats(docs, "doc_id", "text", 8, 5)
+        assert destroyed, "candidate broadcast not destroyed at build time"
+        rows = {(r.span, r.len_tokens, r.n_occ, r.n_docs) for r in out.collect()}
+        assert ("a b c d e f g h i j", 10, 6, 6) in rows
+        n_before = len(destroyed)
+        census = lcp_interval_census(docs, "doc_id", "text", 8)
+        assert len(destroyed) == n_before, "census must not destroy eagerly"
+        assert census.count() > 0  # plan executes with live broadcast
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     def test_string_doc_ids_supported(self, spark):
         # r11 review regression guard: document ids never enter the
         # ANSV kernel's Arrow schema (the representative endpoint is
@@ -497,7 +539,7 @@ class TestAnsvSweepUnit:
                 spark.conf.set("spark.sql.shuffle.partitions", "8")
                 got = {
                     r["i"]: (r["psv"], r["nsv"])
-                    for r in _ansv_resolved_edges(edges, n + 1, 0).collect()
+                    for r in _ansv_resolved_edges(edges, n + 1, 0)[0].collect()
                 }
             assert len(got) == n, trial
             for x in range(n):

@@ -73,8 +73,8 @@ def _hygiene(spark) -> None:
     gc.collect()
 
 
-def time_warm(spark, fn, sf_dir: str) -> tuple[float, float]:
-    """(cold, warm) seconds via noop write — bench.py's protocol,
+def time_warm(spark, fn, sf_dir: str, n_warm: int = 3) -> tuple[float, list[float]]:
+    """(cold, warm_runs) seconds via noop write — bench.py's protocol,
     INCLUDING the inter-run hygiene bench.py has always done between
     the cold and warm executions (bench.py:113-122). Before r11 this
     probe skipped that step, so the warm run competed with the cold
@@ -87,14 +87,30 @@ def time_warm(spark, fn, sf_dir: str) -> tuple[float, float]:
     46.8 s vs hygiene-separated warm 18-23 s. A run's checkpoint
     blocks are its private state; the steady-state question the warm
     number answers (warm JIT/code caches, warm page cache) survives
-    the unpersist."""
+    the unpersist.
+
+    r12 (VERDICT r11 watch #1): ``n_warm`` hygiene-separated warm
+    executions, not one — the judge measured the 1x warm of identical
+    code/data ranging 7.8-11.0 s across idle-adjacent sessions, putting
+    +-0.5x error bars on any ratio quoted from a single (1x, Nx) pair.
+    Callers should ratio the MEDIANS and report the per-run lists; the
+    Nx ABSOLUTE wall-time remains the robust signal."""
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold = time.perf_counter() - t0
-    _hygiene(spark)
-    t1 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return cold, time.perf_counter() - t1
+    warms = []
+    for _ in range(n_warm):
+        _hygiene(spark)
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warms.append(time.perf_counter() - t1)
+    return cold, warms
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> int:
@@ -117,19 +133,27 @@ def main() -> int:
         build_replica(spark, src, out, n_copies)
         open(marker, "w").close()
 
-    print(f"{'query':32s} {'1x s':>8s} {f'{n_copies}x s':>8s} {'ratio':>6s}", flush=True)
+    print(
+        f"{'query':32s} {'1x med':>8s} {f'{n_copies}x med':>8s} {'ratio':>6s}"
+        "   per-run warms (s)",
+        flush=True,
+    )
     for name in names:
         if name not in registry:
             print(f"{name:32s} (unknown)", flush=True)
             continue
         fn, _ = registry[name]
         try:
-            _, w1 = time_warm(spark, fn, src)
+            _, w1s = time_warm(spark, fn, src)
             _hygiene(spark)
-            _, wN = time_warm(spark, fn, out)
+            _, wNs = time_warm(spark, fn, out)
             _hygiene(spark)
+            w1, wN = _median(w1s), _median(wNs)
+            runs1 = "/".join(f"{w:.2f}" for w in w1s)
+            runsN = "/".join(f"{w:.2f}" for w in wNs)
             print(
-                f"{name:32s} {w1:8.2f} {wN:8.2f} {wN / max(w1, 1e-9):5.1f}x",
+                f"{name:32s} {w1:8.2f} {wN:8.2f} {wN / max(w1, 1e-9):5.1f}x"
+                f"   1x[{runs1}] {n_copies}x[{runsN}]",
                 flush=True,
             )
         except Exception as ex:  # noqa: BLE001
