@@ -38,19 +38,31 @@ def main() -> int:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
     with gs._suffix_build_confs(spark):
-        toks = gs.corpus_tokens(docs, "doc_id", "text")
-        maxlen = toks.agg(F.max("p").alias("m")).collect()[0]["m"] or 0
-        n = toks.count()
+        base = (
+            docs.where(F.length("text") > 0)
+            .select(F.col("doc_id").alias("doc"), F.split("text", " ", -1).alias("w"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint()
+        )
+        lens = base.select("doc", F.size("w").alias("_len"))
+        agg = lens.agg(F.max("_len").alias("m"), F.sum("_len").alias("t")).collect()[0]
+        maxlen, n = agg["m"] or 0, int(agg["t"] or 0)
+        npart = gs._suffix_npart(n, spark)
+        spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+        toks = base.select("doc", F.posexplode("w").alias("p0", "tok")).select(
+            "doc", (F.col("p0") + 1).alias("p"), "tok"
+        )
         print(f"corpus: {n} suffixes, maxlen={maxlen} tokens", flush=True)
         t0 = time.perf_counter()
-        tables, _pairs = gs.corpus_suffix_tables(toks, maxlen=maxlen)
+        tables, _pairs = gs.corpus_suffix_tables(
+            toks, "doc", "p", "tok", maxlen=maxlen, npart=npart
+        )
         print(f"build: {time.perf_counter() - t0:.1f}s, "
               f"{len(tables)} tables at k={sorted(tables)}", flush=True)
 
         # rem = tokens remaining at this position (needed for the
         # provably-resolved stop rule: a tie class whose max rem <= k
         # is all-identical and can stop doubling)
-        lens = toks.groupBy("doc").agg(F.max("p").alias("_len"))
         for k in sorted(tables):
             t = tables[k].join(F.broadcast(lens), "doc").withColumn(
                 "rem", F.col("_len") - F.col("p") + 1
