@@ -41,9 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry is in exact newest-driver-check cohorts of 50
 # (judge-verified histogram: 50 x r08 + 50 x r09 + 50 x r10 + 50 x
 # r11), so below the changed-this-round block the list IS the
-# staleness order: the r08 cohort fills (most of) the r12 window, and
-# the rotation cycles with period 4 — any new query splices at the
-# marked insert point, after changed queries, displacing the tail.
+# staleness order: the r08 cohort fills (most of) the r12 window —
+# the spliced repeats displaces its alphabetical tail ("wrap_text",
+# which slips to r13 and stays at the r08 block's end) — and the
+# rotation cycles with period 4; any new query splices at the marked
+# insert point, after changed queries, displacing the tail.
 # The committed tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/
 # _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
 # for the tail the 50-slot window cannot reach.
@@ -53,57 +55,6 @@ _DRIVER_PRIORITY = (
     # newest driver hash-check is r09 = the pre-rebuild code ----------
     "corpus_maximal_repeats",
     # --- new r12 queries (never driver-checked) insert HERE -------------
-    # --- last driver-checked r07 (50 queries; heads the r11 window) ---
-    "cdc_chunking",
-    "dedup_allpairs_prefix",
-    "edit_distance_join",
-    "exact_percentiles",
-    "grouping_sets",
-    "interval_join_attribution",
-    "join_strings",
-    "jsonpath_scalar",
-    "jsonpath_wildcard_fanout",
-    "leakage_safe_split",
-    "length_histogram",
-    "lm_bigram_score",
-    "media_audio_chunk",
-    "media_frame_sample",
-    "media_image_phash",
-    "media_image_resize",
-    "media_image_stats",
-    "merkle_diff",
-    "mixture_sample",
-    "mixture_waterfill",
-    "pack_manifest",
-    "percentile_by_group",
-    "pii_redact",
-    "pipeline_e2e",
-    "planner_advice",
-    "probe_minhash_candidates",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_pred",
-    "q22_idle_customers",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "quality_score",
-    "range_join_binned",
-    "rendezvous_sharding",
-    "rollup_lineitem",
-    "schema_cast",
-    "semi_anti_join",
-    "sessionization",
-    "set_ops",
-    "stratified_sample",
-    "token_count",
-    "top_k_per_group",
-    "windowed_agg",
-    "word_frequencies",
-    "zip_merge_positional",
     # --- last driver-checked r08 (50 queries; reaches driver in r12) ---
     "agg_distinct",
     "ann_cosine_topk",
@@ -256,6 +207,57 @@ _DRIVER_PRIORITY = (
     "window_functions",
     "zone_map_pruning",
     "zorder_layout",
+    # --- last driver-checked r11 (the former-r07 cohort; freshest, so last) ---
+    "cdc_chunking",
+    "dedup_allpairs_prefix",
+    "edit_distance_join",
+    "exact_percentiles",
+    "grouping_sets",
+    "interval_join_attribution",
+    "join_strings",
+    "jsonpath_scalar",
+    "jsonpath_wildcard_fanout",
+    "leakage_safe_split",
+    "length_histogram",
+    "lm_bigram_score",
+    "media_audio_chunk",
+    "media_frame_sample",
+    "media_image_phash",
+    "media_image_resize",
+    "media_image_stats",
+    "merkle_diff",
+    "mixture_sample",
+    "mixture_waterfill",
+    "pack_manifest",
+    "percentile_by_group",
+    "pii_redact",
+    "pipeline_e2e",
+    "planner_advice",
+    "probe_minhash_candidates",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pred",
+    "q22_idle_customers",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "quality_score",
+    "range_join_binned",
+    "rendezvous_sharding",
+    "rollup_lineitem",
+    "schema_cast",
+    "semi_anti_join",
+    "sessionization",
+    "set_ops",
+    "stratified_sample",
+    "token_count",
+    "top_k_per_group",
+    "windowed_agg",
+    "word_frequencies",
+    "zip_merge_positional",
 )
 
 
