@@ -42,18 +42,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (judge-verified histogram: 50 x r08 + 50 x r09 + 50 x r10 + 50 x
 # r11), so below the changed-this-round block the list IS the
 # staleness order: the r08 cohort fills (most of) the r12 window —
-# the spliced repeats displaces its alphabetical tail ("wrap_text",
-# which slips to r13 and stays at the r08 block's end) — and the
-# rotation cycles with period 4; any new query splices at the marked
-# insert point, after changed queries, displacing the tail.
+# the two spliced suffix queries displace its alphabetical tail
+# (token_count_bpe, wrap_text slip to r13 at the r08 block's end) —
+# and the rotation cycles with period 4; any new query splices at the
+# marked insert point, after changed queries, displacing the tail.
 # The committed tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/
 # _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
 # for the tail the 50-slot window cannot reach.
 _DRIVER_PRIORITY = (
     # --- operator body changed in r11/r12 (jumps the queue; VERDICT r11
-    # #1): rebuilt in r11 on the ANSV kernel, tail refactored in r12 —
-    # newest driver hash-check is r09 = the pre-rebuild code ----------
+    # #1): repeats rebuilt in r11 on the ANSV kernel (newest driver
+    # hash-check r09 = the pre-rebuild code), and BOTH consumers of the
+    # kernel gained the r12 candidate-ship gate + tail refactor, so
+    # census jumps too. Displaced r08-cohort tail: token_count_bpe and
+    # wrap_text slip to r13. ------------------------------------------
     "corpus_maximal_repeats",
+    "lcp_interval_census",
     # --- new r12 queries (never driver-checked) insert HERE -------------
     # --- last driver-checked r08 (50 queries; reaches driver in r12) ---
     "agg_distinct",
@@ -139,7 +143,6 @@ _DRIVER_PRIORITY = (
     "incremental_dedup",
     "inverted_index_stats",
     "latest_snapshot",
-    "lcp_interval_census",
     "minhash_similarity_estimate",
     "mixture_temperature",
     "order_backlog_timeline",

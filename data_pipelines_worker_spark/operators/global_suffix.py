@@ -421,6 +421,35 @@ _DOCS_BCAST_MAX_TOKENS = 16_000_000
 #: an unbounded broadcast.
 _BOUNDARY_BCAST_MAX_NODES = 1_000_000
 
+#: largest ANSV candidate set (entries across both stack arrays) that
+#: ships to the resolver inside the UDF CLOSURE instead of a
+#: sparkContext broadcast. The r12 A/B (tools/ab_census_broadcast.py,
+#: SCALING.md r12) measured the broadcast's per-invocation setup at
+#: ~0.5 s while the candidate arrays at organic corpora are a few KB
+#: (<= 2 x npart x distinct-LCP entries; sf0.1: <= 6,400) — the
+#: broadcast only pays above ~half a MB of per-task re-serialization.
+#: 32,768 entries ~ 512 KB pickled per task; above it the arrays ship
+#: once per executor via broadcast exactly as r10's ADVICE required
+#: (a staircase corpus reaches 2 x npart x maxlen and must never ride
+#: every task's closure).
+_CAND_CLOSURE_MAX_ENTRIES = 32_768
+
+
+class _ClosureShip:
+    """Broadcast-shaped handle (.value / .destroy / .unpersist) for
+    candidate arrays small enough to ride the resolver's closure —
+    keeps :func:`_ansv_resolve` and the callers' reclamation contract
+    identical across both sides of :data:`_CAND_CLOSURE_MAX_ENTRIES`."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def destroy(self, blocking: bool = False) -> None:
+        self.value = None
+
+    def unpersist(self, blocking: bool = False) -> None:
+        return None
+
 
 @contextmanager
 def _suffix_build_confs(spark):
@@ -865,13 +894,16 @@ def _nearest_smaller_sweep(ci, cl, qi, ql, sentinel):
 def _ansv_resolve(cand_bc, n_suffixes: int):
     """Executor-side fix-up of the partition-unresolved PSV/NSV edges.
 
-    ``cand_bc`` is a ``sparkContext.broadcast`` whose value is the pair
-    of GLOBAL candidate-stack arrays (indices, values) — every
-    partition's prefix/suffix minima, sorted by edge index. A broadcast
-    rather than a closure capture so the arrays ship once per executor
-    instead of re-serializing into every task (they can reach
-    2 x npart x maxlen int64 entries on a staircase corpus);
-    ``n_suffixes`` supplies the right sentinel.
+    ``cand_bc`` is a broadcast-shaped handle (``.value``) — a
+    ``sparkContext.broadcast`` when the arrays exceed
+    :data:`_CAND_CLOSURE_MAX_ENTRIES` (they can reach 2 x npart x
+    maxlen int64 entries on a staircase corpus, and must then ship
+    once per executor, not re-serialize into every task), else a
+    :class:`_ClosureShip` riding this closure (KB-sized arrays — the
+    broadcast's per-invocation setup would dominate; r12 A/B). Its
+    value is the pair of GLOBAL candidate-stack arrays (indices,
+    values) — every partition's prefix/suffix minima, sorted by edge
+    index; ``n_suffixes`` supplies the right sentinel.
     Honest size accounting: each partition side emits <= one entry per
     DISTINCT LCP value it contains, so |cand| <= 2 x npart x
     distinct-LCP <= 2 x npart x maxlen — bounded by a DOCUMENT property
@@ -949,8 +981,11 @@ def _ansv_resolve_from(d: DataFrame, n_suffixes: int, min_len: int):
     Arrow-batched mapInPandas), a candidate-stacks-ONLY driver collect
     (provably <= 2 x npart x distinct-LCP rows — the pending set never
     reaches the driver), and the executor-side resolver
-    (:func:`_ansv_resolve`, candidates shipped per-executor via a
-    broadcast). Returns ``(resolved, cand_bc)``: the resolved frame
+    (:func:`_ansv_resolve`; the candidate arrays ship in the UDF
+    closure while <= :data:`_CAND_CLOSURE_MAX_ENTRIES` — KB-sized on
+    organic corpora, where a broadcast's setup cost dominates (r12
+    A/B) — and per-executor via ``sparkContext.broadcast`` above it).
+    Returns ``(resolved, cand_bc)``: the resolved frame
     (i, l, psv, nsv) filtered to l >= ``min_len`` (the filter runs
     BELOW the resolver so it never fixes up edges nobody wants) plus
     the candidate Broadcast handle, so a caller that materializes the
@@ -975,9 +1010,14 @@ def _ansv_resolve_from(d: DataFrame, n_suffixes: int, min_len: int):
         .distinct()
         .collect()
     )
-    cand_bc = spark.sparkContext.broadcast(
-        ([c[0] for c in cand], [c[1] for c in cand])
-    )
+    cand_arrays = ([c[0] for c in cand], [c[1] for c in cand])
+    # size-gated ship (r12 A/B: the broadcast's per-invocation setup
+    # costs ~0.5 s, which dominates while the arrays are KB-sized;
+    # above the gate they ship once per executor, never per task)
+    if 2 * len(cand) <= _CAND_CLOSURE_MAX_ENTRIES:
+        cand_bc = _ClosureShip(cand_arrays)
+    else:
+        cand_bc = spark.sparkContext.broadcast(cand_arrays)
     resolved = (
         scanned.where((F.col("kind") == 0) & (F.col("l") >= min_len))
         .select("i", "l", "psv", "nsv")
@@ -1076,15 +1116,17 @@ def lcp_interval_census(
     Output: (len_tokens, n_nodes, total_occ), one row per length.
 
     Resource note (ADVICE r11): the returned plan is LAZY and its
-    resolver closure references one SparkContext broadcast holding the
-    ANSV candidate arrays — <= 2 x npart x distinct-LCP longs, control-
-    plane sized. It cannot be destroyed eagerly here (the plan has not
-    executed yet); the blocks are reclaimed by Spark's ContextCleaner
-    once the returned DataFrame is garbage-collected driver-side, so a
-    long-lived session's leak bound is that candidate array per LIVE
-    census plan, not per invocation. (``corpus_maximal_repeats``, whose
-    resolver runs eagerly into a checkpoint, destroys its broadcast
-    before returning.)
+    resolver closure references the ANSV candidate arrays — <= 2 x
+    npart x distinct-LCP longs, control-plane sized. Below
+    :data:`_CAND_CLOSURE_MAX_ENTRIES` they ride the closure itself
+    (plain Python memory, freed with the plan); above it they are a
+    SparkContext broadcast that cannot be destroyed eagerly here (the
+    plan has not executed yet) — its blocks are reclaimed by Spark's
+    ContextCleaner once the returned DataFrame is garbage-collected
+    driver-side, so a long-lived session's leak bound is one candidate
+    array per LIVE census plan, not per invocation.
+    (``corpus_maximal_repeats``, whose resolver runs eagerly into a
+    checkpoint, destroys its handle before returning.)
     """
     if min_len < 1:
         raise ValueError("min_len must be >= 1")

@@ -294,44 +294,78 @@ class TestMaximalRepeatsUnit:
         with _pytest.raises(ValueError, match="min_len"):
             _repeats(spark, [(1, "a b c a b c")], 0, 5)
 
-    def test_candidate_broadcast_destroyed_before_return(self, spark, monkeypatch):
-        # ADVICE r11: the ANSV candidate broadcast must be reclaimed as
-        # soon as the node checkpoint exists — a long-lived session
-        # issuing many suffix queries must not accumulate broadcast
-        # blocks. For corpus_maximal_repeats the destroy happens at
-        # plan-BUILD time (the resolver ran eagerly into the node
-        # checkpoint) and the returned plan must still execute
-        # correctly afterwards; lcp_interval_census returns a LAZY plan
-        # whose resolver closure references its broadcast, so it must
-        # NOT destroy (documented leak bound — ContextCleaner reclaims
-        # on plan gc).
+    def test_candidate_handle_destroyed_before_return(self, spark, monkeypatch):
+        # ADVICE r11 + the r12 ship gate: the ANSV candidate handle
+        # must be reclaimed as soon as the node checkpoint exists — a
+        # long-lived session issuing many suffix queries must not
+        # accumulate broadcast blocks. Below _CAND_CLOSURE_MAX_ENTRIES
+        # no SparkContext broadcast may be created AT ALL (the r12 A/B
+        # measured its setup at ~0.5 s vs KB-sized closure arrays);
+        # above it (forced via the gate) the real Broadcast must be
+        # destroyed at plan-BUILD time (the resolver ran eagerly into
+        # the node checkpoint) and the returned plan must still execute
+        # correctly afterwards. lcp_interval_census returns a LAZY plan
+        # whose resolver closure references its handle, so it must NOT
+        # destroy (documented leak bound — ContextCleaner reclaims on
+        # plan gc).
+        from pyspark import SparkContext
         from pyspark.broadcast import Broadcast
 
-        from data_pipelines_worker_spark.operators.global_suffix import (
-            corpus_maximal_repeats,
-            lcp_interval_census,
-        )
+        from data_pipelines_worker_spark.operators import global_suffix as gs
 
-        destroyed = []
-        orig = Broadcast.destroy
+        sc_broadcasts, destroyed, ship_destroyed = [], [], []
+        orig_bc, orig_destroy = SparkContext.broadcast, Broadcast.destroy
+        orig_ship_destroy = gs._ClosureShip.destroy
 
-        def spy(self, blocking=False):
+        def bc_spy(self, value):
+            b = orig_bc(self, value)
+            sc_broadcasts.append(b)
+            return b
+
+        def destroy_spy(self, blocking=False):
             destroyed.append(self)
-            return orig(self, blocking)
+            return orig_destroy(self, blocking)
 
-        monkeypatch.setattr(Broadcast, "destroy", spy)
+        def ship_destroy_spy(self, blocking=False):
+            ship_destroyed.append(self)
+            return orig_ship_destroy(self, blocking)
+
+        monkeypatch.setattr(SparkContext, "broadcast", bc_spy)
+        monkeypatch.setattr(Broadcast, "destroy", destroy_spy)
+        monkeypatch.setattr(gs._ClosureShip, "destroy", ship_destroy_spy)
         docs = spark.createDataFrame(
             [(d, "a b c d e f g h i j") for d in range(6)],
             "doc_id long, text string",
         )
-        out = corpus_maximal_repeats(docs, "doc_id", "text", 8, 5)
+        expected = ("a b c d e f g h i j", 10, 6, 6)
+
+        # default: tiny candidate set -> closure ship, zero broadcasts,
+        # ship handle still reclaimed eagerly
+        out = gs.corpus_maximal_repeats(docs, "doc_id", "text", 8, 5)
+        assert not sc_broadcasts, "tiny candidate set must not broadcast"
+        assert ship_destroyed, "closure ship not reclaimed at build time"
+        rows = {(r.span, r.len_tokens, r.n_occ, r.n_docs) for r in out.collect()}
+        assert expected in rows
+
+        # forced-broadcast side of the gate: real Broadcast, destroyed
+        # at build time, plan still correct afterwards
+        monkeypatch.setattr(gs, "_CAND_CLOSURE_MAX_ENTRIES", 0)
+        out = gs.corpus_maximal_repeats(docs, "doc_id", "text", 8, 5)
+        assert sc_broadcasts, "gate at 0 must take the broadcast path"
         assert destroyed, "candidate broadcast not destroyed at build time"
         rows = {(r.span, r.len_tokens, r.n_occ, r.n_docs) for r in out.collect()}
-        assert ("a b c d e f g h i j", 10, 6, 6) in rows
-        n_before = len(destroyed)
-        census = lcp_interval_census(docs, "doc_id", "text", 8)
-        assert len(destroyed) == n_before, "census must not destroy eagerly"
-        assert census.count() > 0  # plan executes with live broadcast
+        assert expected in rows
+
+        # census: lazy plan, no eager destroy on either path
+        n_d, n_s = len(destroyed), len(ship_destroyed)
+        census = gs.lcp_interval_census(docs, "doc_id", "text", 8)
+        assert census.count() > 0  # executes with a live broadcast
+        monkeypatch.setattr(gs, "_CAND_CLOSURE_MAX_ENTRIES", 32_768)
+        census = gs.lcp_interval_census(docs, "doc_id", "text", 8)
+        assert census.count() > 0  # executes with a live closure ship
+        assert len(destroyed) == n_d and len(ship_destroyed) == n_s, (
+            "census must not destroy eagerly"
+        )
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
@@ -523,24 +557,32 @@ class TestAnsvSweepUnit:
         # with duplicate values and plateaus.
         import random
 
+        from data_pipelines_worker_spark.operators import global_suffix as gs
         from data_pipelines_worker_spark.operators.global_suffix import (
             _ansv_resolved_edges,
             _suffix_build_confs,
         )
 
         rng = random.Random(7)
+        gate_default = gs._CAND_CLOSURE_MAX_ENTRIES
         for trial in range(4):
             n = rng.randint(1, 120)
             ll = [rng.randint(0, 6) for _ in range(n)]
             edges = spark.createDataFrame(
                 [(i + 1, ll[i]) for i in range(n)], "i long, l long"
             )
-            with _suffix_build_confs(spark):
-                spark.conf.set("spark.sql.shuffle.partitions", "8")
-                got = {
-                    r["i"]: (r["psv"], r["nsv"])
-                    for r in _ansv_resolved_edges(edges, n + 1, 0)[0].collect()
-                }
+            # odd trials force the broadcast side of the candidate ship
+            # gate so BOTH transports go through the brute-force check
+            gs._CAND_CLOSURE_MAX_ENTRIES = 0 if trial % 2 else gate_default
+            try:
+                with _suffix_build_confs(spark):
+                    spark.conf.set("spark.sql.shuffle.partitions", "8")
+                    got = {
+                        r["i"]: (r["psv"], r["nsv"])
+                        for r in _ansv_resolved_edges(edges, n + 1, 0)[0].collect()
+                    }
+            finally:
+                gs._CAND_CLOSURE_MAX_ENTRIES = gate_default
             assert len(got) == n, trial
             for x in range(n):
                 lefts = [j + 1 for j in range(x) if ll[j] < ll[x]]
