@@ -110,7 +110,8 @@ _DRIVER_PRIORITY = (
     "text_replace",
     "token_count_bpe",
     "wrap_text",
-    # --- last driver-checked r09 (50 queries; reaches driver in r13) ---
+    # --- last driver-checked r09 (48 queries — the two suffix rows
+    # moved to the changed-block above; reaches driver in r13) ---
     "ann_cosine_topk_ivfpq",
     "ann_ivf_persisted",
     "ann_recall_at_k",
@@ -159,7 +160,7 @@ _DRIVER_PRIORITY = (
     "timeseries_resample",
     "training_shards",
     "vocab_richness",
-    # --- last driver-checked r10 (the former-r06 cohort; freshest, so last) ---
+    # --- last driver-checked r10 (the former-r06 cohort) ---
     "activity_streaks",
     "asof_join",
     "bloom_zone_skipping",

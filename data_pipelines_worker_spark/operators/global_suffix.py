@@ -1098,9 +1098,11 @@ def lcp_interval_census(
     partition's prefix minimum pends in full, O(partition size) on
     boilerplate corpora), so it is resolved executor-side by
     :func:`_ansv_resolve`, a second mapInPandas over the kind-0 frame
-    with the candidate list shipped once per executor as a broadcast
-    (ADVICE r10: a closure capture re-serialized it per task), via the
-    offline
+    with the candidate list shipped by the size-gated transport
+    (closure while <= :data:`_CAND_CLOSURE_MAX_ENTRIES` — KB-sized
+    arrays, r12 A/B; once per executor as a broadcast above it, so a
+    staircase-sized list never re-serializes per task, ADVICE r10),
+    via the offline
     :func:`_nearest_smaller_sweep` — linear-ish in BOTH pending and
     candidate counts, never their product. The driver never
     materializes a kind-0 row. If the candidate collect itself ever

@@ -8,8 +8,8 @@ Since r12 (ADVICE r11) every phase calls the OPERATOR'S OWN functions —
 phase A is `_suffix_pipeline` + `_ansv_exchange`, phase B is
 `_ansv_resolve_from` + `_interval_nodes`, phase C is `_repeats_tail` —
 so the phase timings cannot silently diverge from what
-`corpus_maximal_repeats` actually executes (the operator body is the
-same three calls in sequence, global_suffix.py:648-665). The only
+`corpus_maximal_repeats` actually executes (the operator's with-block
+is the same calls in the same sequence). The only
 probe-local logic is the timing and the counts that force each phase.
 
 Usage: python tools/probe_repeats_phases.py [sf_dir ...]

@@ -53,6 +53,9 @@ def main() -> int:
             "doc", (F.col("p0") + 1).alias("p"), "tok"
         )
         print(f"corpus: {n} suffixes, maxlen={maxlen} tokens", flush=True)
+        if n == 0:
+            print("empty corpus — nothing to measure", flush=True)
+            return 0
         t0 = time.perf_counter()
         tables, _pairs = gs.corpus_suffix_tables(
             toks, "doc", "p", "tok", maxlen=maxlen, npart=npart

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from statistics import median as _median  # shared by tools/ab_census_broadcast.py
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -105,12 +106,6 @@ def time_warm(spark, fn, sf_dir: str, n_warm: int = 3) -> tuple[float, list[floa
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warms.append(time.perf_counter() - t1)
     return cold, warms
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> int:
