@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import uuid
 from dataclasses import asdict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -299,7 +300,18 @@ class PipelineService:
         t = self._threads.get(processing_id)
         if t is None:
             return True
-        t.join(timeout)
+        # start() registers the thread in _threads BEFORE t.start() (so a
+        # wait issued right after start() returns never misses the run);
+        # the cost is a window where join() would raise "cannot join
+        # thread before it is started" — spin past it instead of racing
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while t.ident is None:
+            if deadline is not None and time.monotonic() >= deadline:
+                return False
+            time.sleep(0.005)
+        t.join(
+            None if deadline is None else max(0.0, deadline - time.monotonic())
+        )
         return not t.is_alive()
 
     def processings(self, slug: str, processing_id: str | None = None) -> list[dict]:

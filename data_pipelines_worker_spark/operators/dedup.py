@@ -204,7 +204,11 @@ def jaccard_pairs(
             .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
         )
     # -- 1. exact-collapse to unique-text representatives ------------------
-    members = _text_group_members(df, id_col, text_col)
+    # persist: members feeds the rep filter here AND all three legs of
+    # _expand_member_pairs — without the cut the md5-group shuffle (a
+    # full corpus scan + digest-keyed exchange) re-runs once per
+    # consumer (r12 recompute audit; guide §5)
+    members = _text_group_members(df, id_col, text_col).persist()
     d = (
         d_all.join(
             members.select(F.col("rep").alias("doc")).distinct(), "doc"
@@ -364,7 +368,9 @@ def containment_pairs(
     """
     import math
 
-    members = _text_group_members(df, id_col, text_col)
+    # persist: members feeds the rep filter AND the member-lift stages —
+    # one md5-group shuffle instead of one per consumer (r12 audit)
+    members = _text_group_members(df, id_col, text_col).persist()
     reps = members.select(F.col("rep").alias(id_col)).distinct()
     d = _doc_shingles(df.join(reps, id_col), id_col, text_col, k).persist()
     if df_cap == "auto":
@@ -546,7 +552,12 @@ def minhash_lsh_pairs(
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc", F.posexplode(band_arr).alias("band", "bkey"))
+    # persist: both sides of the bucket self-join consume bands, and the
+    # 64-min signature aggregate above it is NOT an exchange-bounded
+    # stage AQE could reuse — without the cut the whole signature build
+    # runs twice (r12 recompute audit; the frame is docs × N_BANDS rows
+    # of (long, long) — signature-sized, same storage class as ``d``)
+    bands = sig.select("doc", F.posexplode(band_arr).alias("band", "bkey")).persist()
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -1048,6 +1059,11 @@ def allpairs_prefix_join(d: DataFrame, threshold: float) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= lim)
         .select("doc", "s")
+        # persist: both sides of the candidate self-join consume the
+        # prefix — without the cut the df join + rarest-first window
+        # run twice (r12 recompute audit; prefix-bounded rows, ≤ the
+        # exploded signature size)
+        .persist()
     )
     l, r = prefix.alias("l"), prefix.alias("r")
     cand = (

@@ -80,9 +80,14 @@ def parent_digests(level: DataFrame, lvl: int) -> DataFrame:
 
 def digest_tree(fp: DataFrame) -> DataFrame:
     """Full ladder: (node, fp) -> union of (lvl, node, d) for all levels."""
-    out = [leaf_digests(fp)]
+    # persist each level: level k feeds BOTH level k+1's build and the
+    # final union — without the cut the union re-derives every level's
+    # lineage down to the corpus-sized leaf aggregate, so leaves were
+    # recomputed once per level (r12 recompute audit). Levels shrink
+    # geometrically; the cached frames are tree-sized, not corpus-sized.
+    out = [leaf_digests(fp).persist()]
     for lv in range(1, LEVELS + 1):
-        out.append(parent_digests(out[-1].select("node", "d"), lv))
+        out.append(parent_digests(out[-1].select("node", "d"), lv).persist())
     res = out[0]
     for lv_df in out[1:]:
         res = res.unionByName(lv_df)

@@ -792,7 +792,10 @@ def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i in range(64)
         ]
-    )
+    # persist: the benchmark slice and the corpus slice both read sig —
+    # without the cut the explode + distinct + 64-min aggregate (a full
+    # corpus pass) runs twice (r12 recompute audit)
+    ).persist()
     bench = (
         sig.filter(F.col("doc_id") % 97 == 0)
         .orderBy("doc_id")

@@ -661,6 +661,12 @@ def q_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_last").isNotNull())
         .select("doc", "h")
         .distinct()
+        # persist: inv feeds the signature aggregate, BOTH sides of the
+        # inverted-index self-join, and the set-size aggregate — without
+        # the cut the posexplode + doc-keyed window + distinct pipeline
+        # (a full corpus pass) ran FIVE times in one plan (r12 recompute
+        # audit: 40 parquet scans of documents in the before plan)
+        .persist()
     )
     sig = inv.groupBy("doc").agg(
         *[
@@ -683,9 +689,13 @@ def q_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key.alias("bkey"),
                 )
             )
-    bands = sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("s")
-    ).select("doc", "s.bands", "s.band", "s.bkey")
+    bands = (
+        sig.select("doc", F.explode(F.array(*band_structs)).alias("s"))
+        .select("doc", "s.bands", "s.band", "s.bkey")
+        # persist: both sides of the bucket self-join consume bands —
+        # without the cut the 64-min signature aggregate runs twice
+        .persist()
+    )
     a, c = bands.alias("a"), bands.alias("c")
     cand = (
         a.join(

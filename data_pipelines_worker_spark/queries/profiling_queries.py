@@ -825,7 +825,12 @@ def q_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").cast("long").alias("c"))
             )
 
-        ca, cb = side(a, ka), side(b, kb)
+        # localCheckpoint (the q_shuffle_skew_profile discipline): each
+        # count table feeds the top-k pick, the exact join (twice), and
+        # both mass aggregates — without the cut the fact-table scan +
+        # count aggregate re-ran once per consumer (r12 recompute audit:
+        # 56 parquet scans in the before plan); the frames are ndv-sized
+        ca, cb = side(a, ka).localCheckpoint(), side(b, kb).localCheckpoint()
         top_a = ca.orderBy(F.col("c").desc(), "k").limit(_CARD_HH)
         top_b = cb.orderBy(F.col("c").desc(), "k").limit(_CARD_HH)
         hh_keys = top_a.select("k").unionByName(top_b.select("k")).distinct()
@@ -1077,13 +1082,17 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = li.select(v.alias("v"), exact_floordiv(v, _PCT_BUCKET).alias("b"))
 
     targets = local_df(spark, [(p,) for p in _PCTS], "pct long")
-    n = t.agg(F.count("*").cast("long").alias("c"))
+    # persist: the bucket histogram feeds the total count, the cumulative
+    # locator, and (transitively) phase 2's rank base — manifest-sized
+    hist = t.groupBy("b").agg(F.count("*").cast("long").alias("cnt")).persist()
+    # total row count derived from the histogram itself (Σ cnt == count(*)
+    # exactly: v and b are never null) — one corpus pass instead of a
+    # separate count scan (r12: phase 1 now costs ONE pass as documented)
+    n = hist.agg(F.sum("cnt").cast("long").alias("c"))
     ks = targets.crossJoin(F.broadcast(n)).select(
         "pct",
         exact_floordiv(F.col("pct") * F.col("c") + 99, 100).alias("k"),
     )
-
-    hist = t.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
     wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     hist_cum = hist.select(
         "b", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")

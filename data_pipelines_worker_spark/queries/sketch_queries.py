@@ -263,7 +263,10 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(BLOOM_K):
         p = build.select(pos(F.col("c_custkey"), i).alias("pos")).distinct()
         bits = p if bits is None else bits.union(p)
-    bits = bits.distinct()
+    # persist: one broadcast membership test per hash function reads
+    # bits — without the cut the build-side scan + distinct union ran
+    # once per probe (r12 recompute audit); bits is ≤ k·BLOOM_BITS rows
+    bits = bits.distinct().persist()
     probe = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
     passed = probe
     for i in range(BLOOM_K):
@@ -507,7 +510,11 @@ def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         "source", F.explode(F.split("text", " ", -1)).alias("w")
     )
     code = (F.ascii(F.substring("w", 1, 1)) + F.length("w")).cast("long")
-    codes = w.select("source", code.alias("code")).distinct()
+    # persist: the signature aggregate, both sides of the exact-common
+    # self-join, and the two size-join legs all read codes — without the
+    # cut the explode + distinct (a full corpus pass) runs up to six
+    # times in one plan (r12 recompute audit)
+    codes = w.select("source", code.alias("code")).distinct().persist()
     sig = codes.groupBy("source").agg(
         *[
             F.min(F.pmod(F.col("code") * PERM_A[i] + PERM_B[i], F.lit(MOD))).alias(
@@ -690,6 +697,11 @@ def q_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rn", F.row_number().over(w_t))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "hv")
+        # persist: the kth/count aggregate, the union-sketch build, and
+        # the membership probes all read sk — without the cut the
+        # data-sized DISTINCT + top-k window runs once per consumer
+        # (r12 recompute audit); sk is sketch-sized (types × k rows)
+        .persist()
     )
     kth = sk.groupBy("event_type").agg(
         F.max("hv").alias("hk"), F.count("*").alias("n")

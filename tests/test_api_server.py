@@ -453,3 +453,21 @@ def test_restart_failure_cap_and_deferred_retry(spark, tmp_path):
     assert "pid2" not in service2._pending
     assert service2.wait("pid2", 60.0)
     assert service2._restart_failures.get("pid2") is None
+
+
+def test_wait_tolerates_registered_but_unstarted_thread(spark, tmp_path):
+    # start() registers the worker thread in _threads BEFORE t.start() so
+    # wait() never misses a just-launched run; wait() must survive hitting
+    # that window (join() on an unstarted thread raises RuntimeError —
+    # observed once under full-suite CPU contention, r12).
+    import threading
+
+    runner = PipelineRunner(spark, str(tmp_path / "stages"))
+    service = PipelineService(runner, {})
+    unstarted = threading.Thread(target=lambda: None, daemon=True)
+    service._threads["pidX"] = unstarted
+    # bounded wait inside the window: times out cleanly, no exception
+    assert service.wait("pidX", 0.05) is False
+    # once the thread starts and finishes, wait() reports completion
+    unstarted.start()
+    assert service.wait("pidX", 5.0) is True
