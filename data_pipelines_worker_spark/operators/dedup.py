@@ -368,9 +368,12 @@ def containment_pairs(
     """
     import math
 
-    # persist: members feeds the rep filter AND the member-lift stages —
-    # one md5-group shuffle instead of one per consumer (r12 audit)
-    members = _text_group_members(df, id_col, text_col).persist()
+    # NOT persisted (r12 A/B, alternating fresh-process median-of-3:
+    # persist 7.73/11.60 s vs un-persisted 5.85/6.12 s on
+    # containment_dedup): the md5-group subtree is exchange-bounded, so
+    # runtime exchange reuse already dedupes it across the consumers —
+    # the persist only added an InMemoryRelation materialization barrier
+    members = _text_group_members(df, id_col, text_col)
     reps = members.select(F.col("rep").alias(id_col)).distinct()
     d = _doc_shingles(df.join(reps, id_col), id_col, text_col, k).persist()
     if df_cap == "auto":

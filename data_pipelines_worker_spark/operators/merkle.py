@@ -80,14 +80,15 @@ def parent_digests(level: DataFrame, lvl: int) -> DataFrame:
 
 def digest_tree(fp: DataFrame) -> DataFrame:
     """Full ladder: (node, fp) -> union of (lvl, node, d) for all levels."""
-    # persist each level: level k feeds BOTH level k+1's build and the
-    # final union — without the cut the union re-derives every level's
-    # lineage down to the corpus-sized leaf aggregate, so leaves were
-    # recomputed once per level (r12 recompute audit). Levels shrink
-    # geometrically; the cached frames are tree-sized, not corpus-sized.
-    out = [leaf_digests(fp).persist()]
+    # NOT persisted (r12 A/B, alternating fresh-process median-of-3:
+    # per-level persist 3.04/3.83 s vs un-persisted 2.06/2.20 s on
+    # merkle_diff): every level ends in its groupBy exchange, so runtime
+    # exchange reuse already computes each level once and shares it
+    # between level k+1's build and the final union — per-level persists
+    # only serialized the ladder behind cache-build barriers
+    out = [leaf_digests(fp)]
     for lv in range(1, LEVELS + 1):
-        out.append(parent_digests(out[-1].select("node", "d"), lv).persist())
+        out.append(parent_digests(out[-1].select("node", "d"), lv))
     res = out[0]
     for lv_df in out[1:]:
         res = res.unionByName(lv_df)

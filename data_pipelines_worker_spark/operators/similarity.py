@@ -230,26 +230,36 @@ def ann_topk_lsh(
         .withColumn("bands", sig(F.col("qv")))
         .withColumn("qn", F.sqrt(pd_dot(F.col("qv"), F.col("qv"))))
     )
-    it = (
-        items.select(
-            F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
-        )
-        .withColumn("bands", sig(F.col("iv")))
-        .withColumn("inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv"))))
+    # r12 (guide §4): keep the signature and the norm on SEPARATE item
+    # frames. Chained withColumns put BOTH Arrow UDFs on both consumer
+    # legs (the before plan ran sig+norm twice over all items — 4
+    # corpus-wide Python passes for 2 functions); and the norm is now
+    # evaluated AFTER the candidate join, so it touches candidate rows
+    # only, not the whole corpus (same per-row arithmetic ⇒ identical
+    # sims and hashes).
+    it_base = items.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
     )
     q_ex = q.select(
         "query_id", F.posexplode("bands").alias("band", "bucket")
     )
-    it_ex = it.select("item_id", F.posexplode("bands").alias("band", "bucket"))
+    it_ex = it_base.select(
+        "item_id", F.posexplode(sig(F.col("iv"))).alias("band", "bucket")
+    )
     cand = (
         it_ex.join(F.broadcast(q_ex), ["band", "bucket"])
         .where(F.col("item_id") != F.col("query_id"))
         .select("query_id", "item_id")
         .distinct()
     )
+    # inorm and sim in the SAME withColumns block after the (1:1) query
+    # broadcast join, so both Arrow UDF calls land in one ArrowEvalPython
+    # stage over candidate rows (a separate pre-join withColumn measured
+    # +0.3 s of extra Python stage overhead; arithmetic is unchanged)
     scored = (
-        cand.join(it.select("item_id", "iv", "inorm"), "item_id")
+        cand.join(it_base, "item_id")
         .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .withColumn("inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv"))))
         .withColumn(
             "sim", pd_dot(F.col("qv"), F.col("iv")) / (F.col("qn") * F.col("inorm"))
         )
@@ -271,22 +281,38 @@ _KNUTH = 2654435761
 _KNUTH_MOD = 1 << 32
 
 
-def _ivf_quantizer(base: DataFrame, n_cells: int):
+def _knuth_seed_rows(base: DataFrame, n: int) -> list:
+    """The first ``n`` rows of ``base`` ranked by the Knuth hash of
+    item_id (ties → lowest id), in RANK order — the shared trainless
+    seed set. One TakeOrdered pass + control-plane collect; callers that
+    need both a quantizer and a codebook collect max(n1, n2) once and
+    slice prefixes (prefix-by-rank == an independent smaller collect)."""
+    rank_key = F.pmod(
+        F.pmod(F.col("item_id"), F.lit(1 << 31)) * F.lit(_KNUTH),
+        F.lit(_KNUTH_MOD),
+    )
+    return base.orderBy(rank_key, F.col("item_id")).limit(n).collect()
+
+
+def _ivf_quantizer(base: DataFrame, n_cells: int, seed_rows: list | None = None):
     """Trainless IVF coarse quantizer: centroids are the ``n_cells``
     vectors ranked first by the Knuth multiplicative hash of their id.
     Returns (cids, C, cn): centroid ids (ascending), the centroid matrix,
     and strict-fold centroid norms. ``base`` must carry (item_id, iv).
 
     Control-plane collect: n_cells rows, same footprint as the LSH plane
-    literals — never corpus-scale."""
-    rank_key = F.pmod(
-        F.pmod(F.col("item_id"), F.lit(1 << 31)) * F.lit(_KNUTH),
-        F.lit(_KNUTH_MOD),
+    literals — never corpus-scale. ``seed_rows`` (rank-ordered, from
+    :func:`_knuth_seed_rows`, ≥ n_cells rows) lets a caller share one
+    collect across quantizer and codebook (r12: saves a TakeOrdered
+    corpus pass per query build)."""
+    rows = list(
+        seed_rows[:n_cells]
+        if seed_rows is not None
+        else _knuth_seed_rows(base, n_cells)
     )
-    seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(n_cells).collect()
-    seed_rows.sort(key=lambda r: r["item_id"])  # argmax tie → lowest cid
-    cids = np.array([r["item_id"] for r in seed_rows], dtype=np.int64)
-    C = np.array([r["iv"] for r in seed_rows], dtype=np.float64)
+    rows.sort(key=lambda r: r["item_id"])  # argmax tie → lowest cid
+    cids = np.array([r["item_id"] for r in rows], dtype=np.int64)
+    C = np.array([r["iv"] for r in rows], dtype=np.float64)
     # centroid norms via cumsum = the oracle's strict fold
     cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
     return cids, C, cn
@@ -702,17 +728,17 @@ def semantic_dedup(
     )
 
 
-def _pq_codebook(base: DataFrame, k: int) -> np.ndarray:
+def _pq_codebook(base: DataFrame, k: int, seed_rows: list | None = None) -> np.ndarray:
     """Trainless PQ codebook: the ``k`` Knuth-hash-ranked vectors, sorted
     by donor id so code j is the j-th donor. Control-plane collect
-    (k rows). ``base`` must carry (item_id, iv)."""
-    rank_key = F.pmod(
-        F.pmod(F.col("item_id"), F.lit(1 << 31)) * F.lit(_KNUTH),
-        F.lit(_KNUTH_MOD),
+    (k rows). ``base`` must carry (item_id, iv). ``seed_rows``
+    (rank-ordered, from :func:`_knuth_seed_rows`, ≥ k rows) lets a caller
+    share one collect with the IVF quantizer (r12)."""
+    rows = list(
+        seed_rows[:k] if seed_rows is not None else _knuth_seed_rows(base, k)
     )
-    seed_rows = base.orderBy(rank_key, F.col("item_id")).limit(k).collect()
-    seed_rows.sort(key=lambda r: r["item_id"])  # code j = j-th donor by id
-    return np.array([r["iv"] for r in seed_rows], dtype=np.float64)  # (k, D)
+    rows.sort(key=lambda r: r["item_id"])  # code j = j-th donor by id
+    return np.array([r["iv"] for r in rows], dtype=np.float64)  # (k, D)
 
 
 def pq_encode(
@@ -824,9 +850,13 @@ def ann_topk_ivfpq(
     base = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
     )
-    cids, C, cn = _ivf_quantizer(base, n_cells)
+    # one Knuth-rank TakeOrdered pass feeds BOTH the quantizer and the
+    # codebook (r12, guide §1.2: don't compute things twice — the two
+    # seed sets are rank prefixes of the same ordering)
+    seed = _knuth_seed_rows(base, max(n_cells, k_codes))
+    cids, C, cn = _ivf_quantizer(base, n_cells, seed_rows=seed)
     cell_of, probes_of = _ivf_cell_udfs(cids, C, cn, n_probe)
-    CB = _pq_codebook(base, k_codes)  # (k_codes, D)
+    CB = _pq_codebook(base, k_codes, seed_rows=seed)  # (k_codes, D)
     dim = CB.shape[1]
     subdim = dim // m
     pd_dot = dot_strict_udf()

@@ -1082,17 +1082,18 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = li.select(v.alias("v"), exact_floordiv(v, _PCT_BUCKET).alias("b"))
 
     targets = local_df(spark, [(p,) for p in _PCTS], "pct long")
-    # persist: the bucket histogram feeds the total count, the cumulative
-    # locator, and (transitively) phase 2's rank base — manifest-sized
-    hist = t.groupBy("b").agg(F.count("*").cast("long").alias("cnt")).persist()
-    # total row count derived from the histogram itself (Σ cnt == count(*)
-    # exactly: v and b are never null) — one corpus pass instead of a
-    # separate count scan (r12: phase 1 now costs ONE pass as documented)
-    n = hist.agg(F.sum("cnt").cast("long").alias("c"))
+    # r12 note: deriving n from the bucket histogram (persist + sum)
+    # was tried and reverted — the count(*) below is answered from
+    # parquet metadata (the optimizer prunes the projection), so the
+    # "extra corpus pass" it was meant to save is near-free at any
+    # scale, while the histogram-derived variant serialized the query
+    # behind a cache-build barrier (A/B: 1.75/1.66 s vs 1.48/1.51 s)
+    n = t.agg(F.count("*").cast("long").alias("c"))
     ks = targets.crossJoin(F.broadcast(n)).select(
         "pct",
         exact_floordiv(F.col("pct") * F.col("c") + 99, 100).alias("k"),
     )
+    hist = t.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
     wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     hist_cum = hist.select(
         "b", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")

@@ -510,11 +510,12 @@ def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         "source", F.explode(F.split("text", " ", -1)).alias("w")
     )
     code = (F.ascii(F.substring("w", 1, 1)) + F.length("w")).cast("long")
-    # persist: the signature aggregate, both sides of the exact-common
-    # self-join, and the two size-join legs all read codes — without the
-    # cut the explode + distinct (a full corpus pass) runs up to six
-    # times in one plan (r12 recompute audit)
-    codes = w.select("source", code.alias("code")).distinct().persist()
+    # NOT persisted (r12 A/B, alternating fresh-process median-of-3:
+    # persist 2.65/3.09 s vs un-persisted 2.42/2.83 s): the distinct is
+    # exchange-bounded, so runtime exchange reuse already shares one
+    # explode+distinct across all six consumers; a persist only added a
+    # materialization barrier
+    codes = w.select("source", code.alias("code")).distinct()
     sig = codes.groupBy("source").agg(
         *[
             F.min(F.pmod(F.col("code") * PERM_A[i] + PERM_B[i], F.lit(MOD))).alias(
