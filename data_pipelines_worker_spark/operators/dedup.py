@@ -104,29 +104,30 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(doc, sh: array<bigint>) — distinct hashed k-shingles per document.
 
-    Exploded-pipeline form (r06): posexplode the token stream, build each
-    gram with two window ``lead``s, hash, and re-assemble with
-    ``collect_set``. Same value set as :func:`hashed_shingles` (equality
-    property-tested), but every per-token step is a flat JVM projection —
-    the earlier ``transform(sequence, …)`` lambda chain evaluated ~2
-    interpreted higher-order closures *per shingle* (no whole-stage
-    codegen for lambda functions), measured 3-4× slower at sf0.1. The one
-    exchange (window/agg, keyed on doc) also decouples compute
-    parallelism from the scan's input-split count — a single small file
-    no longer serializes shingling on one core, and at 100 TB the
-    doc-keyed shuffle of the token stream is the standard shingling
-    shape. sort_array makes the assembled array deterministic.
+    Codegen zip form (r12, replacing the r06 window-lead form): the gram
+    array is k shifted ``slice`` views zipped positionally
+    (``curation._ngram_zip`` — whole-stage codegen; the even earlier
+    ``transform(sequence, …)`` lambda chain evaluated ~2 interpreted
+    closures per shingle and stays rejected), exploded and hashed in the
+    stage AFTER an explicit doc-keyed repartition. Same grams, same one
+    exchange as the window form, but the exchange now carries one TEXT
+    row per document instead of one row per token (fewer rows, no pos
+    column) and the per-partition window SORT of the token stream is
+    gone — the downstream ``groupBy(doc)`` reuses the hash(doc)
+    partitioning, so hashing/gram-assembly still parallelize across
+    cores regardless of the scan's input-split count (the r06 concern).
+    sort_array makes the assembled array deterministic.
     """
-    words = F.split(F.col(text_col), " ", -1)
-    wpos = df.select(F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w"))
-    win = Window.partitionBy("doc").orderBy("pos")
-    gram = F.concat_ws(" ", *[
-        F.col("w") if j == 0 else F.lead("w", j).over(win) for j in range(k)
-    ])
-    last = F.lead("w", k - 1).over(win)
+    from .curation import _gram_from_zip, _ngram_zip
+
+    npart = df.sparkSession.sparkContext.defaultParallelism
     grams = (
-        wpos.select("doc", last.alias("_last"), F.xxhash64(gram).alias("h"))
-        .where(F.col("_last").isNotNull())
+        df.repartition(npart, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(_ngram_zip(text_col, k)).alias("_g"),
+        )
+        .select("doc", F.xxhash64(_gram_from_zip(k)).alias("h"))
     )
     return (
         grams.groupBy("doc")
@@ -992,24 +993,26 @@ def _doc_weighted_shingles(
     (gram, 1), .., (gram, c), so downstream set operations compute
     multiset semantics exactly. Shared by the batch weighted join and
     the streaming prefix-index face so the two cannot fork on what an
-    expanded element is. Output-sized: total elements = total grams."""
-    words = F.split(F.col(text_col), " ", -1)
-    wpos = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
+    expanded element is. Output-sized: total elements = total grams.
+
+    Gram construction is the codegen zip form (r12 — see
+    :func:`_doc_shingles`): one doc-keyed exchange of TEXT rows, grams
+    zipped/exploded/hashed post-exchange in whole-stage codegen, and the
+    (doc, hg) count plus both downstream doc-keyed aggregates reuse the
+    hash(doc) partitioning — no window sort of the token stream. The
+    expanded element is the hash of (gram-hash, occurrence index), same
+    collision class as hashing the pair directly."""
+    from .curation import _gram_from_zip, _ngram_zip
+
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.repartition(npart, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(_ngram_zip(text_col, k)).alias("_g"),
+        )
+        .select("doc", F.xxhash64(_gram_from_zip(k)).alias("hg"))
     )
-    win = Window.partitionBy("doc").orderBy("pos")
-    gram = F.concat_ws(
-        " ",
-        *[F.col("w") if j == 0 else F.lead("w", j).over(win) for j in range(k)],
-    )
-    last = F.lead("w", k - 1).over(win)
-    # hash BEFORE the doc-keyed exchange — the text body never rides past
-    # the hash (the _text_group_members discipline): only 8-byte longs
-    # cross the shuffle; the expanded element is the hash of (gram-hash,
-    # occurrence index), same collision class as hashing the pair directly
-    grams = wpos.select(
-        "doc", last.alias("_last"), F.xxhash64(gram).alias("hg")
-    ).where(F.col("_last").isNotNull())
     counted = grams.groupBy("doc", "hg").agg(F.count("*").alias("c"))
     ex = counted.select(
         "doc", "hg", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("occ")

@@ -641,25 +641,25 @@ def q_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.join(reps, docs["doc_id"] == reps["doc"], "left_semi")
     words = F.split(F.col("text"), " ", -1)
-    wpos = base.where(F.size(words) >= 3).select(
-        F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w")
-    )
-    from pyspark.sql import Window
+    # codegen zip-gram form (r12, the _doc_shingles shape): one doc-keyed
+    # exchange of text rows, grams zipped/exploded/hashed post-exchange —
+    # no token-stream window sort; distinct + the signature aggregate
+    # reuse the hash(doc) partitioning
+    from ..operators.curation import _gram_from_zip, _ngram_zip
 
-    win = Window.partitionBy("doc").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-    )
+    gram = _gram_from_zip(3)
     h = F.pmod(
         F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long"),
         F.lit(MERSENNE),
     )
     inv = (
-        wpos.select(
-            "doc", F.lead("w", 2).over(win).alias("_last"), h.alias("h")
+        base.where(F.size(words) >= 3)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(_ngram_zip("text", 3)).alias("_g"),
         )
-        .where(F.col("_last").isNotNull())
-        .select("doc", "h")
+        .select("doc", h.alias("h"))
         .distinct()
         # persist: inv feeds the signature aggregate, BOTH sides of the
         # inverted-index self-join, and the set-size aggregate — without
@@ -857,16 +857,18 @@ def q_probe_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         docs.join(reps, "doc_id")
         .where(F.size(words) >= 3)
-        .select("doc_id", words.alias("words"))
+        .select("doc_id", "text")
     )
-    wpos = base.select("doc_id", F.posexplode("words").alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    # codegen zip-gram form (r12, the _doc_shingles shape): one doc-keyed
+    # exchange of text rows, no token-stream window sort; distinct and
+    # the signature aggregate reuse the hash(doc_id) partitioning
+    from ..operators.curation import _gram_from_zip, _ngram_zip
+
+    grams = (
+        base.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", F.explode(_ngram_zip("text", 3)).alias("_g"))
+        .select("doc_id", _gram_from_zip(3).alias("gram"))
     )
-    grams = wpos.select(
-        "doc_id", F.lead("w", 2).over(win).alias("_last"), gram.alias("gram")
-    ).where(F.col("_last").isNotNull())
     hcol = F.pmod(
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long"),
         F.lit(_M),
