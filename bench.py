@@ -220,6 +220,17 @@ def main() -> None:
             jvm.java.lang.Runtime.getRuntime().maxMemory() / 2**30, 1
         )
         env_stats["load_avg_1m"] = round(os.getloadavg()[0], 1)
+        # Cumulative CPU-steal seconds since boot (/proc/stat col 8, USER_HZ
+        # jiffies): this host is a guest with bursty neighbor steal (r12:
+        # ~10,200 s over 4.4 h), and a big value here names the mechanism
+        # when a whole run is uniformly inflated — readable from the
+        # driver's stdout tail alone (VERDICT r12 #3).
+        try:
+            with open("/proc/stat") as st:
+                cols = st.readline().split()
+                env_stats["steal_s"] = round(int(cols[8]) / os.sysconf("SC_CLK_TCK"), 1)
+        except (OSError, IndexError, ValueError):
+            pass
         with open("/proc/meminfo") as mi:
             for ln in mi:
                 if ln.startswith("MemAvailable"):
@@ -298,6 +309,8 @@ def main() -> None:
             "gc_s": round(env_stats.get("gc_total_ms", 0) / 1000, 1),
             "load": env_stats.get("load_avg_1m"),
         }
+        if "steal_s" in env_stats:
+            line["env"]["steal_s"] = env_stats["steal_s"]
     if failed:
         # the failed list is unbounded (a broken session can fail ~all
         # queries); keep a count + a sample so the line stays parseable

@@ -120,7 +120,17 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     """
     from .curation import _gram_from_zip, _ngram_zip
 
-    npart = df.sparkSession.sparkContext.defaultParallelism
+    # Explicit width from spark.sql.shuffle.partitions (cluster-sized
+    # config), NOT defaultParallelism (a local-mode core count — ADVICE
+    # r12) and NOT keyless repartition(col): a keyless doc exchange is
+    # AQE-coalescible, and at the benched SFs AQE coalesces it to ONE
+    # partition (measured r13: spark_partition_id().distinct() == 1 vs 32
+    # pinned), serializing the gram-zip/hash stage that follows — the
+    # compute here is per-gram, orders of magnitude heavier than the
+    # shuffled text bytes AQE sizes the stage by. The explicit count
+    # keeps the stage at full width; locally shuffle.partitions ==
+    # defaultParallelism, so the executed plan matches the r12 form.
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     grams = (
         df.repartition(npart, F.col(id_col))
         .select(
@@ -556,12 +566,13 @@ def minhash_lsh_pairs(
             for b in range(N_BANDS)
         ]
     )
-    # persist: both sides of the bucket self-join consume bands, and the
-    # 64-min signature aggregate above it is NOT an exchange-bounded
-    # stage AQE could reuse — without the cut the whole signature build
-    # runs twice (r12 recompute audit; the frame is docs × N_BANDS rows
-    # of (long, long) — signature-sized, same storage class as ``d``)
-    bands = sig.select("doc", F.posexplode(band_arr).alias("band", "bkey")).persist()
+    # No persist on bands: the r12 fence here (saving one signature-build
+    # recompute across the self-join's two sides) was a full-session
+    # regression for this operator's heaviest consumer (leakage_safe_split
+    # 5.0 s -> 6.3/8.6/18/43 s in all four post-change runs) — the
+    # InMemoryRelation barrier serializes the pipeline where exchange
+    # reuse already shares the groupBy output. Removed in r13.
+    bands = sig.select("doc", F.posexplode(band_arr).alias("band", "bkey"))
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -1004,7 +1015,11 @@ def _doc_weighted_shingles(
     collision class as hashing the pair directly."""
     from .curation import _gram_from_zip, _ngram_zip
 
-    npart = df.sparkSession.sparkContext.defaultParallelism
+    # Explicit width from spark.sql.shuffle.partitions — same rationale
+    # as _doc_shingles: config-sized (not a local core count), and
+    # pinned so AQE cannot coalesce the compute-heavy gram stage to one
+    # partition (measured r13).
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     grams = (
         df.repartition(npart, F.col(id_col))
         .select(

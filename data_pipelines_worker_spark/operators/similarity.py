@@ -571,28 +571,26 @@ def embedding_near_dup_blocked(
         F.col(id_col).cast("long").alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
     )
-    # one exchange on v, reused by both branches (member map + unique reps)
+    # one exchange on v, reused by both branches (member map + unique reps);
+    # runtime exchange/subquery reuse shares the collapse window across
+    # consumers. The r12 persist fences on uniq/members/bands were a
+    # measured full-session regression (2.2 s -> 12-50 s in four full
+    # 200-query runs; the after-plan grew 42 InMemoryRelation nodes whose
+    # cache-build barriers serialize the query) and were removed in r13 —
+    # the ArrowEvalPython recompute they saved (20 -> 17 nodes) never paid
+    # for the materialization barriers.
     wv = W.partitionBy("v")
     m = base.withColumn("rep", F.min("id").over(wv))
-    # persist (r12 recompute audit): uniq feeds the band build, both
-    # verify legs, and the self-sim check — each re-ran the collapse
-    # window AND the Arrow-batched norm UDF (20 ArrowEvalPython nodes in
-    # the before plan); members feeds both expansion legs and the intra
-    # lift. Both frames are id/vector-sized, the same class as the
-    # collapse itself.
     uniq = (
         m.where(F.col("id") == F.col("rep"))
         .select("rep", "v")
         .withColumn("nrm", F.sqrt(pd_dot(F.col("v"), F.col("v"))))
-        .persist()
     )
-    members = m.select("id", "rep").persist()
+    members = m.select("id", "rep")
 
-    # persist: both sides of the bucket self-join read bands — the SRP
-    # signature UDF would otherwise run twice over uniq
     bands = uniq.select(
         "rep", F.posexplode(sig(F.col("v"))).alias("band", "bucket")
-    ).persist()
+    )
     cand = (
         bands.alias("a")
         .join(
@@ -691,12 +689,14 @@ def semantic_dedup(
     cids, C, cn = _ivf_quantizer(base, n_cells)
     cell_of, _probes = _ivf_cell_udfs(cids, C, cn, n_probe=1)
     pd_dot = dot_strict_udf()
-    # persist: both sides of the within-cell pair join read asg — without
-    # the cut the Arrow-batched assignment + norm stage runs twice
-    # (r12 recompute audit: 12 ArrowEvalPython nodes in the before plan)
+    # No persist on asg: the r12 fence (cutting the Arrow assignment+norm
+    # recompute across the pair join's two sides) measured as a wash
+    # isolated and a regression in full-session runs (semantic_dedup
+    # 1.1 s -> 4.3 s in the wave-1 run) — the InMemoryRelation barrier
+    # costs more than the duplicated ArrowEvalPython stage saves.
     asg = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
         "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
-    ).persist()
+    )
     a = asg.select(
         F.col("item_id").alias("a_id"),
         F.col("iv").alias("a_iv"),

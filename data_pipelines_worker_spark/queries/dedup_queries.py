@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup
@@ -654,7 +654,9 @@ def q_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv = (
         base.where(F.size(words) >= 3)
-        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+        )
         .select(
             F.col("doc_id").alias("doc"),
             F.explode(_ngram_zip("text", 3)).alias("_g"),
@@ -865,7 +867,9 @@ def q_probe_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import _gram_from_zip, _ngram_zip
 
     grams = (
-        base.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        base.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+        )
         .select("doc_id", F.explode(_ngram_zip("text", 3)).alias("_g"))
         .select("doc_id", _gram_from_zip(3).alias("gram"))
     )

@@ -263,10 +263,11 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(BLOOM_K):
         p = build.select(pos(F.col("c_custkey"), i).alias("pos")).distinct()
         bits = p if bits is None else bits.union(p)
-    # persist: one broadcast membership test per hash function reads
-    # bits — without the cut the build-side scan + distinct union ran
-    # once per probe (r12 recompute audit); bits is ≤ k·BLOOM_BITS rows
-    bits = bits.distinct().persist()
+    # No persist on bits: the distinct is exchange-bounded, so runtime
+    # exchange reuse already shares the build across the K broadcast
+    # probes; the r12 fence measured a wash isolated and was slower in
+    # every full-session run (0.95 s r11 -> 0.88/1.02/1.41/2.21 s).
+    bits = bits.distinct()
     probe = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
     passed = probe
     for i in range(BLOOM_K):
@@ -698,11 +699,11 @@ def q_kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rn", F.row_number().over(w_t))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "hv")
-        # persist: the kth/count aggregate, the union-sketch build, and
-        # the membership probes all read sk — without the cut the
-        # data-sized DISTINCT + top-k window runs once per consumer
-        # (r12 recompute audit); sk is sketch-sized (types × k rows)
-        .persist()
+        # No persist: the DISTINCT under the top-k window is
+        # exchange-bounded, so runtime exchange reuse shares it across
+        # the consumers; the r12 fence measured a wash isolated and was
+        # slower in every full-session run (1.09 s r11 ->
+        # 1.91/1.63/1.43/1.58 s post-fence).
     )
     kth = sk.groupBy("event_type").agg(
         F.max("hv").alias("hk"), F.count("*").alias("n")

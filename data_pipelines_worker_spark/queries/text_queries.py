@@ -557,10 +557,11 @@ def q_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text")
         .select(F.expr("substr(text, i, 1)").alias("ch"))
     )
-    # persist: the total and the ranked window both read cnt — without
-    # the cut the per-character explode (corpus-chars rows) runs twice
-    # (r12 recompute audit); cnt is alphabet-sized
-    cnt = ch.groupBy("ch").agg(F.count("*").cast("long").alias("c")).persist()
+    # No persist: the groupBy is exchange-bounded, so runtime exchange
+    # reuse shares the per-character explode across the total and the
+    # ranked window (same mechanism as the four r12 reverts); the r12
+    # fence measured a wash isolated and never paid in full-session runs.
+    cnt = ch.groupBy("ch").agg(F.count("*").cast("long").alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("n"))
     w = Window.orderBy(F.col("c").desc(), "ch")
     ranked = cnt.select(

@@ -27,6 +27,7 @@ from tools.scale_probe import _hygiene, time_warm  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_warm = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -108,7 +109,7 @@ def main() -> int:
         ("p3_landmarks", p3_landmarks),
         ("p4_full", p4_full),
     ]:
-        cold, warms = time_warm(spark, fn, sf_dir)
+        cold, warms = time_warm(spark, fn, sf_dir, n_warm=n_warm)
         _hygiene(spark)
         runs = "/".join(f"{w:.2f}" for w in warms)
         print(
