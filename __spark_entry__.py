@@ -34,94 +34,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # order, AMENDED in r12 (VERDICT r11 #1): any query whose operator
 # body changed in round N heads round N+1's window, displacing
 # staleness order — the driver's oracle is the only independent hash
-# authority, and a rebuilt operator must not ship rounds unchecked
-# (corpus_maximal_repeats was rebuilt in r11 while its newest driver
-# hash-check was r09, i.e. the OLD code; pure staleness would not have
-# re-checked it until r13). As of r11 the rest of the 200-query
-# registry is in exact newest-driver-check cohorts of 50
-# (judge-verified histogram: 50 x r08 + 50 x r09 + 50 x r10 + 50 x
-# r11), so below the changed-this-round block the list IS the
-# staleness order: the r08 cohort fills (most of) the r12 window —
-# the two spliced suffix queries displace its alphabetical tail
-# (token_count_bpe, wrap_text slip to r13 at the r08 block's end) —
-# and the rotation cycles with period 4; any new query splices at the
-# marked insert point, after changed queries, displacing the tail.
-# The committed tools/check_oracle.py triple-gate runs (ORACLE_LOCAL/
-# _EDGE/_SF01: full registry, 0 failures) remain the auditable backstop
-# for the tail the 50-slot window cannot reach.
+# authority, and a rebuilt operator must not ship rounds unchecked.
+# r13 window: the 18 queries the r13 persist-fence reverts and the
+# shingle-repartition re-pin touch, then token_count_bpe/wrap_text
+# (displaced from r12's window tail, VERDICT r12 #7), then the r09
+# cohort (stalest; its r13-changed members are hoisted into the head
+# block, and its alphabetical tail past the ~50-slot window slips to
+# r14). Below that, staleness order continues: r10 cohort, r11 cohort,
+# r12-checked block (former r08 cohort + the two suffix rows) last.
+# Any new query splices at the marked insert point, after changed
+# queries, displacing the tail. The committed tools/check_oracle.py
+# triple-gate runs (ORACLE_LOCAL/_EDGE/_SF01: full registry,
+# 0 failures) remain the auditable backstop for the tail the 50-slot
+# window cannot reach.
 _DRIVER_PRIORITY = (
-    # --- operator body changed in r11/r12 (jumps the queue; VERDICT r11
-    # #1): repeats rebuilt in r11 on the ANSV kernel (newest driver
-    # hash-check r09 = the pre-rebuild code), and BOTH consumers of the
-    # kernel gained the r12 candidate-ship gate + tail refactor, so
-    # census jumps too. Displaced r08-cohort tail: token_count_bpe and
-    # wrap_text slip to r13. ------------------------------------------
-    "corpus_maximal_repeats",
-    "lcp_interval_census",
-    # --- new r12 queries (never driver-checked) insert HERE -------------
-    # --- last driver-checked r08 (50 queries; reaches driver in r12) ---
-    "agg_distinct",
-    "ann_cosine_topk",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
-    "ass_time_format",
-    "bpe_train_merges",
-    "chunk_dedup",
-    "cms_heavy_hitters",
-    "coalesce_priority",
-    "corpus_prep",
-    "dedup_exact",
-    "dedup_graph_pagerank",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_stats",
-    "doc_fingerprint",
-    "dup_ngram_coverage",
-    "dup_span_removal",
-    "embedding_kmeans",
+    # --- operator body changed in r13 (jumps the queue; the policy
+    # amended per VERDICT r11 #1 and kept since): r13 removed the r12
+    # persist fences (embedding_near_dup, minhash bands, semantic asg
+    # re-added after a two-protocol A/B, bloom bits, kmv sk,
+    # char_coverage cnt) and re-pinned the shingle repartition width to
+    # spark.sql.shuffle.partitions — every query whose operator body or
+    # plan shape those touch heads the r13 window. ---------------------
     "embedding_near_dup",
-    "embedding_stats",
-    "gather_join_strings",
-    "index_targeting",
-    "json_auto_detect",
-    "lang_id",
-    "normalize_text",
-    "outer_join_agg",
-    "pivot_event_counts",
-    "ppl_bucket_mixture",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q16_supplier_part_count",
-    "q18_large_orders",
-    "q20_dominant_supplier",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "repetition_signals",
     "semantic_dedup",
-    "sequence_packing",
-    "sequence_packing_greedy",
-    "sketch_aggregates",
-    "sketch_error_bounds",
-    "skew_salted_agg",
-    "stop_pipeline_comparators",
-    "subtitles_from_transcription",
-    "text_replace",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "leakage_safe_split",
+    "dedup_ngram_jaccard",
+    "dedup_graph_pagerank",
+    "dedup_weighted_jaccard",
+    "dedup_allpairs_prefix",
+    "containment_dedup",
+    "incremental_dedup",
+    "shingle_novelty",
+    "lsh_parameter_sweep",
+    "probe_minhash_candidates",
+    "bloom_join_prune",
+    "kmv_set_intersection",
+    "char_coverage",
+    # --- displaced from the r12 window's tail (VERDICT r12 #7) ---------
     "token_count_bpe",
     "wrap_text",
-    # --- last driver-checked r09 (48 queries — the two suffix rows
-    # moved to the changed-block above; reaches driver in r13) ---
+    # --- new r13 queries (never driver-checked) insert HERE -------------
+    # --- last driver-checked r09 (stalest cohort; the r13-changed
+    # members above are pulled out of cohort order) ---
     "ann_cosine_topk_ivfpq",
     "ann_ivf_persisted",
     "ann_recall_at_k",
     "approx_distinct_contract",
     "approx_quantile_binned",
     "audio_fingerprint_dedup",
-    "bloom_join_prune",
     "bm25_retrieval",
     "bucketed_join_agg",
-    "char_coverage",
     "cohort_retention",
     "copurchase_triangles",
     "corpus_final_manifest",
@@ -129,9 +94,6 @@ _DRIVER_PRIORITY = (
     "crossval_split",
     "curriculum_manifest",
     "decontaminate_ngram",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "dedup_weighted_jaccard",
     "doc_chunking",
     "dq_checks",
     "dsir_importance",
@@ -141,7 +103,6 @@ _DRIVER_PRIORITY = (
     "funnel_analysis",
     "hll_registers",
     "hybrid_retrieval_rerank",
-    "incremental_dedup",
     "inverted_index_stats",
     "latest_snapshot",
     "minhash_similarity_estimate",
@@ -166,7 +127,6 @@ _DRIVER_PRIORITY = (
     "bloom_zone_skipping",
     "bootstrap_ci",
     "c4_line_filters",
-    "containment_dedup",
     "corpus_snapshot_diff",
     "cube_segment_metrics",
     "date_functions",
@@ -179,11 +139,9 @@ _DRIVER_PRIORITY = (
     "group_linreg",
     "join_cardinality_probe",
     "kcore_peeling",
-    "kmv_set_intersection",
     "ks_drift_check",
     "lang_confusion",
     "length_quantile_filter",
-    "lsh_parameter_sweep",
     "media_audio_energy",
     "media_video_pipeline",
     "oov_rate",
@@ -204,7 +162,6 @@ _DRIVER_PRIORITY = (
     "range_interval_window",
     "rolling_active_users",
     "session_window_stats",
-    "shingle_novelty",
     "shuffle_skew_profile",
     "theilsen_slope",
     "top_p_selection",
@@ -213,7 +170,6 @@ _DRIVER_PRIORITY = (
     "zorder_layout",
     # --- last driver-checked r11 (the former-r07 cohort; freshest, so last) ---
     "cdc_chunking",
-    "dedup_allpairs_prefix",
     "edit_distance_join",
     "exact_percentiles",
     "grouping_sets",
@@ -221,7 +177,6 @@ _DRIVER_PRIORITY = (
     "join_strings",
     "jsonpath_scalar",
     "jsonpath_wildcard_fanout",
-    "leakage_safe_split",
     "length_histogram",
     "lm_bigram_score",
     "media_audio_chunk",
@@ -237,7 +192,6 @@ _DRIVER_PRIORITY = (
     "pii_redact",
     "pipeline_e2e",
     "planner_advice",
-    "probe_minhash_candidates",
     "q10_returned_items",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -262,6 +216,53 @@ _DRIVER_PRIORITY = (
     "windowed_agg",
     "word_frequencies",
     "zip_merge_positional",
+    # --- last driver-checked r12 (the former-r08 cohort plus the two
+    # suffix rows; freshest, so last — reaches the driver again in r16) ---
+    "agg_distinct",
+    "ann_cosine_topk",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_lsh",
+    "ass_time_format",
+    "bpe_train_merges",
+    "chunk_dedup",
+    "cms_heavy_hitters",
+    "coalesce_priority",
+    "corpus_prep",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_stats",
+    "doc_fingerprint",
+    "dup_ngram_coverage",
+    "dup_span_removal",
+    "embedding_kmeans",
+    "embedding_stats",
+    "gather_join_strings",
+    "index_targeting",
+    "json_auto_detect",
+    "lang_id",
+    "normalize_text",
+    "outer_join_agg",
+    "pivot_event_counts",
+    "ppl_bucket_mixture",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q16_supplier_part_count",
+    "q18_large_orders",
+    "q20_dominant_supplier",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "repetition_signals",
+    "sequence_packing",
+    "sequence_packing_greedy",
+    "sketch_aggregates",
+    "sketch_error_bounds",
+    "skew_salted_agg",
+    "stop_pipeline_comparators",
+    "subtitles_from_transcription",
+    "text_replace",
+    "corpus_maximal_repeats",
+    "lcp_interval_census",
 )
 
 

@@ -689,14 +689,16 @@ def semantic_dedup(
     cids, C, cn = _ivf_quantizer(base, n_cells)
     cell_of, _probes = _ivf_cell_udfs(cids, C, cn, n_probe=1)
     pd_dot = dot_strict_udf()
-    # No persist on asg: the r12 fence (cutting the Arrow assignment+norm
-    # recompute across the pair join's two sides) measured as a wash
-    # isolated and a regression in full-session runs (semantic_dedup
-    # 1.1 s -> 4.3 s in the wave-1 run) — the InMemoryRelation barrier
-    # costs more than the duplicated ArrowEvalPython stage saves.
+    # persist: both sides of the within-cell pair join read asg, and the
+    # Arrow assignment+norm stage is NOT exchange-bounded, so reuse
+    # cannot dedupe it. Re-measured in r13 with BOTH protocols after the
+    # r12 "wash" verdict: interleaved isolated medians 1.6-1.8 s with the
+    # fence vs 2.1-3.0 s without; full-session medians ~1.8 s with vs
+    # ~3.6 s without — one frame, two consumers, the fence pays here
+    # (unlike embedding_near_dup's three stacked fences, removed r13).
     asg = base.withColumn("cell", cell_of(F.col("iv"))).withColumn(
         "inorm", F.sqrt(pd_dot(F.col("iv"), F.col("iv")))
-    )
+    ).persist()
     a = asg.select(
         F.col("item_id").alias("a_id"),
         F.col("iv").alias("a_iv"),

@@ -1202,3 +1202,50 @@ class TestLcpIntervalCensus:
         assert plan.count("MapInPandas") == 1
         assert "rangepartitioning" in plan
         assert plan.count("Exchange") == 1
+
+
+class TestR13PersistHygiene:
+    """r13 regression guards: the r12 persist fences that serialized
+    full-session runs must stay out, and the shingle exchange must stay
+    at config width (AQE coalesced a keyless form to ONE partition)."""
+
+    def test_embedding_near_dup_has_no_inmemory_forest(self, spark, registry):
+        # r12 shipped 42 InMemoryRelation nodes here — a reproducible
+        # 5-8x full-session regression (VERDICT r12 #1). The operator
+        # must build persist-free.
+        plan = plan_of(q(registry, "embedding_near_dup", spark))
+        assert "InMemoryRelation" not in plan
+        assert "InMemoryTableScan" not in plan
+
+    def test_minhash_bands_fence_stays_out(self, spark, registry):
+        # minhash_lsh_pairs keeps exactly its two pre-r12 persists
+        # (members, d) — the r12 bands fence regressed
+        # leakage_safe_split in every full-session run (VERDICT r12 #2).
+        # Each persist shows as one InMemoryRelation definition per
+        # distinct cached frame in the executed plan tree.
+        from data_pipelines_worker_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        plan = plan_of(minhash_lsh_pairs(docs, "doc_id", "text", 0.6, 3))
+        # The band fan-out (posexplode of the 6-band xxhash64 array) must
+        # live in the UNCACHED top plan: the tree prints top-down, so if
+        # bands were persisted the first posexplode would only appear
+        # inside an InMemoryRelation definition, after its header.
+        assert "posexplode" in plan
+        assert "InMemoryRelation" not in plan or (
+            plan.find("posexplode") < plan.find("InMemoryRelation")
+        )
+
+    def test_doc_shingles_exchange_pinned_to_conf_width(self, spark):
+        # A keyless repartition(col) was AQE-coalesced to ONE partition
+        # at the benched SFs, serializing the gram-hash stage (r13
+        # measured). Width must come from spark.sql.shuffle.partitions.
+        from data_pipelines_worker_spark.operators.dedup import _doc_shingles
+
+        docs = load_table(spark, SF, "documents")
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        plan = plan_of(_doc_shingles(docs, "doc_id", "text", 3))
+        assert f"hashpartitioning(doc_id#" in plan
+        assert f", {n})" in plan.split("hashpartitioning", 1)[1][:80]
